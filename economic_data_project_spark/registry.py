@@ -1,0 +1,62 @@
+"""Query registry: the declared-operator surface of the engine.
+
+Each implemented operator from SURVEY.md §2 is registered here as a named
+query ``(spark, sf_dir) -> DataFrame`` plus, where SQL-expressible, an
+equivalent ANSI-SQL oracle string that DuckDB runs over the same parquet
+tables. This mirrors the reference's own test strategy: Python operator
+logic validated against real SQL execution on DuckDB
+(macro_agents/tests/conftest.py:144-220).
+
+Column-name contract: every computed column is aliased identically in the
+Spark query and the oracle SQL (the driver sorts columns by name before
+hashing values).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query, optionally with its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name {name!r}")
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every operator module so registrations run."""
+    from .operators import (  # noqa: F401
+        aggregates,
+        joins,
+        relational,
+        setops,
+        windows,
+    )
+    from .signals import kernels  # noqa: F401
+    from .similarity import ann  # noqa: F401
+    from .text import analysis, dedup  # noqa: F401
+
+
+def all_queries() -> dict[str, QueryFn]:
+    load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    load_all()
+    return dict(ORACLES)

@@ -1,0 +1,102 @@
+"""Shared fixtures: a local SparkSession and a DuckDB oracle harness.
+
+Mirrors the reference's own test strategy — Python operator logic validated
+against real SQL execution on DuckDB
+(macro_agents/tests/conftest.py:144-220, the DuckDBWarehouseStub) — and the
+driver's t2 contract: row-count + column-name + order-insensitive
+value-hash comparison between each Spark query and its oracle SQL.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import pytest
+
+from economic_data_project_spark.catalog import TABLES, table_path
+from economic_data_project_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get(
+    "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+)
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="econ-spark-tests")
+    yield s
+
+
+@pytest.fixture(scope="session")
+def sf_dir():
+    return SF_DIR
+
+
+def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = table_path(sf_dir, t)
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
+            )
+    return con
+
+
+def _norm_cell(v):
+    """Normalize a cell the way an order-insensitive hasher would."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return repr(float(v))
+        return repr(v)
+    if isinstance(v, bool):
+        return str(v)
+    try:  # Decimal -> normalized float repr
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return repr(float(v))
+    except Exception:
+        pass
+    return str(v)
+
+
+def normalize_rows(columns, rows):
+    """Sort columns by name, then rows; stringify cells."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [columns[i] for i in order], out
+
+
+def compare_with_oracle(spark, query_fn, oracle_sql, sf_dir):
+    """Run Spark query and DuckDB oracle; return (ok, message)."""
+    sdf = query_fn(spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    con = duckdb_connect(sf_dir)
+    res = con.execute(oracle_sql)
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+    con.close()
+
+    if sorted(s_cols) != sorted(d_cols):
+        return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"
+    if len(s_rows) != len(d_rows):
+        return False, f"row-count mismatch: spark={len(s_rows)} duckdb={len(d_rows)}"
+    _, sn = normalize_rows(s_cols, s_rows)
+    _, dn = normalize_rows(d_cols, d_rows)
+    if sn != dn:
+        diffs = [
+            (a, b) for a, b in zip(sn, dn) if a != b
+        ][:5]
+        return False, f"value mismatch (first diffs): {diffs}"
+    return True, f"ok ({len(s_rows)} rows)"
