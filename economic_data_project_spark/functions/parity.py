@@ -44,39 +44,98 @@ def dsum(c: Column | str) -> Column:
     return F.sum(_c(c).cast(DEC)).cast("double")
 
 
-def davg(c: Column | str, dp: int = 6) -> Column:
-    """Deterministic AVG: exact sum / count, rounded to ``dp``."""
+def davg(c: Column | str) -> Column:
+    """Deterministic AVG: exact sum / count (one IEEE division).
+
+    NOT rounded: rounding a deterministic double only adds half-tie risk
+    (engines disagree on exact .5 boundaries); a bit-identical quotient
+    needs no rounding.
+    """
     x = _c(c)
-    return F.round(dsum(x) / F.count(x), dp)
+    return dsum(x) / F.count(x)
 
 
-def dvar_samp(c: Column | str, dp: int = 6) -> Column:
-    """Deterministic sample variance from exact sums."""
-    x = _c(c)
-    n = F.count(x).cast("double")
-    sx = dsum(x)
-    sxx = dsum(x * x)
-    return F.round((sxx - sx * sx / n) / (n - F.lit(1.0)), dp)
+# -------------------------------------------------------- centered moments
+# Variance/stddev/corr use TWO-PASS (centered) sums, not the single-pass
+# sum-of-squares identity. Two reasons, both cross-engine:
+#
+# 1. Sums of raw squares overflow 2^53 in the decimal's internal integer,
+#    after which the decimal->double cast is no longer identical in both
+#    engines (Spark converts via BigDecimal; DuckDB via int128 / 10^scale).
+# 2. Casting low-entropy doubles (money values have ≤6 true decimals) to a
+#    nearby decimal scale lands on exact .5 ties, where Spark (HALF_UP on
+#    the shortest string repr) and DuckDB (round on the true binary value)
+#    disagree. Deviations from a group mean have full-entropy mantissas, so
+#    ties are ~2^-40 events, and squared deviations are small enough that
+#    scale-2 decimal sums stay far below 2^53.
+#
+# One more subtlety: Spark's double->decimal cast rounds the double's
+# SHORTEST decimal repr (BigDecimal.valueOf) while DuckDB rounds the true
+# binary value — for a full-entropy double of magnitude V cast at scale s,
+# they disagree with probability ≈ ulp(V)/(2·10^-s) ≈ V·10^s·1e-16. Keeping
+# each value's internal units (V·10^s) below ~1e9 makes that a ~1e-7 event;
+# deviations are therefore pre-shrunk by 1e-3 before squaring (results are
+# rescaled — variance by 1e6, stddev by 1e3, corr is scale-free).
+#
+# Calling convention: compute the group mean first (davg), join it back,
+# then aggregate the centered columns — helpers below build both halves.
+
+DEV2 = "decimal(28,2)"
+_SHRINK = 1.0e-3
 
 
-def dstddev_samp(c: Column | str, dp: int = 6) -> Column:
-    """Deterministic sample stddev from exact sums."""
-    x = _c(c)
-    n = F.count(x).cast("double")
-    sx = dsum(x)
-    sxx = dsum(x * x)
-    return F.round(F.sqrt((sxx - sx * sx / n) / (n - F.lit(1.0))), dp)
+def dsum2(c: Column | str) -> Column:
+    """Exact low-scale SUM for centered squares/products, as DOUBLE."""
+    return F.sum(_c(c).cast(DEV2)).cast("double")
 
 
-def dcorr(x: Column | str, y: Column | str, dp: int = 6) -> Column:
-    """Deterministic Pearson correlation from exact sums."""
-    x, y = _c(x), _c(y)
+def sql_dsum2(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,2))) AS DOUBLE)"
+
+
+def centered_var_samp(dev: Column | str) -> Column:
+    """Sample variance from a pre-centered column ``dev = x - mean``."""
+    d = _c(dev) * F.lit(_SHRINK)
+    n = F.count(d).cast("double")
+    return F.when(n > 1, dsum2(d * d) / (n - F.lit(1.0)) * F.lit(1.0e6))
+
+
+def centered_stddev_samp(dev: Column | str) -> Column:
+    """Sample stddev from a pre-centered column ``dev = x - mean``."""
+    d = _c(dev) * F.lit(_SHRINK)
+    n = F.count(d).cast("double")
+    return F.when(
+        n > 1, F.sqrt(dsum2(d * d) / (n - F.lit(1.0))) * F.lit(1.0e3)
+    )
+
+
+def centered_corr(devx: Column | str, devy: Column | str) -> Column:
+    """Pearson correlation from pre-centered columns."""
+    dx, dy = _c(devx) * F.lit(_SHRINK), _c(devy) * F.lit(_SHRINK)
     n = F.count(F.lit(1)).cast("double")
-    sx, sy = dsum(x), dsum(y)
-    sxx, syy, sxy = dsum(x * x), dsum(y * y), dsum(x * y)
-    num = sxy - sx * sy / n
-    den = F.sqrt((sxx - sx * sx / n) * (syy - sy * sy / n))
-    return F.round(num / den, dp)
+    num = dsum2(dx * dy)
+    den = F.sqrt(F.greatest(dsum2(dx * dx) * dsum2(dy * dy), F.lit(0.0)))
+    return F.when(n > 1, num / F.nullif(den, F.lit(0)))
+
+
+def sql_centered_stddev_samp(dev: str) -> str:
+    d = f"(({dev}) * 1.0e-3)"
+    n = f"CAST(COUNT({d}) AS DOUBLE)"
+    return (
+        f"CASE WHEN {n} > 1 THEN"
+        f" SQRT({sql_dsum2(f'{d} * {d}')} / ({n} - 1.0)) * 1.0e3 END"
+    )
+
+
+def sql_centered_corr(devx: str, devy: str) -> str:
+    dx, dy = f"(({devx}) * 1.0e-3)", f"(({devy}) * 1.0e-3)"
+    n = "CAST(COUNT(1) AS DOUBLE)"
+    num = sql_dsum2(f"{dx} * {dy}")
+    den = (
+        f"SQRT(GREATEST({sql_dsum2(f'{dx} * {dx}')}"
+        f" * {sql_dsum2(f'{dy} * {dy}')}, 0.0))"
+    )
+    return f"CASE WHEN {n} > 1 THEN {num} / NULLIF({den}, 0) END"
 
 
 # --------------------------------------------------- DuckDB-oracle SQL side
@@ -88,29 +147,37 @@ def sql_dsum(expr: str) -> str:
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) AS DOUBLE)"
 
 
-def sql_davg(expr: str, dp: int = 6) -> str:
-    return f"ROUND({sql_dsum(expr)} / COUNT({expr}), {dp})"
+def sql_davg(expr: str) -> str:
+    return f"{sql_dsum(expr)} / COUNT({expr})"
 
 
-def sql_dvar_samp(expr: str, dp: int = 6) -> str:
-    n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    sx = sql_dsum(expr)
-    sxx = sql_dsum(f"({expr}) * ({expr})")
-    return f"ROUND(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0), {dp})"
+def sql_dvar_samp(expr: str) -> str:
+    e = f"(({expr}) * 1.0e-6)"
+    n = f"CAST(COUNT({e}) AS DOUBLE)"
+    sx = sql_ssum(e)
+    sxx = sql_ssum(f"{e} * {e}")
+    var = f"GREATEST(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0), 0.0)"
+    return f"CASE WHEN {n} > 1 THEN {var} * 1.0e12 END"
 
 
-def sql_dstddev_samp(expr: str, dp: int = 6) -> str:
-    n = f"CAST(COUNT({expr}) AS DOUBLE)"
-    sx = sql_dsum(expr)
-    sxx = sql_dsum(f"({expr}) * ({expr})")
-    return f"ROUND(SQRT(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0)), {dp})"
+def sql_dstddev_samp(expr: str) -> str:
+    e = f"(({expr}) * 1.0e-6)"
+    n = f"CAST(COUNT({e}) AS DOUBLE)"
+    sx = sql_ssum(e)
+    sxx = sql_ssum(f"{e} * {e}")
+    var = f"GREATEST(({sxx} - {sx} * {sx} / {n}) / ({n} - 1.0), 0.0)"
+    return f"CASE WHEN {n} > 1 THEN SQRT({var}) * 1.0e6 END"
 
 
-def sql_dcorr(x: str, y: str, dp: int = 6) -> str:
+def sql_dcorr(x: str, y: str) -> str:
+    ex, ey = f"(({x}) * 1.0e-6)", f"(({y}) * 1.0e-6)"
     n = "CAST(COUNT(1) AS DOUBLE)"
-    sx, sy = sql_dsum(x), sql_dsum(y)
-    sxx, syy = sql_dsum(f"({x}) * ({x})"), sql_dsum(f"({y}) * ({y})")
-    sxy = sql_dsum(f"({x}) * ({y})")
+    sx, sy = sql_ssum(ex), sql_ssum(ey)
+    sxx, syy = sql_ssum(f"{ex} * {ex}"), sql_ssum(f"{ey} * {ey}")
+    sxy = sql_ssum(f"{ex} * {ey}")
     num = f"({sxy} - {sx} * {sy} / {n})"
-    den = f"SQRT(({sxx} - {sx} * {sx} / {n}) * ({syy} - {sy} * {sy} / {n}))"
-    return f"ROUND({num} / {den}, {dp})"
+    den = (
+        f"SQRT(GREATEST(({sxx} - {sx} * {sx} / {n})"
+        f" * ({syy} - {sy} * {sy} / {n}), 0.0))"
+    )
+    return f"CASE WHEN {n} > 1 THEN {num} / NULLIF({den}, 0) END"

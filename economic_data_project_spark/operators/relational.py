@@ -16,11 +16,11 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.parity import (
+    centered_stddev_samp,
     davg,
-    dstddev_samp,
     dsum,
+    sql_centered_stddev_samp,
     sql_davg,
-    sql_dstddev_samp,
     sql_dsum,
 )
 from ..registry import query
@@ -202,22 +202,27 @@ bucketed AS (
       ELSE 'older'
     END AS period
   FROM changed
+),
+means AS (
+  SELECT flag, period, {sql_davg("revenue")} AS mean_rev
+  FROM bucketed GROUP BY flag, period
 )
 SELECT
-  flag,
-  period,
+  b.flag AS flag,
+  b.period AS period,
   COUNT(*) AS n_days,
-  {sql_davg("revenue")} AS avg_revenue,
-  {sql_dsum("revenue")} AS total_revenue,
-  ROUND(MIN(revenue), 6) AS min_revenue,
-  ROUND(MAX(revenue), 6) AS max_revenue,
-  {sql_dstddev_samp("revenue")} AS revenue_stddev,
-  ROUND(MIN_BY(revenue, d), 6) AS first_revenue,
-  ROUND(MAX_BY(revenue, d), 6) AS last_revenue,
-  ROUND(CAST(SUM(CASE WHEN chg > 0 THEN 1 ELSE 0 END) AS DOUBLE)
-        / NULLIF(COUNT(chg), 0), 6) AS win_rate
-FROM bucketed
-GROUP BY flag, period
+  m.mean_rev AS avg_revenue,
+  {sql_dsum("b.revenue")} AS total_revenue,
+  (MIN(b.revenue)) AS min_revenue,
+  (MAX(b.revenue)) AS max_revenue,
+  {sql_centered_stddev_samp("b.revenue - m.mean_rev")} AS revenue_stddev,
+  (MIN_BY(b.revenue, b.d)) AS first_revenue,
+  (MAX_BY(b.revenue, b.d)) AS last_revenue,
+  (CAST(SUM(CASE WHEN b.chg > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        / NULLIF(COUNT(b.chg), 0)) AS win_rate
+FROM bucketed b
+JOIN means m ON b.flag = m.flag AND b.period = m.period
+GROUP BY b.flag, b.period, m.mean_rev
 ORDER BY flag, period
 """
 
@@ -249,23 +254,26 @@ def market_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("d") > F.date_sub(F.lit(AS_OF).cast("date"), 90), "90d")
         .otherwise("older"),
     )
+    means = bucketed.groupBy("flag", "period").agg(
+        davg("revenue").alias("mean_rev")
+    )
+    dev = F.col("revenue") - F.col("mean_rev")
     return (
-        bucketed.groupBy("flag", "period")
+        bucketed.join(means, ["flag", "period"])
+        .groupBy("flag", "period", "mean_rev")
         .agg(
             F.count("*").alias("n_days"),
-            davg("revenue").alias("avg_revenue"),
             dsum("revenue").alias("total_revenue"),
-            F.round(F.min("revenue"), 6).alias("min_revenue"),
-            F.round(F.max("revenue"), 6).alias("max_revenue"),
-            dstddev_samp("revenue").alias("revenue_stddev"),
-            F.round(F.min_by("revenue", "d"), 6).alias("first_revenue"),
-            F.round(F.max_by("revenue", "d"), 6).alias("last_revenue"),
-            F.round(
+            (F.min("revenue")).alias("min_revenue"),
+            (F.max("revenue")).alias("max_revenue"),
+            centered_stddev_samp(dev).alias("revenue_stddev"),
+            (F.min_by("revenue", "d")).alias("first_revenue"),
+            (F.max_by("revenue", "d")).alias("last_revenue"),
+            (
                 F.sum(F.when(F.col("chg") > 0, 1).otherwise(0)).cast("double")
-                / F.nullif(F.count("chg"), F.lit(0)),
-                6,
-            ).alias("win_rate"),
+                / F.nullif(F.count("chg"), F.lit(0))).alias("win_rate"),
         )
+        .withColumnRenamed("mean_rev", "avg_revenue")
         .orderBy("flag", "period")
     )
 
