@@ -1,1 +1,362 @@
-"""(filled in incrementally)"""
+"""Similarity search over embedding columns: brute-force cosine top-k,
+sign-LSH bucketed ANN, keyword search, and hybrid RRF fusion.
+
+Mirrors the reference's search stack
+(macro_agents/.../domains/sec/semantic_search.py:40-91 brute-force cosine
+vector search; fts.py:1-25 keyword term-overlap scoring;
+semantic_search.py:148-230 reciprocal-rank-fusion hybrid) on the driver's
+``embeddings`` + ``documents`` tables.
+
+Scale design:
+- Brute-force top-k is the *baseline* (the reference deliberately ships
+  brute-force, semantic_search.py:80-84): a broadcast of the (tiny) query
+  set against the corpus — one scan, no shuffle of the corpus, per-query
+  heaps via window row_number (Catalyst: TakeOrdered per partition group).
+- The scale path is sign-LSH bucketing: an 8-bit bucket key from the sign
+  pattern of the leading dimensions turns the n x m pair space into
+  per-bucket joins (~n/256 of the corpus per probe). Recall is traded
+  explicitly; the oracle mirrors the same bucketing so the contract is
+  exact over what the algorithm promises, not a fuzzy approximation.
+- RRF fusion joins two *ranked* lists (full outer on id) — rank lists are
+  top-capped first, so the join is over k rows, not the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.vectors import DOT_DUCK, DOT_SPARK, NORM_DUCK, NORM_SPARK
+from ..registry import query
+
+_N_QUERIES = 10  # probe set: vec_id < 10
+_TOP_K = 5
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(NORM_SPARK.format(v="embedding")).alias("norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Brute-force cosine top-k per query vector.
+# --------------------------------------------------------------------------
+
+_TOPK_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {NORM_DUCK.format(v="embedding")} AS norm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS label,
+         {DOT_DUCK.format(a="q.embedding", b="c.embedding")}
+           / (q.norm * c.norm) AS cosine
+  FROM n q
+  JOIN (SELECT n.*, e.label FROM n JOIN embeddings e USING (vec_id)) c
+    ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, label, cosine,
+       rnk AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_cosine_topk", oracle=_TOPK_ORACLE)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = _corpus(spark, sf_dir).join(
+        e.select("vec_id", "label"), "vec_id"
+    )
+    queries = _corpus(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "label",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Sign-LSH bucketed ANN: bucket = sign bits of the first 8 dimensions
+# (axis-aligned random-hyperplane LSH). Search only within the probe's
+# bucket — the contract is "best match sharing the bucket", and the oracle
+# mirrors the bucketing exactly (float sign is engine-independent).
+# --------------------------------------------------------------------------
+
+_BUCKET_SPARK = (
+    "aggregate(zip_with(slice({v}, 1, 8), sequence(0, 7),"
+    " (x, i) -> IF(cast(x as double) >= 0, shiftleft(1, i), 0)),"
+    " 0, (acc, b) -> acc + b)"
+)
+_BUCKET_DUCK = (
+    "list_reduce(list_prepend(0,"
+    " list_transform(list_zip({v}[1:8], range(0, 8)),"
+    " p -> CASE WHEN CAST(p[1] AS DOUBLE) >= 0"
+    " THEN (1 << p[2]) ELSE 0 END)), (acc, b) -> acc + b)"
+)
+
+_LSH_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         {NORM_DUCK.format(v="embedding")} AS norm,
+         {_BUCKET_DUCK.format(v="embedding")} AS bucket
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         q.bucket AS bucket,
+         {DOT_DUCK.format(a="q.embedding", b="c.embedding")}
+           / (q.norm * c.norm) AS cosine
+  FROM n q JOIN n c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, bucket,
+       (MAX_BY(neighbor_id,
+               lpad(CAST(CAST(round((cosine + 1.0) * 1000000000) AS BIGINT)
+                         AS VARCHAR), 12, '0')
+               || lpad(CAST(99999999 - neighbor_id AS VARCHAR), 8, '0')))
+         AS best_neighbor_id,
+       (MAX(cosine)) AS best_cosine,
+       COUNT(*) AS n_candidates
+FROM scored
+GROUP BY query_id, bucket
+ORDER BY query_id
+"""
+
+
+@query("ann_signlsh_bucketed", oracle=_LSH_ORACLE)
+def ann_signlsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _corpus(spark, sf_dir).withColumn(
+        "bucket", F.expr(_BUCKET_SPARK.format(v="embedding"))
+    )
+    q = base.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+        "bucket",
+    )
+    c = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        F.col("bucket").alias("c_bucket"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(
+            c,
+            (F.col("bucket") == F.col("c_bucket"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    key = (
+        "lpad(CAST(CAST(round((cosine + 1.0) * 1000000000) AS BIGINT)"
+        " AS STRING), 12, '0')"
+        " || lpad(CAST(99999999 - neighbor_id AS STRING), 8, '0')"
+    )
+    return (
+        scored.groupBy("query_id", "bucket")
+        .agg(
+            F.max_by("neighbor_id", F.expr(key)).alias("best_neighbor_id"),
+            F.max("cosine").alias("best_cosine"),
+            F.count("*").alias("n_candidates"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Keyword search: distinct-term-overlap scoring (CONTAINS_SUBSTR shape,
+# fts.py:60-80), tie-break doc_id; top 20.
+# --------------------------------------------------------------------------
+
+_TERMS = ("table", "window", "spark", "merge")
+
+_KEYWORD_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id,
+         ({" + ".join(f"CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END" for t in _TERMS)})
+           AS term_hits,
+         n_chars
+  FROM documents
+)
+SELECT doc_id, term_hits, n_chars,
+       rnk AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    ORDER BY term_hits DESC, n_chars DESC, doc_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= 20 AND term_hits > 0
+ORDER BY rank
+"""
+
+
+@query("keyword_search_topk", oracle=_KEYWORD_ORACLE)
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hits = None
+    for t in _TERMS:
+        h = F.when(F.contains(F.lower("text"), F.lit(t)), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    scored = d.select(
+        "doc_id", hits.alias("term_hits"), "n_chars"
+    )
+    w = Window.orderBy(
+        F.col("term_hits").desc(), F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where((F.col("rank") <= 20) & (F.col("term_hits") > 0))
+        .select(
+            "doc_id",
+            "term_hits",
+            "n_chars",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid search: RRF fusion of the keyword ranking and a vector ranking
+# (probe = embedding of vec_id 0), score = 0.7/(60+v_rank) + 0.3/(60+k_rank)
+# — the exact fusion shape of semantic_search.py:148-230 (weight/(rank+60)).
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+_RRF_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding, {NORM_DUCK.format(v="embedding")} AS norm
+  FROM embeddings
+),
+vec_ranked AS (
+  SELECT c.vec_id AS id,
+         ROW_NUMBER() OVER (ORDER BY
+           {DOT_DUCK.format(a="q.embedding", b="c.embedding")}
+             / (q.norm * c.norm) DESC, c.vec_id) AS v_rank
+  FROM n q JOIN n c ON c.vec_id <> 0
+  WHERE q.vec_id = 0
+  ORDER BY v_rank LIMIT 50
+),
+kw_ranked AS (
+  SELECT doc_id AS id,
+         ROW_NUMBER() OVER (ORDER BY
+           ({" + ".join(f"CASE WHEN contains(lower(text), '{t}') THEN 1 ELSE 0 END" for t in _TERMS)})
+             DESC, n_chars DESC, doc_id) AS k_rank
+  FROM documents
+  ORDER BY k_rank LIMIT 50
+)
+SELECT COALESCE(v.id, k.id) AS id,
+       v.v_rank AS v_rank,
+       k.k_rank AS k_rank,
+       (COALESCE(0.7 / ({_RRF_K} + v.v_rank), 0.0)
+        + COALESCE(0.3 / ({_RRF_K} + k.k_rank), 0.0)) AS rrf_score
+FROM vec_ranked v FULL OUTER JOIN kw_ranked k ON v.id = k.id
+ORDER BY rrf_score DESC, id
+LIMIT 20
+"""
+
+
+@query("hybrid_rrf_search", oracle=_RRF_ORACLE)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _corpus(spark, sf_dir)
+    probe = base.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("norm").alias("q_norm")
+    )
+    vec_scored = (
+        base.where(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="embedding"))
+            / (F.col("q_norm") * F.col("norm")),
+        )
+    )
+    wv = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    vec_ranked = (
+        vec_scored.withColumn("v_rank", F.row_number().over(wv))
+        .where(F.col("v_rank") <= 50)
+        .select(F.col("vec_id").alias("id"), "v_rank")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    hits = None
+    for t in _TERMS:
+        h = F.when(F.contains(F.lower("text"), F.lit(t)), 1).otherwise(0)
+        hits = h if hits is None else hits + h
+    wk = Window.orderBy(
+        F.col("term_hits").desc(), F.col("n_chars").desc(), F.col("doc_id")
+    )
+    kw_ranked = (
+        d.select("doc_id", hits.alias("term_hits"), "n_chars")
+        .withColumn("k_rank", F.row_number().over(wk))
+        .where(F.col("k_rank") <= 50)
+        .select(F.col("doc_id").alias("id"), "k_rank")
+    )
+    fused = (
+        vec_ranked.join(kw_ranked, "id", "full_outer")
+        .withColumn(
+            "rrf_score",
+            F.coalesce(
+                F.lit(0.7) / (F.lit(_RRF_K) + F.col("v_rank")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(0.3) / (F.lit(_RRF_K) + F.col("k_rank")), F.lit(0.0)
+            ),
+        )
+        .select(
+            "id",
+            F.col("v_rank").cast("long").alias("v_rank"),
+            F.col("k_rank").cast("long").alias("k_rank"),
+            "rrf_score",
+        )
+        .orderBy(F.col("rrf_score").desc(), "id")
+        .limit(20)
+    )
+    return fused

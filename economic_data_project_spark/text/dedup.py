@@ -1,1 +1,435 @@
-"""(filled in incrementally)"""
+"""Corpus deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard nearest-neighbor, embedding-cosine near-dup.
+
+The reference dedups documents by content hash
+(document_extraction/models/sec_document_text.yml:13-25 — dedup by
+content_hash); this module generalizes that into the full large-corpus
+dedup toolkit a training-data pipeline needs.
+
+Scale design (the 100 TB story):
+- Exact dedup: hash-groupBy on md5(content) — one shuffle keyed by the
+  hash, perfectly balanced (hashes are uniform).
+- MinHash+LSH: per-doc signatures are embarrassingly parallel (HOF over
+  the shingle array, no Python); candidate generation is an equi-join on
+  (band_id, band_value) — a *hash* join on a uniform key, never a cross
+  join. Only verified candidates pay the exact-Jaccard cost. At 100 TB
+  the band join's fan-out is controlled by band count × collision rate,
+  not n².
+- SimHash: 4 bands x 8 bits with verify threshold hamming <= 3 gives
+  *guaranteed* recall by pigeonhole (any pair within hamming 3 shares at
+  least one clean band) — the LSH is a pure optimization, the output is
+  exactly "all pairs with hamming <= 3".
+- Embedding near-dup is brute-force here (oracle-checkable); the ANN
+  module (similarity/ann.py) carries the bucketed scale path.
+
+Determinism: every hash is md5 (identical across engines); Jaccard and
+cosine are integer-count or decimal-exact arithmetic, so the DuckDB
+oracles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import query
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+_TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
+
+# Distinct 3-word shingles (the unit of near-dup comparison).
+_SHINGLES = (
+    f"array_distinct(transform(sequence(1, greatest(size({_TOKENS}) - 2, 1)),"
+    f" i -> concat_ws(' ', slice({_TOKENS}, i, 3))))"
+)
+_SHINGLES_DUCK = (
+    f"list_distinct(list_transform(range(1, greatest(len({_TOKENS_DUCK})"
+    f" - 1, 2)), i -> array_to_string({_TOKENS_DUCK}[i:i+2], ' ')))"
+)
+
+_JACCARD_THRESHOLD = 0.5
+_NN_THRESHOLD = 0.3
+_N_MINHASH = 16
+_COSINE_THRESHOLD = 0.4
+_HAMMING_MAX = 3  # with 4 bands, pigeonhole guarantees LSH recall
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: content-hash clusters, canonical = min doc_id.
+# --------------------------------------------------------------------------
+
+_EXACT_ORACLE = """
+SELECT doc_id,
+       md5(text) AS content_hash,
+       MIN(doc_id) OVER (PARTITION BY md5(text)) AS canonical_doc_id,
+       (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)))
+         AS is_duplicate
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query("dedup_exact", oracle=_EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    return (
+        d.select("doc_id", F.md5("text").alias("content_hash"))
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_duplicate", F.col("doc_id") != F.col("canonical_doc_id")
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs.
+# Signature_i(doc) = min over shingles s of md5(i || '|' || s); candidates
+# share >=1 of the 16 signature values (R=1 bands); candidates are then
+# verified with the exact Jaccard, so the output is exactly
+# "pairs with shingle-Jaccard >= 0.5" (the oracle states that semantics
+# brute-force; at 16 hashes the per-pair miss probability at j=0.5 is
+# (1-j)^16 ~ 1.5e-5 and 0 for the corpus's actual j>=0.9 pairs).
+# --------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         len(list_intersect(a.shingles, b.shingles)) AS n_common,
+         len(a.shingles) AS n_a, len(b.shingles) AS n_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b,
+       (CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)) AS jaccard
+FROM pairs
+WHERE CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+      >= {_JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select(
+        "doc_id",
+        "shingles",
+        F.expr(
+            f"transform(sequence(0, {_N_MINHASH - 1}), i ->"
+            " array_min(transform(shingles,"
+            " s -> md5(concat(cast(i as string), '|', s)))))"
+        ).alias("sig"),
+    )
+    bands = sig.select(
+        "doc_id",
+        F.posexplode("sig").alias("band_id", "band_val"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sh_a = sh.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = sh.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard").orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard nearest neighbor: per-doc best match (jaccard >= 0.3),
+# candidates generated by an inverted-index join on shingles (postings
+# join — the scalable alternative to a cross join; ultra-common shingles
+# should be df-capped upstream at corpus scale).
+# --------------------------------------------------------------------------
+
+_NN_KEY = (
+    "lpad(CAST(CAST(round(jaccard * 1000000000) AS BIGINT) AS VARCHAR),"
+    " 12, '0') || lpad(CAST(99999999 - match_id AS VARCHAR), 8, '0')"
+)
+_NN_KEY_SPARK = (
+    "lpad(CAST(CAST(round(jaccard * 1000000000) AS BIGINT) AS STRING),"
+    " 12, '0') || lpad(CAST(99999999 - match_id AS STRING), 8, '0')"
+)
+
+_NGRAM_NN_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
+         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+           / (len(a.shingles) + len(b.shingles)
+              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+)
+SELECT doc_id,
+       (MAX_BY(match_id, {_NN_KEY})) AS best_match_id,
+       (MAX(jaccard)) AS best_jaccard,
+       COUNT(*) AS n_matches
+FROM pairs
+WHERE jaccard >= {_NN_THRESHOLD}
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
+@query("ngram_jaccard_nn", oracle=_NGRAM_NN_ORACLE)
+def ngram_jaccard_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    postings = sh.select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    common = (
+        postings.alias("a")
+        .join(
+            postings.alias("b"),
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("b.doc_id").alias("match_id"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    pairs = (
+        common.join(sizes.withColumnRenamed("doc_id", "d_"), F.col("doc_id") == F.col("d_"))
+        .drop("d_")
+        .withColumnRenamed("n_sh", "n_a")
+        .join(sizes.withColumnRenamed("doc_id", "m_"), F.col("match_id") == F.col("m_"))
+        .drop("m_")
+        .withColumnRenamed("n_sh", "n_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= _NN_THRESHOLD)
+    )
+    return (
+        pairs.groupBy("doc_id")
+        .agg(
+            F.max_by("match_id", F.expr(_NN_KEY_SPARK)).alias(
+                "best_match_id"
+            ),
+            F.max("jaccard").alias("best_jaccard"),
+            F.count("*").alias("n_matches"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs (hamming <= 3 over a 32-bit signature).
+# Bit b of simhash = sign of sum over (token, count) of
+# count * (bit_b(md5_32(token)) ? +1 : -1).
+# --------------------------------------------------------------------------
+
+_SIMHASH_CTE_DUCK = f"""
+tok AS (
+  SELECT doc_id, t.tok AS tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents) t
+  GROUP BY doc_id, t.tok
+),
+hashed AS (
+  SELECT doc_id, cnt,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS h
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN cnt ELSE -cnt END) AS w
+  FROM hashed, (SELECT unnest(range(0, 32)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sim AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 THEN 1::BIGINT << b ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+"""
+
+_SIMHASH_ORACLE = f"""
+WITH {_SIMHASH_CTE_DUCK}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       (CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)) AS hamming
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("cnt"))
+    )
+    hashed = tok.withColumn(
+        "h", F.expr("cast(conv(substr(md5(tok), 1, 8), 16, 10) as bigint)")
+    )
+    bits = (
+        hashed.select(
+            "doc_id",
+            "cnt",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(
+                    F.expr("shiftright(h, b) & 1") == 1, F.col("cnt")
+                ).otherwise(-F.col("cnt"))
+            ).alias("w")
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("w") > 0,
+                F.expr("shiftleft(cast(1 as bigint), b)"),
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = _simhash_df(spark, sf_dir)
+    # LSH bands: 4 x 8 bits; hamming <= 3 over 4 bands guarantees one
+    # band is identical (pigeonhole), so the band join loses nothing.
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i ->"
+                " struct(i as band_id,"
+                " shiftright(simhash, i * 8) & 255 as band_val))"
+            )
+        ).alias("band"),
+    ).select("doc_id", "simhash", "band.band_id", "band.band_val")
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).cast("long"),
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup pairs (decimal-exact dot products so the
+# oracle matches bit-for-bit; see similarity/ann.py for the top-k and
+# bucketed-scale variants).
+# --------------------------------------------------------------------------
+
+from ..functions.vectors import (  # noqa: E402  (shared determinism notes)
+    DOT_DUCK as _DOT_DUCK,
+    DOT_SPARK as _DOT_SPARK,
+    NORM_DUCK as _NORM_DUCK,
+    NORM_SPARK as _NORM_SPARK,
+)
+
+_EMB_NEAR_ORACLE = f"""
+WITH n AS (
+  SELECT vec_id, embedding,
+         {_NORM_DUCK.format(v="embedding")} AS norm
+  FROM embeddings
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ({_DOT_DUCK.format(a="a.embedding", b="b.embedding")}
+        / (a.norm * b.norm)) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE {_DOT_DUCK.format(a="a.embedding", b="b.embedding")}
+      / (a.norm * b.norm) >= {_COSINE_THRESHOLD}
+ORDER BY vec_a, vec_b
+"""
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEAR_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM_SPARK.format(v="embedding")).alias("norm"),
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.expr(_DOT_SPARK.format(a="emb_a", b="emb_b"))
+            / (F.col("norm_a") * F.col("norm_b")),
+        )
+        .where(F.col("cosine") >= _COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
