@@ -21,12 +21,20 @@ from economic_data_project_spark import registry
 from economic_data_project_spark.session import get_spark
 
 # Headline set: one per operator family; kept stable across rounds so
-# BENCH_r{N}.json is comparable round-over-round.
+# BENCH_r{N}.json is comparable round-over-round (only ever append).
 HEADLINE = [
-    "pricing_summary",
-    "market_summary",
-    "latest_order_per_customer",
-    "staging_projection",
+    "pricing_summary",          # scan -> hash agg battery
+    "market_summary",           # multi-CTE agg + window + join
+    "latest_order_per_customer",  # QUALIFY-style dedup window
+    "staging_projection",       # pushdown filter/projection
+    "nation_revenue",           # 5-way join w/ broadcast dims
+    "rolling_stats",            # rolling window battery
+    "snapshot_trailing_90d",    # range-join snapshot fan-out
+    "pivot_monthly_revenue",    # pivot
+    "dedup_minhash_lsh",        # shingle/LSH text dedup
+    "ann_cosine_topk",          # vector similarity top-k
+    "signal_fear_greed",        # percentile-rank composite signal
+    "dag_model_chain",          # 3-layer model DAG, fused plan
 ]
 
 

@@ -1,0 +1,167 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata,
+decode / feature-extract / frame-sample as Arrow-batched pandas stages.
+
+A 100 TB training-data pipeline treats images/audio/video as opaque
+``binary`` columns with typed metadata, decoded only inside vectorized
+UDF stages. The Spark-side plumbing here is real and tested — schema,
+partitioning, ``mapInPandas`` batch shape, deterministic outputs; the
+actual codec step is STUBBED (this container ships no image/audio libs):
+``decode_media`` tries Pillow and falls back to a clearly-marked
+deterministic fake so every downstream stage stays exercisable.
+
+Scale notes: payload bytes never pass through a shuffle — decode stages
+are map-only (mapInPandas preserves partitioning); only the small
+extracted features (dims, per-band features) flow into joins/aggs.
+Batches arrive as Arrow RecordBatches sized by
+``spark.sql.execution.arrow.maxRecordsPerBatch`` — tune it down when
+payloads are MBs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("payload", BinaryType(), False),
+        StructField("source", StringType(), True),
+        StructField("n_bytes", LongType(), False),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("mean_luma", IntegerType(), True),
+        StructField("decoder", StringType(), False),
+    ]
+)
+
+
+def attach_fake_media(documents: DataFrame) -> DataFrame:
+    """Turn the documents table into a media table: utf-8 payload bytes
+    standing in for encoded image data (deterministic, content-derived)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        "source",
+        F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Deterministic stand-in for a codec: dimensions and mean luminance
+    derived from the payload digest + bytes. NOT a real decode — swap for
+    Pillow/libav in a full deployment."""
+    digest = hashlib.md5(payload).digest()
+    width = 64 + digest[0] % 192
+    height = 64 + digest[1] % 192
+    channels = 1 + digest[2] % 3
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    mean_luma = int(arr.mean()) if arr.size else 0
+    return width, height, channels, mean_luma
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode stage (mapInPandas; map-only, no shuffle)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        try:  # real decoder path (not available in this container)
+            import PIL.Image  # noqa: F401
+
+            have_pil = True
+        except ImportError:
+            have_pil = False
+        for pdf in batches:
+            rows = []
+            for media_id, mtype, payload in zip(
+                pdf["media_id"], pdf["media_type"], pdf["payload"]
+            ):
+                if have_pil and mtype == "image/png":
+                    raise NotImplementedError(
+                        "real image decode is intentionally stubbed; "
+                        "wire PIL.Image.open here in a full deployment"
+                    )
+                w, h, c, luma = _fake_decode(bytes(payload))
+                rows.append((media_id, mtype, w, h, c, luma, "fake"))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "channels",
+                    "mean_luma",
+                    "decoder",
+                ],
+            )
+
+    return media.mapInPandas(run, DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 97) -> DataFrame:
+    """Video frame sampling stand-in: one 'frame' per N payload bytes,
+    exploded to (media_id, frame_no, frame_hash). The plumbing —
+    1 row -> N rows via a JVM-side explode over a computed count — is
+    the real shape; the hash stands in for a decoded frame tensor."""
+    n_frames = F.greatest(
+        (F.col("n_bytes") / every_n_bytes).cast("int"), F.lit(1)
+    )
+    return (
+        media.where(F.col("media_type") == "video/mp4")
+        .select(
+            "media_id",
+            F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_no"),
+            "payload",
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            F.md5(
+                F.concat(
+                    F.col("media_id").cast("string"),
+                    F.lit(":"),
+                    F.col("frame_no").cast("string"),
+                )
+            ).alias("frame_hash"),
+        )
+    )
+
+
+def extract_features(decoded: DataFrame) -> DataFrame:
+    """Feature stage over decoded metadata: aspect ratio, size bucket —
+    pure JVM expressions downstream of the pandas boundary."""
+    return decoded.select(
+        "media_id",
+        "media_type",
+        (F.col("width") / F.col("height")).alias("aspect_ratio"),
+        F.when(F.col("width") * F.col("height") >= 40000, "large")
+        .otherwise("small")
+        .alias("size_bucket"),
+        "mean_luma",
+    )

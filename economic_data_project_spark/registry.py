@@ -47,6 +47,7 @@ def load_all() -> None:
         setops,
         windows,
     )
+    from .plans import models  # noqa: F401
     from .signals import kernels  # noqa: F401
     from .similarity import ann  # noqa: F401
     from .text import analysis, dedup  # noqa: F401
