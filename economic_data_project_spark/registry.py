@@ -43,14 +43,16 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         aggregates,
         joins,
+        recursive,
         relational,
         setops,
         windows,
     )
     from .plans import models  # noqa: F401
+    from .quality import checks  # noqa: F401
     from .signals import kernels  # noqa: F401
     from .similarity import ann  # noqa: F401
-    from .text import analysis, dedup  # noqa: F401
+    from .text import analysis, dedup, documents, ml  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

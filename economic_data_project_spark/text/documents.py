@@ -1,0 +1,240 @@
+"""Document pipeline operators (SURVEY.md §2.10): character chunking,
+TF-IDF features, FTS postings index.
+
+Mirrors the reference's dbt-ml document project
+(document_extraction/models/*: registry -> text -> 800-char chunks with
+100 overlap -> TF-IDF -> clusters/topics) and its FTS postings fill
+(macro_agents/.../domains/sec/fts.py:63-80).
+
+Everything here is exploded JVM-side (sequence/substring/split) — the
+"chunker UDTF" is `explode` over a computed start-offset array, which is
+how a table function scales on Spark: per-row fan-out inside codegen, no
+Python, no shuffle until the downstream aggregate.
+
+Chunk IDs are content-addressed (md5 of doc id + offset), the same
+determinism contract as the reference's chunk strategy
+(sec_document_chunks.yml:13-17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import query
+
+# Reference defaults are 800/100 (sec_document_chunks.yml:13-17); the
+# registered query uses 120/30 so the ~300-char synthetic docs actually
+# fan out into multiple chunks and the overlap logic is exercised.
+CHUNK_SIZE = 800
+CHUNK_OVERLAP = 100
+_Q_SIZE = 120
+_Q_OVERLAP = 30
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP
+) -> DataFrame:
+    """1 doc -> N overlapping chunks; step = size - overlap; integer-only
+    count arithmetic so every engine agrees on N."""
+    step = size - overlap
+    return docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, greatest(cast(floor((length(text)"
+                f" - {overlap} + {step} - 1) / {step}) as int), 1) - 1),"
+                f" i -> struct(i as chunk_no, i * {step} as start_offset,"
+                f" substring(text, i * {step} + 1, {size}) as chunk_text))"
+            )
+        ).alias("c"),
+    ).select(
+        "doc_id",
+        F.col("c.chunk_no").alias("chunk_no"),
+        F.col("c.start_offset").alias("start_offset"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("c.start_offset").cast("string"),
+            )
+        ).alias("chunk_id"),
+    )
+
+
+_CHUNKS_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         GREATEST(CAST(FLOOR((length(text) - {_Q_OVERLAP}
+                        + {_Q_SIZE - _Q_OVERLAP} - 1)
+                        / {_Q_SIZE - _Q_OVERLAP}) AS INT), 1) AS nc
+  FROM documents
+)
+SELECT doc_id,
+       i.i AS chunk_no,
+       (i.i * {_Q_SIZE - _Q_OVERLAP}) AS start_offset,
+       substr(text, i.i * {_Q_SIZE - _Q_OVERLAP} + 1, {_Q_SIZE})
+         AS chunk_text,
+       md5(CAST(doc_id AS VARCHAR) || ':'
+           || CAST(i.i * {_Q_SIZE - _Q_OVERLAP} AS VARCHAR)) AS chunk_id,
+       (length(substr(text, i.i * {_Q_SIZE - _Q_OVERLAP} + 1, {_Q_SIZE})))
+         AS chunk_len
+FROM n, (SELECT unnest(range(0, 1000)) AS i) i
+WHERE i.i < n.nc
+ORDER BY doc_id, chunk_no
+"""
+
+
+@query("doc_chunks", oracle=_CHUNKS_ORACLE)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        chunk_documents(docs, _Q_SIZE, _Q_OVERLAP)
+        .withColumn(
+            "chunk_len", F.length("chunk_text").cast("long")
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_no").cast("long").alias("chunk_no"),
+            F.col("start_offset").cast("long").alias("start_offset"),
+            "chunk_text",
+            "chunk_id",
+            "chunk_len",
+        )
+        .orderBy("doc_id", "chunk_no")
+    )
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top terms per document (sec_document_tfidf.yml:10-40: min_df=2,
+# max_df=0.85, token regex [a-z]{3,20}; sklearn-smooth idf
+# ln((N+1)/(df+1)) + 1). Pure DataFrame ops: postings -> df counts ->
+# idf join -> rank. ln() rounded to 6dp (libm last-ulp differences).
+# --------------------------------------------------------------------------
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z]{3,20}', 0)"
+_TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]{3,20}')"
+_MIN_DF = 2
+_MAX_DF_FRAC = 0.85
+_TOP_TERMS = 5
+
+_TFIDF_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.term AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents) t
+  GROUP BY doc_id, t.term
+),
+stats AS (
+  SELECT term, COUNT(*) AS df FROM tok GROUP BY term
+),
+n_docs AS (SELECT COUNT(*) AS n FROM documents),
+scored AS (
+  SELECT tok.doc_id, tok.term, tok.tf, stats.df,
+         ROUND(tok.tf * (ln((n_docs.n + 1.0) / (stats.df + 1.0)) + 1.0), 6)
+           AS tfidf
+  FROM tok, stats, n_docs
+  WHERE tok.term = stats.term
+    AND stats.df >= {_MIN_DF}
+    AND stats.df <= {_MAX_DF_FRAC} * n_docs.n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk AS term_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_TERMS}
+ORDER BY doc_id, term_rank
+"""
+
+
+@query("doc_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.expr(_TOKENS)).alias("term")
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    stats = tok.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.count()  # scalar; one job, broadcast into the plan
+    scored = (
+        tok.join(F.broadcast(stats), "term")
+        .where(
+            (F.col("df") >= _MIN_DF) & (F.col("df") <= _MAX_DF_FRAC * n_docs)
+        )
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= _TOP_TERMS)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            "tfidf",
+            F.col("term_rank").cast("long").alias("term_rank"),
+        )
+        .orderBy("doc_id", "term_rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# FTS postings index (fts.py:63-80 sec_filing_fts_index): term -> posting
+# list with tf and df — the maintained inverted index behind keyword
+# search; incremental fill happens via Warehouse.incremental_upsert.
+# --------------------------------------------------------------------------
+
+_POSTINGS_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, t.term AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS term FROM documents) t
+  GROUP BY doc_id, t.term
+)
+SELECT term,
+       COUNT(*) AS df,
+       CAST(SUM(tf) AS BIGINT) AS total_tf,
+       (MIN(doc_id)) AS first_doc_id,
+       (MAX(doc_id)) AS last_doc_id
+FROM tok
+GROUP BY term
+HAVING COUNT(*) >= 2
+ORDER BY term
+"""
+
+
+@query("fts_postings_index", oracle=_POSTINGS_ORACLE)
+def fts_postings_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        tok.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.min("doc_id").alias("first_doc_id"),
+            F.max("doc_id").alias("last_doc_id"),
+        )
+        .where(F.col("df") >= 2)
+        .orderBy("term")
+    )
