@@ -41,6 +41,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def load_all() -> None:
     """Import every operator module so registrations run."""
     from .operators import (  # noqa: F401
+        advanced,
         aggregates,
         joins,
         recursive,

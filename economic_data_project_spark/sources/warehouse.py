@@ -122,6 +122,14 @@ def bind_params(sql: str, params: dict | None) -> str:
     return "".join(out)
 
 
+def add_safety_limit(sql: str, limit: int = 1000) -> str:
+    """Wrap a validated SELECT in an outer LIMIT — the NL->SQL guard
+    (nl_to_sql_module.py:172 auto LIMIT 1000). Wrapping (not appending)
+    is limit-idempotent: an inner LIMIT still wins if smaller."""
+    validate_read_only(sql)
+    return f"SELECT * FROM ({sql.strip().rstrip(';')}) __guarded LIMIT {limit}"
+
+
 class Warehouse:
     """Path-based parquet warehouse with the reference's resource API."""
 

@@ -1,0 +1,102 @@
+"""Physical-plan quality gates — the 100 TB discipline, asserted.
+
+Each test pins a property that must survive refactors because at scale it
+is the difference between reading a column chunk and reading the table:
+- filters/projections reach the parquet scan (PushedFilters / ReadSchema)
+- small dims broadcast (no shuffle of the fact side)
+- per-doc text operators stay shuffle-free up to their first aggregate
+- whole-stage codegen covers the hot path
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from economic_data_project_spark.catalog import load_table
+from economic_data_project_spark.registry import all_queries
+from economic_data_project_spark.sources.warehouse import add_safety_limit
+
+from .conftest import SF_DIR
+
+
+def _plan(df, mode: str = "extended") -> str:
+    jvm = df.sparkSession._jvm
+    return df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def test_staging_projection_pushes_down(spark):
+    df = all_queries()["staging_projection"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(o_totalprice)" in plan or "GreaterThan(o_totalprice" in plan
+    # column pruning: l_comment-style wide reads must not appear
+    assert "o_comment" not in plan
+
+
+def test_pricing_summary_prunes_columns(spark):
+    df = all_queries()["pricing_summary"](spark, SF_DIR)
+    plan = _plan(df, "formatted")
+    read = plan.split("ReadSchema:", 1)[1].split("\n", 1)[0]
+    # only the needed columns of 16 reach the scan
+    assert "l_comment" not in read and "l_orderkey" not in read
+    assert "l_quantity" in read and "l_shipdate" in read
+
+
+def test_nation_revenue_broadcasts_dims(spark):
+    df = all_queries()["nation_revenue"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # nation + region at least
+
+
+def test_snapshot_range_join_broadcasts_snapshot_dim(spark):
+    df = all_queries()["snapshot_trailing_90d"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    # the fact side must NOT be exchanged before the join
+    before_join = plan.split("BroadcastNestedLoopJoin")[-1]
+    assert "orders.parquet" in before_join or "orders" in before_join
+
+
+def test_decode_stage_is_map_only(spark):
+    from economic_data_project_spark.multimodal.media import (
+        attach_fake_media,
+        decode_media,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    decoded = decode_media(attach_fake_media(docs))
+    assert "Exchange" not in _plan(decoded)
+
+
+def test_text_quality_shuffle_free(spark):
+    df = all_queries()["text_quality_scores"](spark, SF_DIR)
+    plan = _plan(df)
+    # one global sort for the display ORDER BY is allowed; nothing else
+    assert plan.count("Exchange") <= 1
+
+
+def test_whole_stage_codegen_on_hot_path(spark):
+    df = all_queries()["pricing_summary"](spark, SF_DIR)
+    assert "WholeStageCodegen subtrees" in _plan(df, "codegen")
+
+
+def test_safety_limit_wraps(spark):
+    load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    out = spark.sql(add_safety_limit("SELECT o_orderkey FROM orders", 10))
+    assert out.count() == 10
+    inner = spark.sql(
+        add_safety_limit("SELECT o_orderkey FROM orders LIMIT 3", 10)
+    )
+    assert inner.count() == 3
+
+
+def test_filter_pushdown_crosses_dag_model_boundaries(spark):
+    # The 3-layer DAG chain must collapse into one plan with the staging
+    # filter at the scan — the fusion advantage over materialized dbt.
+    df = all_queries()["dag_model_chain"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
