@@ -35,6 +35,7 @@ HEADLINE = [
     "ann_cosine_topk",          # vector similarity top-k
     "signal_fear_greed",        # percentile-rank composite signal
     "dag_model_chain",          # 3-layer model DAG, fused plan
+    "technical_indicator_daily",  # 14-indicator wide battery
 ]
 
 

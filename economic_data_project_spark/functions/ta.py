@@ -1,0 +1,172 @@
+"""Technical-analysis primitive library — the Spark mirror of
+``dbt_project/macros/technical_analysis/ta_primitives.sql``.
+
+Each helper returns a Column (or a small builder) over a caller-supplied
+window spec, so indicators compose exactly like the reference's Jinja
+macros compose in SQL. Conventions shared with the oracle layer:
+
+- rolling sums/means/stddevs go through decimal-exact windowed sums
+  (functions/parity.py rationale) so they hash-match DuckDB;
+- EWM uses the reference's *finite-window array* formulation
+  (ta_primitives.sql:84-126): collect the trailing window, dot it with
+  literal (1-alpha)^offset weights, normalize. Weights are Python-computed
+  literals — pow() is libm-territory, literals are not;
+- everything is a JVM-side expression (window + higher-order functions);
+  zero Python UDFs, full whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(28,6)"
+
+
+def _c(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def wsum(c: Column | str, w) -> Column:
+    """Windowed decimal-exact SUM as double."""
+    return F.sum(_c(c).cast(DEC)).over(w).cast("double")
+
+
+def wavg(c: Column | str, w) -> Column:
+    """Windowed mean from exact sum (the SMA primitive)."""
+    x = _c(c)
+    return wsum(x, w) / F.count(x).over(w)
+
+
+def wstd(c: Column | str, w) -> Column:
+    """Windowed sample stddev from exact sums (sum-of-squares identity —
+    deterministic because both sums are exact decimals)."""
+    x = _c(c)
+    n = F.count(x).over(w)
+    s = wsum(x, w)
+    ss = wsum(x * x, w)
+    return F.when(
+        n > 1,
+        F.sqrt(
+            F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+        ),
+    )
+
+
+def zscore(c: Column | str, w) -> Column:
+    """Rolling z-score (ta_primitives.sql:60-66)."""
+    x = _c(c)
+    return F.when(
+        F.count(x).over(w) > 1,
+        (x - wavg(x, w)) / F.nullif(wstd(x, w), F.lit(0)),
+    )
+
+
+def range_position(c: Column | str, w) -> Column:
+    """(x - rolling_min) / (rolling_max - rolling_min), in [0, 1]
+    (ta_primitives.sql:69-81 — the stochastic/WilliamsR core)."""
+    x = _c(c)
+    lo = F.min(x).over(w)
+    hi = F.max(x).over(w)
+    return (x - lo) / F.nullif(hi - lo, F.lit(0))
+
+
+def ewm_weights(alpha: float, n: int) -> list[float]:
+    """(1-alpha)^offset literals, offset 0 = newest bar."""
+    return [(1.0 - alpha) ** j for j in range(n)]
+
+
+def _w_array_sql(weights: list[float]) -> str:
+    return "array(" + ", ".join(f"{x!r}D" for x in weights) + ")"
+
+
+def ewm_from_array(win_col: str, alpha: float, n: int) -> Column:
+    """Finite-window EWM over a collected trailing window column
+    (ta_primitives.sql:84-126). ``win_col`` must be collect_list over a
+    ROWS BETWEEN n-1 PRECEDING frame; newest element is last. Tail weight
+    beyond the window is < (1-alpha)^n (the reference documents <2% for
+    its spans, ta_primitives.sql:104-109)."""
+    wa = _w_array_sql(ewm_weights(alpha, n))
+    num = (
+        f"aggregate(transform({win_col}, (v, i) ->"
+        f" v * element_at({wa}, size({win_col}) - i)),"
+        f" 0D, (acc, x) -> acc + x)"
+    )
+    den = (
+        f"aggregate(transform({win_col}, (v, i) ->"
+        f" element_at({wa}, size({win_col}) - i)),"
+        f" 0D, (acc, x) -> acc + x)"
+    )
+    # Rounded to 9 dp: DuckDB's compiled list lambdas may contract the
+    # mul+add into an FMA, drifting the fold by 1 ulp vs the JVM — the
+    # one place the identical-op-order contract doesn't hold.
+    return F.round(F.expr(f"({num}) / ({den})"), 9)
+
+
+def mean_abs_dev(win_col: str, ref: str) -> Column:
+    """Mean absolute deviation of a collected window from a reference
+    column (ta_primitives.sql:129-136 — the CCI denominator). ``ref`` is
+    a column NAME so it can appear inside the lambda expression."""
+    total = F.expr(
+        f"aggregate(transform({win_col}, v -> abs(v - {ref})),"
+        f" 0D, (acc, x) -> acc + x)"
+    )
+    return total / F.expr(f"size({win_col})")
+
+
+def true_range(
+    high: Column | str, low: Column | str, prev_close: Column | str
+) -> Column:
+    """ATR's TR = max(high-low, |high-prev_close|, |low-prev_close|)."""
+    h, lo, pc = _c(high), _c(low), _c(prev_close)
+    return F.when(
+        pc.isNotNull(),
+        F.greatest(h - lo, F.abs(h - pc), F.abs(lo - pc)),
+    ).otherwise(h - lo)
+
+
+# ---------------------------------------------------------------- oracle SQL
+
+
+def sql_wsum(expr: str, over: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,6))) OVER {over} AS DOUBLE)"
+
+
+def sql_wavg(expr: str, over: str) -> str:
+    return f"({sql_wsum(expr, over)} / COUNT({expr}) OVER {over})"
+
+
+def sql_wstd(expr: str, over: str) -> str:
+    n = f"COUNT({expr}) OVER {over}"
+    s = sql_wsum(expr, over)
+    ss = sql_wsum(f"({expr}) * ({expr})", over)
+    return (
+        f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST(({ss} - {s} * {s} / {n})"
+        f" / ({n} - 1.0), 0.0)) END)"
+    )
+
+
+def sql_ewm_from_array(win: str, alpha: float, n: int) -> str:
+    """DuckDB twin of ewm_from_array (1-based list indexing)."""
+    wa = "[" + ", ".join(
+        f"CAST({x!r} AS DOUBLE)" for x in ewm_weights(alpha, n)
+    ) + "]"
+    num = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({win}, (v, i) -> v * ({wa})[len({win}) - i + 1])),"
+        f" (a, b) -> a + b)"
+    )
+    den = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({win}, (v, i) -> ({wa})[len({win}) - i + 1])),"
+        f" (a, b) -> a + b)"
+    )
+    return f"ROUND(({num}) / ({den}), 9)"
+
+
+def sql_mean_abs_dev(win: str, ref: str) -> str:
+    total = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+        f" list_transform({win}, v -> abs(v - {ref}))), (a, b) -> a + b)"
+    )
+    return f"(({total}) / len({win}))"
