@@ -43,6 +43,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         advanced,
         aggregates,
+        events,
         indicators,
         joins,
         recursive,
