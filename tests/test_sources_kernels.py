@@ -1,0 +1,77 @@
+"""File-source tests + value assertions for the rows-only matrix kernels
+(the driver only row-counts those; real invariants live here)."""
+
+from __future__ import annotations
+
+import pytest
+
+from economic_data_project_spark.registry import all_queries
+from economic_data_project_spark.sources.files import (
+    read_binary_documents,
+    read_seed,
+)
+
+from .conftest import SF_DIR
+
+
+def test_binary_document_source(spark, tmp_path):
+    (tmp_path / "a.htm").write_bytes(b"<html>alpha</html>")
+    (tmp_path / "b.htm").write_bytes(b"<html>beta</html>")
+    (tmp_path / "skip.txt").write_bytes(b"nope")
+    docs = read_binary_documents(spark, str(tmp_path), "*.htm")
+    rows = {r.object_name: r for r in docs.collect()}
+    assert set(rows) == {"a.htm", "b.htm"}
+    assert rows["a.htm"].n_bytes == 18
+    assert bytes(rows["a.htm"].content) == b"<html>alpha</html>"
+    assert len(rows["a.htm"].content_hash) == 32
+
+
+def test_csv_seed_loader(spark, tmp_path):
+    p = tmp_path / "mapping.csv"
+    p.write_text("code,name,weight\nGDP,Gross,1.5\nCPI,Prices,2.0\n")
+    seed = read_seed(spark, str(p), "code string, name string, weight double")
+    rows = {r.code: r for r in seed.collect()}
+    assert rows["GDP"].weight == 1.5 and rows["CPI"].name == "Prices"
+
+
+@pytest.fixture(scope="module")
+def kernels(spark):
+    qs = all_queries()
+    return {
+        n: qs[n](spark, SF_DIR).collect()
+        for n in (
+            "signal_turbulence",
+            "signal_absorption_ratio",
+            "signal_mst_network",
+        )
+    }
+
+
+def test_turbulence_invariants(kernels):
+    rows = kernels["signal_turbulence"]
+    assert len(rows) > 10
+    assert all(r.turbulence >= 0 for r in rows)
+    assert all(0.0 <= r.turb_pct <= 1.0 for r in rows)
+    assert {r.regime for r in rows} <= {"normal", "elevated", "extreme"}
+    # dates strictly increasing (single sorted series)
+    ds = [r.d for r in rows]
+    assert ds == sorted(ds)
+
+
+def test_absorption_ratio_invariants(kernels):
+    rows = kernels["signal_absorption_ratio"]
+    assert len(rows) > 10
+    # AR is a share of total variance: in (0, 1]
+    assert all(0.0 < r.absorption_ratio <= 1.0 for r in rows)
+    deltas = [r.ar_delta for r in rows[1:]]
+    assert any(d != 0 for d in deltas)
+
+
+def test_mst_invariants(kernels):
+    rows = kernels["signal_mst_network"]
+    assert len(rows) > 10
+    # a spanning tree over n<=25 nodes: positive length, max degree >= 1,
+    # leaf share in (0, 1)
+    assert all(r.mst_total_length > 0 for r in rows)
+    assert all(1 <= r.mst_max_degree <= 24 for r in rows)
+    assert all(0.0 < r.leaf_share < 1.0 for r in rows)
