@@ -696,3 +696,64 @@ def asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .alias("last_purchase_value"),
     ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# Partitioned month-end pick (correlation_analysis_enhanced.sql:10-31:
+# LAST_VALUE ... PARTITION BY symbol, DATE_TRUNC(month)) — regularize a
+# daily series to monthly grain by taking each month's last observation.
+# --------------------------------------------------------------------------
+
+_MONTH_END_ORACLE = f"""
+WITH {_DAILY_CTE},
+monthly AS (
+  SELECT flag, d, rev,
+    date_trunc('month', d) AS month,
+    LAST_VALUE(rev) OVER (
+      PARTITION BY flag, date_trunc('month', d) ORDER BY d
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      AS month_end_rev,
+    ROW_NUMBER() OVER (
+      PARTITION BY flag, date_trunc('month', d) ORDER BY d DESC) AS rn
+  FROM daily
+)
+SELECT flag, month, month_end_rev,
+       (d) AS month_end_date,
+       COUNT(*) OVER (PARTITION BY flag) AS n_months
+FROM monthly
+WHERE rn = 1
+ORDER BY flag, month
+"""
+
+
+@query("month_end_picks", oracle=_MONTH_END_ORACLE)
+def month_end_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    month = F.trunc(F.to_date("d"), "month")
+    wm = Window.partitionBy("flag", month).orderBy("d")
+    monthly = daily.select(
+        "flag",
+        "d",
+        "rev",
+        month.alias("month"),
+        F.last("rev").over(
+            wm.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("month_end_rev"),
+        F.row_number().over(
+            Window.partitionBy("flag", month).orderBy(F.col("d").desc())
+        ).alias("rn"),
+    )
+    wflag = Window.partitionBy("flag")
+    return (
+        monthly.where(F.col("rn") == 1)
+        .select(
+            "flag",
+            "month",
+            "month_end_rev",
+            F.col("d").alias("month_end_date"),
+            F.count("*").over(wflag).alias("n_months"),
+        )
+        .orderBy("flag", "month")
+    )
