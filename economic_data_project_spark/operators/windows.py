@@ -757,3 +757,60 @@ def month_end_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "month")
     )
+
+
+# --------------------------------------------------------------------------
+# Cumulative product over a FORWARD frame via EXP(SUM(LN)) — the
+# split-adjustment idiom (stg_split_adjusted_prices.sql:59-68: future
+# split product applied backwards so history is adjusted to today's
+# share count). exp/ln are libm-territory, so the product is rounded to
+# 9 dp on both sides (same policy as the EWM folds).
+# --------------------------------------------------------------------------
+
+_SPLIT_ADJ_ORACLE = f"""
+WITH {_DAILY_CTE},
+ratio AS (
+  SELECT flag, d, rev,
+    (1.0 + ((CAST(ROW_NUMBER() OVER (PARTITION BY flag ORDER BY d) AS
+      DOUBLE) % 7) - 3.0) / 1000.0) AS split_ratio
+  FROM daily
+)
+SELECT flag, d, rev, split_ratio,
+  ROUND(EXP(SUM(LN(split_ratio)) OVER (
+    PARTITION BY flag ORDER BY d
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), 9)
+    AS fwd_adjustment_factor,
+  ROUND(rev * COALESCE(EXP(SUM(LN(split_ratio)) OVER (
+    PARTITION BY flag ORDER BY d
+    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)), 1.0), 6)
+    AS adjusted_rev
+FROM ratio
+ORDER BY flag, d
+"""
+
+
+@query("split_adjustment_product", oracle=_SPLIT_ADJ_ORACLE)
+def split_adjustment_product(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    wlag = Window.partitionBy("flag").orderBy("d")
+    ratio = daily.withColumn(
+        "split_ratio",
+        1.0
+        + ((F.row_number().over(wlag).cast("double") % 7) - 3.0) / 1000.0,
+    )
+    wfwd = (
+        Window.partitionBy("flag")
+        .orderBy("d")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    factor = F.exp(F.sum(F.log("split_ratio")).over(wfwd))
+    return ratio.select(
+        "flag",
+        "d",
+        "rev",
+        "split_ratio",
+        F.round(factor, 9).alias("fwd_adjustment_factor"),
+        F.round(F.col("rev") * F.coalesce(factor, F.lit(1.0)), 6).alias(
+            "adjusted_rev"
+        ),
+    ).orderBy("flag", "d")
