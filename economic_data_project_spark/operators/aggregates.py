@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
@@ -278,3 +279,86 @@ def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("priority").asc_nulls_last(),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Economic regime classification (economic_regime_classification.sql:11-35:
+# pivot N series wide per month, classify the month via multi-series
+# conditions, then LAG-detect regime transitions).
+# --------------------------------------------------------------------------
+
+_REGIME_ORACLE = f"""
+WITH wide AS (
+  SELECT
+    date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+    {sql_dsum("CASE WHEN l_returnflag = 'A' THEN " + _REV + " END")} AS rev_a,
+    {sql_dsum("CASE WHEN l_returnflag = 'N' THEN " + _REV + " END")} AS rev_n,
+    {sql_dsum("CASE WHEN l_returnflag = 'R' THEN " + _REV + " END")} AS rev_r,
+    COUNT(*) AS n_items
+  FROM lineitem
+  GROUP BY 1
+),
+classified AS (
+  SELECT month, rev_a, rev_n, rev_r, n_items,
+    (CASE
+       WHEN rev_n > COALESCE(rev_a, 0) + COALESCE(rev_r, 0)
+         THEN 'expansion'
+       WHEN COALESCE(rev_r, 0) > COALESCE(rev_n, 0) THEN 'contraction'
+       ELSE 'neutral'
+     END) AS regime
+  FROM wide
+),
+transitions AS (
+  SELECT month, rev_a, rev_n, rev_r, regime,
+    LAG(regime) OVER (ORDER BY month) AS prev_regime,
+    (CASE WHEN regime <> LAG(regime) OVER (ORDER BY month)
+          THEN 1 ELSE 0 END) AS is_transition
+  FROM classified
+)
+SELECT month, rev_a, rev_n, rev_r, regime, prev_regime, is_transition,
+  SUM(is_transition) OVER (
+    ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS n_transitions
+FROM transitions
+ORDER BY month
+"""
+
+
+@query("economic_regime_classification", oracle=_REGIME_ORACLE)
+def economic_regime_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.groupBy(F.trunc(F.to_date("l_shipdate"), "month").alias("month"))
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(dsum(_rev_col()))
+        .withColumnRenamed("A", "rev_a")
+        .withColumnRenamed("N", "rev_n")
+        .withColumnRenamed("R", "rev_r")
+    )
+    regime = (
+        F.when(
+            F.col("rev_n")
+            > F.coalesce(F.col("rev_a"), F.lit(0))
+            + F.coalesce(F.col("rev_r"), F.lit(0)),
+            "expansion",
+        )
+        .when(
+            F.coalesce(F.col("rev_r"), F.lit(0))
+            > F.coalesce(F.col("rev_n"), F.lit(0)),
+            "contraction",
+        )
+        .otherwise("neutral")
+    )
+    classified = wide.withColumn("regime", regime)
+    w = Window.orderBy("month")
+    wrun = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    transitions = classified.select(
+        "month", "rev_a", "rev_n", "rev_r", "regime",
+        F.lag("regime").over(w).alias("prev_regime"),
+        F.when(F.col("regime") != F.lag("regime").over(w), 1)
+        .otherwise(0)
+        .alias("is_transition"),
+    )
+    return transitions.select(
+        "*", F.sum("is_transition").over(wrun).alias("n_transitions")
+    ).orderBy("month")
