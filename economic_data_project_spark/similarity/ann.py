@@ -360,3 +360,81 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return fused
+
+
+# --------------------------------------------------------------------------
+# Metadata-FILTERED vector search (semantic_search.py:40-91: cosine top-k
+# restricted by filing/section filters): the predicate applies BEFORE the
+# ranking, so the scan prunes to the filtered corpus first — pushdown
+# keeps filtered search cheaper than unfiltered, never slower.
+# --------------------------------------------------------------------------
+
+_FILTERED_ORACLE = f"""
+WITH n AS (
+  SELECT e.vec_id, e.embedding, e.label,
+         {NORM_DUCK.format(v="e.embedding")} AS norm
+  FROM embeddings e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label AS label,
+         {DOT_DUCK.format(a="q.embedding", b="c.embedding")}
+           / (q.norm * c.norm) AS cosine
+  FROM n q JOIN n c
+    ON q.vec_id <> c.vec_id AND c.label IN (0, 1, 2)
+  WHERE q.vec_id < {_N_QUERIES}
+)
+SELECT query_id, neighbor_id, label, cosine, rnk AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_cosine_topk_filtered", oracle=_FILTERED_ORACLE)
+def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    corpus = (
+        _corpus(spark, sf_dir)
+        .join(e.select("vec_id", "label"), "vec_id")
+        .where(F.col("label").isin(0, 1, 2))  # metadata filter pre-ranking
+    )
+    queries = _corpus(spark, sf_dir).where(F.col("vec_id") < _N_QUERIES)
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"),
+    )
+    c = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("norm").alias("c_norm"),
+        "label",
+    )
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            F.expr(DOT_SPARK.format(a="q_emb", b="c_emb"))
+            / (F.col("q_norm") * F.col("c_norm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            "cosine",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
