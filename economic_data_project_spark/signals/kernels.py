@@ -554,3 +554,85 @@ def signal_mst_network(spark: SparkSession, sf_dir: str) -> DataFrame:
         "d date, mst_total_length double, mst_max_degree int,"
         " leaf_share double, __g int",
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# Diffusion index (diffusion_index_signals.sql:90-110: share of components
+# rising month-over-month, 3-period smoothed, threshold signal). The
+# component set is the 25 supplier nations; breadth = % with positive
+# MoM revenue change.
+# --------------------------------------------------------------------------
+
+_DIFFUSION_ORACLE = """
+WITH monthly AS (
+  SELECT n_name AS nation,
+         date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                       AS DECIMAL(28,6))) AS DOUBLE) / 1e6 AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', CAST(l_shipdate AS DATE))
+),
+chg AS (
+  SELECT nation, month, rev,
+         rev - LAG(rev) OVER (PARTITION BY nation ORDER BY month) AS mom
+  FROM monthly
+),
+diffusion AS (
+  SELECT month,
+         COUNT(mom) AS n_components,
+         SUM(CASE WHEN mom > 0 THEN 1 ELSE 0 END) AS n_rising,
+         (CAST(SUM(CASE WHEN mom > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+            / NULLIF(COUNT(mom), 0)) AS diffusion_index
+  FROM chg
+  GROUP BY month
+)
+SELECT month, n_components, n_rising, diffusion_index,
+  (CAST(SUM(CAST(diffusion_index AS DECIMAL(28,6))) OVER w3 AS DOUBLE)
+     / COUNT(diffusion_index) OVER w3) AS diffusion_3m,
+  (CASE WHEN diffusion_index >= 0.5 THEN 'expansion'
+        ELSE 'contraction' END) AS breadth_signal
+FROM diffusion
+WHERE n_components > 0
+WINDOW w3 AS (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+ORDER BY month
+"""
+
+
+@query("signal_diffusion_index", oracle=_DIFFUSION_ORACLE)
+def signal_diffusion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    monthly = _monthly_by_nation(spark, sf_dir)
+    wlag = Window.partitionBy("nation").orderBy("d")
+    chg = monthly.withColumn(
+        "mom", F.col("rev") - F.lag("rev").over(wlag)
+    )
+    diffusion = (
+        chg.groupBy(F.col("d").alias("month"))
+        .agg(
+            F.count("mom").alias("n_components"),
+            F.sum(F.when(F.col("mom") > 0, 1).otherwise(0)).alias(
+                "n_rising"
+            ),
+        )
+        .withColumn(
+            "diffusion_index",
+            F.col("n_rising").cast("double")
+            / F.nullif(F.col("n_components").cast("double"), F.lit(0.0)),
+        )
+        .where(F.col("n_components") > 0)
+    )
+    w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    return diffusion.select(
+        "month",
+        "n_components",
+        "n_rising",
+        "diffusion_index",
+        (
+            F.sum(F.col("diffusion_index").cast(DEC)).over(w3).cast("double")
+            / F.count("diffusion_index").over(w3)
+        ).alias("diffusion_3m"),
+        F.when(F.col("diffusion_index") >= 0.5, "expansion")
+        .otherwise("contraction")
+        .alias("breadth_signal"),
+    ).orderBy("month")
