@@ -362,3 +362,116 @@ def economic_regime_classification(spark: SparkSession, sf_dir: str) -> DataFram
     return transitions.select(
         "*", F.sum("is_transition").over(wrun).alias("n_transitions")
     ).orderBy("month")
+
+
+# --------------------------------------------------------------------------
+# Cross-sectional dispersion + top-N-per-group leaders/laggards
+# (sector_dispersion_analysis.sql:78,100-107: per-period cross-entity
+# stddev; rank<=2 best and worst performers). Spark: rank windows over
+# the per-month panel — the row_number<=N pattern replacing the
+# reference's MAX(CASE WHEN rank=...) pivoting.
+# --------------------------------------------------------------------------
+
+_DISPERSION_ORACLE = f"""
+WITH monthly AS (
+  SELECT n_name AS nation,
+         date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+         CAST(SUM(CAST((l_extendedprice * (1 - l_discount))
+                       AS DECIMAL(28,6))) AS DOUBLE) / 1e6 AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, date_trunc('month', CAST(l_shipdate AS DATE))
+),
+means AS (
+  SELECT month, {sql_davg("rev")} AS mean_rev, COUNT(*) AS n_nations
+  FROM monthly GROUP BY month
+),
+ranked AS (
+  SELECT m.month, m.nation, m.rev, s.mean_rev, s.n_nations,
+    ROW_NUMBER() OVER (PARTITION BY m.month
+                       ORDER BY m.rev DESC, m.nation) AS rank_best,
+    ROW_NUMBER() OVER (PARTITION BY m.month
+                       ORDER BY m.rev ASC, m.nation) AS rank_worst
+  FROM monthly m JOIN means s ON m.month = s.month
+),
+spread AS (
+  SELECT month,
+    CAST(SUM(CAST((rev - mean_rev) * (rev - mean_rev) AS DECIMAL(28,6)))
+         AS DOUBLE) AS ss_dev,
+    (MAX(n_nations)) AS n_nations
+  FROM ranked GROUP BY month
+)
+SELECT r.month AS month, r.nation, r.rev,
+       (CASE WHEN r.rank_best <= 2 THEN 'leader' ELSE 'laggard' END)
+         AS role,
+       (CASE WHEN r.rank_best <= 2 THEN r.rank_best
+             ELSE r.rank_worst END) AS role_rank,
+       (CASE WHEN s.n_nations > 1 THEN
+          SQRT(s.ss_dev / (s.n_nations - 1.0)) END) AS cross_dispersion
+FROM ranked r JOIN spread s ON r.month = s.month
+WHERE r.rank_best <= 2 OR r.rank_worst <= 2
+ORDER BY month, role, role_rank, r.nation
+"""
+
+
+@query("sector_dispersion_leaders", oracle=_DISPERSION_ORACLE)
+def sector_dispersion_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    monthly = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
+        )
+        .agg(
+            (F.sum(rev.cast("decimal(28,6)")).cast("double") / F.lit(1e6))
+            .alias("rev")
+        )
+    )
+    means = monthly.groupBy("month").agg(
+        davg("rev").alias("mean_rev"), F.count("*").alias("n_nations")
+    )
+    wbest = Window.partitionBy("month").orderBy(
+        F.col("rev").desc(), F.col("nation")
+    )
+    wworst = Window.partitionBy("month").orderBy(
+        F.col("rev").asc(), F.col("nation")
+    )
+    ranked = (
+        monthly.join(means, "month")
+        .withColumn("rank_best", F.row_number().over(wbest))
+        .withColumn("rank_worst", F.row_number().over(wworst))
+    )
+    dev = F.col("rev") - F.col("mean_rev")
+    spread = ranked.groupBy("month").agg(
+        F.sum((dev * dev).cast("decimal(28,6)")).cast("double").alias(
+            "ss_dev"
+        ),
+        F.max("n_nations").alias("n_all"),
+    )
+    out = (
+        ranked.where((F.col("rank_best") <= 2) | (F.col("rank_worst") <= 2))
+        .join(spread, "month")
+        .select(
+            "month",
+            "nation",
+            "rev",
+            F.when(F.col("rank_best") <= 2, "leader")
+            .otherwise("laggard")
+            .alias("role"),
+            F.when(F.col("rank_best") <= 2, F.col("rank_best"))
+            .otherwise(F.col("rank_worst"))
+            .cast("long")
+            .alias("role_rank"),
+            F.when(
+                F.col("n_all") > 1,
+                F.sqrt(F.col("ss_dev") / (F.col("n_all") - F.lit(1.0))),
+            ).alias("cross_dispersion"),
+        )
+    )
+    return out.orderBy("month", "role", "role_rank", "nation")
