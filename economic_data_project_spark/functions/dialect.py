@@ -118,3 +118,13 @@ def rounded(c: Column, dp: int, alias: str | None = None) -> Column:
     """
     out = F.round(c, dp)
     return out.alias(alias) if alias else out
+
+
+def select_except(df: DataFrame, *except_cols: str) -> DataFrame:
+    """BigQuery ``SELECT * EXCEPT (cols)``
+    (technical_indicator_daily.sql:124,170,178) — Spark's ``drop`` with
+    existence checking (silently dropping a typo'd column hides bugs)."""
+    missing = [c for c in except_cols if c not in df.columns]
+    if missing:
+        raise KeyError(f"EXCEPT columns not present: {missing}")
+    return df.drop(*except_cols)

@@ -56,3 +56,44 @@ def test_events_join_documents_sql(spark):
     ).collect()
     assert len(out) > 0
     assert all(r.n_docs > 1 for r in out)
+
+
+def test_nl_to_sql_pipeline_with_stub_generator(spark):
+    from economic_data_project_spark.sources.nl_sql import nl_to_sql
+
+    register_views(spark, SF_DIR)
+
+    def fake_llm(question, hint):
+        assert "orders(" in hint  # schema hint is delivered
+        return "SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY 1"
+
+    out = nl_to_sql(spark, "orders by priority?", ["orders"], fake_llm, 3)
+    assert out.count() == 3  # safety limit applied
+
+    def evil_llm(question, hint):
+        return "DROP TABLE orders"
+
+    import pytest as _pytest
+    from economic_data_project_spark.sources.warehouse import (
+        QueryValidationError,
+    )
+
+    with _pytest.raises(QueryValidationError):
+        nl_to_sql(spark, "drop it", ["orders"], evil_llm)
+
+    with _pytest.raises(NotImplementedError):
+        nl_to_sql(spark, "no generator", ["orders"])
+
+
+def test_select_except(spark):
+    import pytest as _pytest
+
+    from economic_data_project_spark.functions.dialect import select_except
+
+    register_views(spark, SF_DIR)
+    df = spark.table("orders")
+    out = select_except(df, "o_orderpriority", "o_orderstatus")
+    assert "o_orderpriority" not in out.columns
+    assert "o_orderstatus" not in out.columns
+    with _pytest.raises(KeyError):
+        select_except(df, "nope")
