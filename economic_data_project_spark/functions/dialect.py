@@ -128,3 +128,33 @@ def select_except(df: DataFrame, *except_cols: str) -> DataFrame:
     if missing:
         raise KeyError(f"EXCEPT columns not present: {missing}")
     return df.drop(*except_cols)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 8,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side's key into ``salt``
+    shards and replicate the (small) dim side across shards, so one hot
+    key spreads over ``salt`` tasks instead of stalling a single reducer
+    (SURVEY.md 'skewed keys -> salting or AQE skew-join'). Semantically
+    identical to ``fact.join(dim, key, how)`` for inner/left joins.
+
+    Use when AQE's skew splitting can't help (e.g. the skew is in a
+    broadcast-ineligible aggregation-feeding join). The replicated side
+    must be the small one — replication is x``salt``.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    salted_fact = fact.withColumn(
+        "__salt", (F.rand(42) * salt).cast("int")
+    )
+    exploded_dim = dim.withColumn(
+        "__salt",
+        F.explode(F.sequence(F.lit(0), F.lit(salt - 1))),
+    )
+    out = salted_fact.join(exploded_dim, [key, "__salt"], how)
+    return out.drop("__salt")

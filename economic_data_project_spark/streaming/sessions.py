@@ -96,3 +96,30 @@ def run_available_now(stream_df: DataFrame, checkpoint: str, name: str):
     )
     q.awaitTermination(300)
     return q
+
+
+def stream_upsert(
+    stream_df: DataFrame,
+    warehouse,
+    table: str,
+    key_columns: list[str],
+    checkpoint: str,
+):
+    """Micro-batch MERGE: every batch upserts into a warehouse table via
+    foreachBatch — the streaming twin of the reference's incremental
+    models (is_incremental() + MERGE, SURVEY.md §1.1: 'incremental MERGE
+    ... the closest thing to streaming state'). Aggregation state lives
+    in the stream; the warehouse table is the always-current sink."""
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.upsert(batch_df, table, key_columns)
+
+    return (
+        stream_df.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_apply)
+        .trigger(availableNow=True)
+        .start()
+    )

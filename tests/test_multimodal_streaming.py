@@ -127,3 +127,48 @@ def test_streaming_session_windows_match_batch(spark, tmp_path):
     )
     want = {(str(r.ss), r.user_id): r.n for r in batch.collect()}
     assert got == want
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    from economic_data_project_spark.sources.warehouse import Warehouse
+    from economic_data_project_spark.streaming.sessions import stream_upsert
+
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    stream = windowed_counts(read_events_stream(spark, SF_DIR))
+    q = stream_upsert(
+        stream,
+        wh,
+        "event_rollup",
+        ["window_start", "event_type"],
+        str(tmp_path / "ckpt3"),
+    )
+    q.awaitTermination(300)
+    got = {
+        (str(r.window_start), r.event_type): (r.n_events, r.total_value)
+        for r in wh.table("event_rollup").collect()
+    }
+    events = load_table(spark, SF_DIR, "events")
+    batch = (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("tv"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "tv")
+    )
+    want = {(str(r.ws), r.event_type): (r.n, r.tv) for r in batch.collect()}
+    assert got == want
+
+
+def test_salted_join_equals_plain_join(spark):
+    from economic_data_project_spark.functions.dialect import salted_join
+
+    fact = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in (["hot"] * 3 + ["cold"])],
+        ["k", "v"],
+    )
+    dim = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], ["k", "name"]
+    )
+    salted = salted_join(fact, dim, "k").orderBy("k", "v").collect()
+    plain = fact.join(dim, "k").orderBy("k", "v").collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    left = salted_join(fact, dim.where("k = 'hot'"), "k", "left")
+    assert left.where("name IS NULL").count() == 200  # cold keys kept
