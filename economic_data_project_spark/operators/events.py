@@ -256,3 +256,83 @@ def backtest_trigger_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("flag", "trigger_date")
     )
+
+
+# --------------------------------------------------------------------------
+# Time-of-day / day-of-week profile (stg_reddit_posts.sql:35-36
+# EXTRACT(DAYOFWEEK/HOUR); reddit engagement heatmap shape).
+# DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is 1=Sunday..7 —
+# normalized to ISO 1=Monday..7 on both sides.
+# --------------------------------------------------------------------------
+
+_TIME_PROFILE_ORACLE = """
+SELECT isodow(ts) AS iso_dow,
+       EXTRACT(HOUR FROM ts) AS hour_of_day,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY isodow(ts), EXTRACT(HOUR FROM ts), event_type
+ORDER BY iso_dow, hour_of_day, event_type
+"""
+
+
+@query("event_time_profile", oracle=_TIME_PROFILE_ORACLE)
+def event_time_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.expr("(dayofweek(ts) + 5) % 7 + 1").alias("iso_dow"),
+            F.hour("ts").cast("long").alias("hour_of_day"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).cast("double").alias(
+                "total_value"
+            ),
+        )
+        .orderBy("iso_dow", "hour_of_day", "event_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-source membership analysis
+# (analysis/reddit_cross_subreddit_activity.sql:33-54: entities active in
+# multiple containers; ARRAY_AGG(DISTINCT ...) membership lists).
+# Entity = language; container = document source.
+# --------------------------------------------------------------------------
+
+_CROSS_SOURCE_ORACLE = """
+SELECT lang,
+       COUNT(DISTINCT source) AS n_sources,
+       STRING_AGG(DISTINCT source, ',' ORDER BY source) AS source_csv,
+       COUNT(*) AS n_docs,
+       (CAST(COUNT(*) AS DOUBLE) / COUNT(DISTINCT source))
+         AS docs_per_source,
+       (COUNT(DISTINCT source) > 10) AS is_broad
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query("cross_source_activity", oracle=_CROSS_SOURCE_ORACLE)
+def cross_source_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("n_sources"),
+            F.concat_ws(",", F.sort_array(F.collect_set("source"))).alias(
+                "source_csv"
+            ),
+            F.count("*").alias("n_docs"),
+        )
+        .withColumn(
+            "docs_per_source",
+            F.col("n_docs").cast("double") / F.col("n_sources"),
+        )
+        .withColumn("is_broad", F.col("n_sources") > 10)
+        .orderBy("lang")
+    )
