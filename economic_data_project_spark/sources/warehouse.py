@@ -319,3 +319,90 @@ class Warehouse:
                     F.col(watermark_column) >= F.lit(hw) - grace
                 )
         self.upsert(source, name, key_columns)
+
+
+def scd2_apply(
+    current: DataFrame | None,
+    changes: DataFrame,
+    key_columns: list[str],
+    compare_columns: list[str],
+    effective_column: str,
+):
+    """Type-2 slowly-changing-dimension merge (the point-in-time snapshot
+    discipline of the backtesting layer, SURVEY.md §1.1: SCD2-style
+    tables keyed by snapshot_date for look-ahead-free backtesting).
+
+    ``current`` is the existing SCD2 table (or None on first load) with
+    bookkeeping columns valid_from / valid_to / is_current; ``changes``
+    is the new snapshot of the dimension at ``effective_column``'s value
+    per row. Rows whose compared attributes changed close the old version
+    (valid_to = new effective date) and open a new current one. Pure
+    DataFrame plan — one join on the business key, no driver loops.
+    """
+    from pyspark.sql import functions as F
+
+    eff = F.col(effective_column)
+    fresh = changes.select(
+        *key_columns,
+        *compare_columns,
+        eff.alias("valid_from"),
+        F.lit(None).cast(changes.schema[effective_column].dataType).alias(
+            "valid_to"
+        ),
+        F.lit(True).alias("is_current"),
+    )
+    if current is None:
+        return fresh
+
+    cur = current.where(F.col("is_current"))
+    hist = current.where(~F.col("is_current"))
+
+    cmp_cond = None
+    for c in compare_columns:
+        diff = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"chg.{c}"))
+        cmp_cond = diff if cmp_cond is None else (cmp_cond | diff)
+
+    joined = cur.alias("cur").join(
+        fresh.alias("chg"), key_columns, "full_outer"
+    )
+    key_is_new = F.col(f"cur.{compare_columns[0]}").isNull() & F.col(
+        "cur.valid_from"
+    ).isNull()
+    changed = cmp_cond & F.col("chg.valid_from").isNotNull()
+
+    # old versions to close (attribute changed): valid_to = change date
+    closed = (
+        joined.where(changed & ~key_is_new)
+        .select(
+            *key_columns,
+            *[F.col(f"cur.{c}").alias(c) for c in compare_columns],
+            F.col("cur.valid_from").alias("valid_from"),
+            F.col("chg.valid_from").alias("valid_to"),
+            F.lit(False).alias("is_current"),
+        )
+    )
+    # unchanged current rows survive as-is
+    unchanged = joined.where(
+        F.col("chg.valid_from").isNull()
+        | (~changed & F.col("cur.valid_from").isNotNull())
+    ).select(
+        *key_columns,
+        *[F.col(f"cur.{c}").alias(c) for c in compare_columns],
+        F.col("cur.valid_from").alias("valid_from"),
+        F.col("cur.valid_to").alias("valid_to"),
+        F.col("cur.is_current").alias("is_current"),
+    )
+    # new versions: changed attributes or brand-new keys
+    opened = joined.where(
+        F.col("chg.valid_from").isNotNull()
+        & (changed | F.col("cur.valid_from").isNull())
+    ).select(
+        *key_columns,
+        *[F.col(f"chg.{c}").alias(c) for c in compare_columns],
+        F.col("chg.valid_from").alias("valid_from"),
+        F.col("chg.valid_to").alias("valid_to"),
+        F.col("chg.is_current").alias("is_current"),
+    )
+    return hist.unionByName(closed).unionByName(unchanged).unionByName(
+        opened
+    )

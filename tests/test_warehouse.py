@@ -153,3 +153,43 @@ def test_sampling(spark, wh):
     assert [r.id for r in top] == [99, 98, 97, 96, 95]
     assert wh.sample_random("t", 7).count() == 7
     assert wh.distinct_values("t", "id").count() == 100
+
+
+def test_scd2_apply_versions_dimension(spark):
+    from economic_data_project_spark.sources.warehouse import scd2_apply
+
+    day1 = spark.createDataFrame(
+        [(1, "retail", date(2020, 1, 1)), (2, "tech", date(2020, 1, 1))],
+        ["id", "sector", "as_of"],
+    )
+    t = scd2_apply(None, day1, ["id"], ["sector"], "as_of")
+    assert t.where("is_current").count() == 2
+
+    # id 1 changes sector; id 3 appears; id 2 unchanged
+    day2 = spark.createDataFrame(
+        [
+            (1, "energy", date(2020, 2, 1)),
+            (2, "tech", date(2020, 2, 1)),
+            (3, "health", date(2020, 2, 1)),
+        ],
+        ["id", "sector", "as_of"],
+    )
+    t2 = scd2_apply(t, day2, ["id"], ["sector"], "as_of")
+    rows = {(r.id, r.is_current): r for r in t2.collect()}
+    assert len(rows) == 4  # 1-old, 1-new, 2-current, 3-new
+    old1 = rows[(1, False)]
+    assert old1.sector == "retail" and str(old1.valid_to) == "2020-02-01"
+    assert rows[(1, True)].sector == "energy"
+    assert rows[(2, True)].sector == "tech"
+    assert str(rows[(2, True)].valid_from) == "2020-01-01"  # untouched
+    assert rows[(3, True)].sector == "health"
+
+    # point-in-time query: as of Jan 15, id 1 is still retail
+    asof = t2.where(
+        "valid_from <= DATE'2020-01-15' AND "
+        "(valid_to IS NULL OR valid_to > DATE'2020-01-15')"
+    )
+    assert {r.id: r.sector for r in asof.collect()} == {
+        1: "retail",
+        2: "tech",
+    }
