@@ -11,16 +11,64 @@ a thin adapter over its query registry.
 
 from __future__ import annotations
 
+import glob
+import json
 import os
 import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _HERE)
 
 from economic_data_project_spark import registry  # noqa: E402
 from economic_data_project_spark.session import tune_session  # noqa: E402
+
+# Queries whose Spark code or oracle changed this round: the driver must
+# re-verify them even though they may have passed a previous round.
+_FORCE_FIRST = [
+    "conditional_aggregates",
+    "cumulative_obv",
+    "economic_regime_classification",
+    "signal_event_machine",
+    "staging_projection",
+    "dq_stale_series",
+    "sentiment_lexicon_scores",
+    "signal_diffusion_index",
+    "text_quality_scores",
+]
+
+
+def _ever_passed() -> set[str]:
+    """Names that passed all three driver checks in any prior round."""
+    passed: set[str] = set()
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                passed.add(name)
+    return passed
+
+
+def _priority_order(names: list[str]) -> list[str]:
+    """Changed-this-round first, then never-driver-verified, then the
+    stable tail — so a driver that checks a bounded prefix always spends
+    its budget on the queries with no green row yet."""
+    force = [n for n in _FORCE_FIRST if n in names]
+    passed = _ever_passed() - set(force)
+    fresh = [n for n in names if n not in passed and n not in force]
+    stable = [n for n in names if n in passed]
+    return force + fresh + stable
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -41,9 +89,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return run
 
-    return {name: _wrap(fn) for name, fn in base.items()}
+    order = _priority_order(list(base))
+    return {name: _wrap(base[name]) for name in order}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle per query (omitted = rows-only)."""
-    return registry.all_oracles()
+    oracles = registry.all_oracles()
+    order = _priority_order(list(registry.all_queries()))
+    return {name: oracles[name] for name in order if name in oracles}

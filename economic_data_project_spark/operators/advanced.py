@@ -96,10 +96,12 @@ tok AS (
 ),
 scored AS (
   SELECT tok.doc_id,
-         SUM(CASE WHEN lex.polarity = 'pos'
-                  THEN tok.n * lex.weight ELSE 0 END) AS pos_score,
-         SUM(CASE WHEN lex.polarity = 'neg'
-                  THEN tok.n * lex.weight ELSE 0 END) AS neg_score
+         CAST(SUM(CASE WHEN lex.polarity = 'pos'
+                  THEN tok.n * lex.weight ELSE 0 END) AS DOUBLE)
+           AS pos_score,
+         CAST(SUM(CASE WHEN lex.polarity = 'neg'
+                  THEN tok.n * lex.weight ELSE 0 END) AS DOUBLE)
+           AS neg_score
   FROM tok JOIN lex ON tok.term = lex.term
   GROUP BY tok.doc_id
 )

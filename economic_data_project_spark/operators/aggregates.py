@@ -49,14 +49,15 @@ SELECT
   o_orderstatus AS status,
   COUNT(*) AS n_orders,
   COUNT(DISTINCT o_custkey) AS n_customers,
-  SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END) AS n_urgent,
+  CAST(SUM(CASE WHEN o_orderpriority LIKE '1-%' THEN 1 ELSE 0 END)
+    AS BIGINT) AS n_urgent,
   COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
   {sql_dsum("CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0 END")}
     AS big_total,
   {sql_davg("CASE WHEN o_orderpriority LIKE '1-%' THEN o_totalprice END")}
     AS avg_urgent_price,
-  MIN(o_orderdate) AS first_date,
-  MAX(o_orderdate) AS last_date
+  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+  CAST(MAX(o_orderdate) AS DATE) AS last_date
 FROM orders
 GROUP BY o_orderstatus
 ORDER BY status
@@ -81,8 +82,8 @@ def conditional_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             davg(F.when(urgent, F.col("o_totalprice"))).alias(
                 "avg_urgent_price"
             ),
-            F.min("o_orderdate").alias("first_date"),
-            F.max("o_orderdate").alias("last_date"),
+            F.min("o_orderdate").cast("date").alias("first_date"),
+            F.max("o_orderdate").cast("date").alias("last_date"),
         )
         .orderBy("status")
     )
@@ -316,9 +317,9 @@ transitions AS (
   FROM classified
 )
 SELECT month, rev_a, rev_n, rev_r, regime, prev_regime, is_transition,
-  SUM(is_transition) OVER (
+  CAST(SUM(is_transition) OVER (
     ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    AS n_transitions
+    AS BIGINT) AS n_transitions
 FROM transitions
 ORDER BY month
 """

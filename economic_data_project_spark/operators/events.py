@@ -102,9 +102,10 @@ stated AS (
     MAX(CASE WHEN is_trigger = 1 THEN rn END) OVER (
       PARTITION BY flag ORDER BY d
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_trigger_rn,
-    SUM(is_trigger) OVER (
+    CAST(SUM(is_trigger) OVER (
       PARTITION BY flag ORDER BY d
-      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS event_seq
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS event_seq
   FROM flagged
 )
 SELECT flag, d, rev, sma20, is_trigger,

@@ -94,7 +94,7 @@ SELECT
   o_custkey AS customer_key,
   CAST(o_orderdate AS DATE) AS order_date,
   UPPER(o_orderstatus) AS status,
-  CAST(o_totalprice AS DECIMAL(18,2)) AS total_price_dec,
+  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price_dec,
   CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
        THEN 'high' ELSE 'normal' END AS priority_class
 FROM orders
@@ -120,7 +120,10 @@ def staging_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_custkey").alias("customer_key"),
             F.to_date("o_orderdate").alias("order_date"),
             F.upper("o_orderstatus").alias("status"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("total_price_dec"),
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("total_price_dec"),
             F.when(
                 F.col("o_orderpriority").like("1-%")
                 | F.col("o_orderpriority").like("2-%"),

@@ -220,9 +220,10 @@ SELECT flag, d,
        OVER (PARTITION BY flag ORDER BY d
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
     AS obv,
-  SUM(CASE WHEN signed_flow > 0 THEN 1 ELSE 0 END)
+  CAST(SUM(CASE WHEN signed_flow > 0 THEN 1 ELSE 0 END)
     OVER (PARTITION BY flag ORDER BY d
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS up_days_cum
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    AS BIGINT) AS up_days_cum
 FROM signed
 ORDER BY flag, d
 """

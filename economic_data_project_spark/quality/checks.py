@@ -227,9 +227,10 @@ WITH per_part AS (
 ),
 runs AS (
   SELECT part_key, d, price,
-         SUM(CASE WHEN price = prev_price THEN 0 ELSE 1 END) OVER (
+         CAST(SUM(CASE WHEN price = prev_price THEN 0 ELSE 1 END) OVER (
            PARTITION BY part_key ORDER BY d, ok, ln
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS run_id
   FROM per_part
 )
 SELECT part_key, run_id, COUNT(*) AS run_len,

@@ -582,7 +582,8 @@ chg AS (
 diffusion AS (
   SELECT month,
          COUNT(mom) AS n_components,
-         SUM(CASE WHEN mom > 0 THEN 1 ELSE 0 END) AS n_rising,
+         CAST(SUM(CASE WHEN mom > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_rising,
          (CAST(SUM(CASE WHEN mom > 0 THEN 1 ELSE 0 END) AS DOUBLE)
             / NULLIF(COUNT(mom), 0)) AS diffusion_index
   FROM chg

@@ -110,11 +110,11 @@ SELECT
   (CASE WHEN n_tok > 0
         THEN CAST(n_stop AS DOUBLE) / n_tok ELSE 0.0 END) AS stop_ratio,
   (CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 1 ELSE 0 END) AS len_ok,
-  ((CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
+  CAST((CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
    + (CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok > 0.01
            THEN 0.3 ELSE 0.0 END)
    + (CASE WHEN n_tok > 0 AND CAST(n_uniq AS DOUBLE) / n_tok > 0.2
-           THEN 0.3 ELSE 0.0 END)) AS quality_score,
+           THEN 0.3 ELSE 0.0 END) AS DOUBLE) AS quality_score,
   (CASE
      WHEN (CASE WHEN n_tok BETWEEN 20 AND 100000 THEN 0.4 ELSE 0.0 END)
         + (CASE WHEN n_tok > 0 AND CAST(n_stop AS DOUBLE) / n_tok > 0.01
