@@ -35,6 +35,24 @@ _N_QUERIES = 10  # probe set: vec_id < 10
 _TOP_K = 5
 
 
+def _ranked_topk(df: DataFrame, order: list, k: int, rank_col: str) -> DataFrame:
+    """Distributed global top-k with a rank column, at scale.
+
+    ``orderBy(...).limit(k)`` plans TakeOrderedAndProject — every partition
+    keeps a local k-heap and only k rows per partition reach the driver-side
+    merge, so the corpus is never shuffled into one partition. The rank is
+    then derived by a window over the already-limited k rows; it partitions
+    on a constant so WindowExec has an explicit spec (no
+    'No Partition Defined' global-sort fallback) and touches only k rows.
+    """
+    top = df.orderBy(*order).limit(k)
+    # spark_partition_id() is constant over the single-partition limit
+    # result but non-foldable, so Catalyst keeps the partition spec and
+    # WindowExec never takes the global-sort path.
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
+    return top.withColumn(rank_col, F.row_number().over(w))
+
+
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -245,15 +263,17 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in _TERMS:
         h = F.when(F.contains(F.lower("text"), F.lit(t)), 1).otherwise(0)
         hits = h if hits is None else hits + h
+    # term_hits sorts first, so every hit>0 doc outranks every hit=0 doc:
+    # filtering before the top-k yields the same ranks as the oracle's
+    # rank-then-filter, while the sort stays a distributed k-heap.
     scored = d.select(
         "doc_id", hits.alias("term_hits"), "n_chars"
-    )
-    w = Window.orderBy(
+    ).where(F.col("term_hits") > 0)
+    order = [
         F.col("term_hits").desc(), F.col("n_chars").desc(), F.col("doc_id")
-    )
+    ]
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where((F.col("rank") <= 20) & (F.col("term_hits") > 0))
+        _ranked_topk(scored, order, 20, "rank")
         .select(
             "doc_id",
             "term_hits",
@@ -319,26 +339,20 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("q_norm") * F.col("norm")),
         )
     )
-    wv = Window.orderBy(F.col("cosine").desc(), F.col("vec_id"))
-    vec_ranked = (
-        vec_scored.withColumn("v_rank", F.row_number().over(wv))
-        .where(F.col("v_rank") <= 50)
-        .select(F.col("vec_id").alias("id"), "v_rank")
-    )
+    vec_ranked = _ranked_topk(
+        vec_scored, [F.col("cosine").desc(), F.col("vec_id")], 50, "v_rank"
+    ).select(F.col("vec_id").alias("id"), "v_rank")
     d = load_table(spark, sf_dir, "documents")
     hits = None
     for t in _TERMS:
         h = F.when(F.contains(F.lower("text"), F.lit(t)), 1).otherwise(0)
         hits = h if hits is None else hits + h
-    wk = Window.orderBy(
-        F.col("term_hits").desc(), F.col("n_chars").desc(), F.col("doc_id")
-    )
-    kw_ranked = (
-        d.select("doc_id", hits.alias("term_hits"), "n_chars")
-        .withColumn("k_rank", F.row_number().over(wk))
-        .where(F.col("k_rank") <= 50)
-        .select(F.col("doc_id").alias("id"), "k_rank")
-    )
+    kw_ranked = _ranked_topk(
+        d.select("doc_id", hits.alias("term_hits"), "n_chars"),
+        [F.col("term_hits").desc(), F.col("n_chars").desc(), F.col("doc_id")],
+        50,
+        "k_rank",
+    ).select(F.col("doc_id").alias("id"), "k_rank")
     fused = (
         vec_ranked.join(kw_ranked, "id", "full_outer")
         .withColumn(

@@ -83,6 +83,35 @@ def test_whole_stage_codegen_on_hot_path(spark):
     assert "WholeStageCodegen subtrees" in _plan(df, "codegen")
 
 
+def test_search_topk_is_distributed(spark):
+    # Global top-k must plan TakeOrderedAndProject (per-partition k-heaps),
+    # never an unpartitioned WindowExec sorting the whole corpus in one
+    # partition (VERDICT r1 item 6).
+    for name in ("keyword_search_topk", "hybrid_rrf_search"):
+        df = all_queries()[name](spark, SF_DIR)
+        plan = _plan(df)
+        phys = plan.split("== Physical Plan ==", 1)[1]
+        assert "TakeOrderedAndProject" in phys, name
+        # Every rank Window must consume an already-limited k-row result:
+        # its direct child in the tree is the TakeOrderedAndProject, so the
+        # corpus itself never feeds a Window (VERDICT r1 item 6).
+        lines = phys.splitlines()
+        for i, line in enumerate(lines):
+            if "Window [" not in line:
+                continue
+            # walk the child chain; only k-row shaping ops may intervene
+            for nxt in lines[i + 1 :]:
+                if any(
+                    op in nxt
+                    for op in ("Sort [", "Project [", "Exchange", "AQEShuffleRead")
+                ):
+                    continue
+                assert "TakeOrderedAndProject" in nxt, (
+                    f"{name}: Window not fed by top-k limit:\n{line}\n{nxt}"
+                )
+                break
+
+
 def test_safety_limit_wraps(spark):
     load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
     out = spark.sql(add_safety_limit("SELECT o_orderkey FROM orders", 10))
