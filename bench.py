@@ -36,6 +36,8 @@ HEADLINE = [
     "signal_fear_greed",        # percentile-rank composite signal
     "dag_model_chain",          # 3-layer model DAG, fused plan
     "technical_indicator_daily",  # 14-indicator wide battery
+    "signal_chain_events",      # 4-layer chain, 12-signal state machine
+    "signal_families_spine",    # 6-family full-outer composite spine
 ]
 
 

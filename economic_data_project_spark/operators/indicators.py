@@ -71,8 +71,9 @@ def _over(a: int, b: str = "CURRENT ROW") -> str:
     return _W.format(a=a, b=b)
 
 
-_INDICATORS_ORACLE = f"""
-WITH {_OHLCV_CTE},
+# CTE chain + final projection exposed separately so composed models
+# (plans/signal_chain.py) can embed the full indicator battery as a CTE.
+_IND_CTES = f"""{_OHLCV_CTE},
 s0 AS (
   SELECT flag, d, close, high, low, volume,
     close - LAG(close) OVER (PARTITION BY flag ORDER BY d) AS chg,
@@ -130,6 +131,9 @@ s3 AS (
     {ta.sql_wavg("tr", _over(13))} AS atr14
   FROM s2
 )
+"""
+
+_IND_FINAL = f"""
 SELECT flag, d, close, volume, sma20, std20, ema12, ema26, macd,
        bb_upper, bb_lower, rsi14, stoch_k,
        {ta.sql_wavg("stoch_k", _over(2))} AS stoch_d,
@@ -137,13 +141,24 @@ SELECT flag, d, close, volume, sma20, std20, ema12, ema26, macd,
        ((close - sma20) / NULLIF(0.015 * mad20, 0)) AS cci20,
        roc10, momentum10, CAST(obv_dec AS DOUBLE) AS obv, atr14
 FROM s3
-ORDER BY flag, d
 """
+
+_INDICATORS_ORACLE = (
+    f"WITH {_IND_CTES} {_IND_FINAL} ORDER BY flag, d"
+)
 
 
 @query("technical_indicator_daily", oracle=_INDICATORS_ORACLE)
 def technical_indicator_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    daily = _daily_ohlcv(spark, sf_dir)
+    return indicators_from_daily(_daily_ohlcv(spark, sf_dir)).orderBy(
+        "flag", "d"
+    )
+
+
+def indicators_from_daily(daily: DataFrame) -> DataFrame:
+    """The 14-indicator battery over any (flag, d, close, high, low,
+    volume) frame — reused by the composed signal chain
+    (plans/signal_chain.py) as its indicator model layer."""
     wlag = Window.partitionBy("flag").orderBy("d")
 
     def roll(n: int):
@@ -239,4 +254,4 @@ def technical_indicator_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.nullif(0.015 * F.col("mad20"), F.lit(0))
         ).alias("cci20"),
         "roc10", "momentum10", "obv", "atr14",
-    ).orderBy("flag", "d")
+    )

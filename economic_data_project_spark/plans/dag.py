@@ -9,6 +9,12 @@ topologically orders them and materializes per layer policy:
 - ``view``        -> createOrReplaceTempView (lazy; Catalyst inlines the
                      plan into downstream consumers — CTE-style fusion,
                      zero extra I/O)
+- ``cached_view`` -> view over ``df.cache()``: for a small aggregate
+                     consumed by several downstream branches, the fused
+                     plan would rescan the fact table once per branch;
+                     caching the aggregate pins one scan total while
+                     staying lazy (dbt's ephemeral-vs-table tradeoff,
+                     priced for a fact table 1000x the aggregate)
 - ``table``       -> warehouse parquet write, then registered as a view
                      (cuts re-computation for fan-out consumers)
 - ``incremental`` -> Warehouse.incremental_upsert on key/watermark
@@ -102,7 +108,9 @@ class ModelGraph:
         for name in self.topo_order(targets):
             m = self.models[name]
             df = m.build(spark)
-            if m.materialization == "view" or warehouse is None:
+            if m.materialization == "cached_view":
+                df.cache().createOrReplaceTempView(name)
+            elif m.materialization == "view" or warehouse is None:
                 df.createOrReplaceTempView(name)
             elif m.materialization == "table":
                 warehouse.write_table(df, name)

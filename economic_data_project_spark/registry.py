@@ -51,7 +51,7 @@ def load_all() -> None:
         setops,
         windows,
     )
-    from .plans import models  # noqa: F401
+    from .plans import family_spine, models, signal_chain  # noqa: F401
     from .quality import checks  # noqa: F401
     from .signals import kernels  # noqa: F401
     from .similarity import ann  # noqa: F401

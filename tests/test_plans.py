@@ -112,6 +112,15 @@ def test_search_topk_is_distributed(spark):
                 break
 
 
+def test_signal_chain_scans_fact_once(spark):
+    # The 4-layer chain fans out into indicator, spine, and benchmark
+    # branches; the cached_view daily aggregate must pin the lineitem
+    # scan to exactly one occurrence in the fused plan.
+    df = all_queries()["signal_chain_instances"](spark, SF_DIR)
+    plan = _plan(df, "formatted")
+    assert plan.count("lineitem.parquet") == 1
+
+
 def test_safety_limit_wraps(spark):
     load_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
     out = spark.sql(add_safety_limit("SELECT o_orderkey FROM orders", 10))
