@@ -41,13 +41,89 @@ class QueryValidationError(ValueError):
 
 
 # ------------------------------------------------------------ query gate
+#
+# The gate lexes strings and comments in ONE left-to-right scan, the way
+# Spark's lexer does. Two sequential regex passes desync from the real
+# lexer: stripping comments before strings turns `SELECT 'x--'; DROP ...`
+# into a single commented-out statement, and modelling '' doubling but
+# not backslash escapes misplaces string boundaries on quoted params.
+# Escaping matched here: backslash escapes in '...' and "..." literals
+# ('' is two adjacent literals in Spark, not an escape — the scan treats
+# the second quote as closing, which tokenizes identically), `...`
+# identifiers with `` doubling, `--` line comments, nested /* */.
 
-_COMMENT_RE = re.compile(r"--[^\n]*|/\*.*?\*/", re.S)
-_STRING_RE = re.compile(r"'(?:[^']|'')*'")
+
+def _scan(sql: str):
+    """Yield (start, end, kind) spans; kind in code|string|comment|ident."""
+    i, n, last = 0, len(sql), 0
+    while i < n:
+        ch = sql[i]
+        if ch == "-" and sql.startswith("--", i):
+            if last < i:
+                yield (last, i, "code")
+            j = sql.find("\n", i)
+            j = n if j == -1 else j
+            yield (i, j, "comment")
+            i = last = j
+        elif ch == "/" and sql.startswith("/*", i):
+            if last < i:
+                yield (last, i, "code")
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if sql.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif sql.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            yield (i, j, "comment")
+            i = last = j
+        elif ch in ("'", '"'):
+            if last < i:
+                yield (last, i, "code")
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\" and j + 1 < n:
+                    j += 2
+                elif sql[j] == ch:
+                    j += 1
+                    break
+                else:
+                    j += 1
+            yield (i, j, "string")
+            i = last = j
+        elif ch == "`":
+            if last < i:
+                yield (last, i, "code")
+            j = i + 1
+            while j < n:
+                if sql[j] == "`":
+                    if sql.startswith("``", j):
+                        j += 2
+                        continue
+                    j += 1
+                    break
+                j += 1
+            yield (i, j, "ident")
+            i = last = j
+        else:
+            i += 1
+    if last < n:
+        yield (last, n, "code")
 
 
 def _strip_literals(sql: str) -> str:
-    return _STRING_RE.sub("''", _COMMENT_RE.sub(" ", sql))
+    out = []
+    for a, b, kind in _scan(sql):
+        if kind == "code":
+            out.append(sql[a:b])
+        elif kind == "string":
+            out.append("''")
+        elif kind == "ident":
+            out.append("`x`")
+        else:  # comment
+            out.append(" ")
+    return "".join(out)
 
 
 def validate_read_only(sql: str) -> None:
@@ -77,7 +153,14 @@ def _render_param(value) -> str:
         return "NULL"
     if isinstance(value, bool):
         return "TRUE" if value else "FALSE"
-    if isinstance(value, (int, float)):
+    if isinstance(value, float):
+        if value != value:  # NaN
+            return "CAST('NaN' AS DOUBLE)"
+        if value in (float("inf"), float("-inf")):
+            sign = "-" if value < 0 else ""
+            return f"CAST('{sign}Infinity' AS DOUBLE)"
+        return repr(value)
+    if isinstance(value, int):
         return repr(value)
     if isinstance(value, Decimal):
         return f"CAST('{value}' AS DECIMAL(38,9))"
@@ -106,16 +189,13 @@ def bind_params(sql: str, params: dict | None) -> str:
         used.add(name)
         return _render_param(params[name])
 
-    # Only substitute outside string literals.
-    parts, out, last = [], [], 0
-    for m in _STRING_RE.finditer(sql):
-        parts.append((last, m.start(), True))
-        parts.append((m.start(), m.end(), False))
-        last = m.end()
-    parts.append((last, len(sql), True))
-    for a, b, active in parts:
+    # Substitute only in code spans — never inside string literals or
+    # quoted identifiers (same lexer as the read-only gate, so the
+    # binder's notion of string boundaries cannot desync from the gate's).
+    out = []
+    for a, b, kind in _scan(sql):
         seg = sql[a:b]
-        out.append(_PARAM_RE.sub(sub, seg) if active else seg)
+        out.append(_PARAM_RE.sub(sub, seg) if kind == "code" else seg)
     unused = set(params) - used
     if unused:
         raise QueryValidationError(f"unused parameters: {sorted(unused)}")
@@ -145,8 +225,21 @@ class Warehouse:
             raise QueryValidationError(f"invalid table name {name!r}")
         return os.path.join(self.base_dir, name)
 
+    def _recover(self, name: str) -> str:
+        """Crash recovery for the upsert swap: if a previous upsert died
+        between moving the live dir aside and moving the staged dir in,
+        the ``__old`` dir is the recovery marker — restore it."""
+        path = self.table_path(name)
+        old = path + "__old"
+        if not os.path.exists(path) and os.path.exists(old):
+            os.rename(old, path)
+        return path
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._recover(name))
+
     def table(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.table_path(name))
+        return self.spark.read.parquet(self._recover(name))
 
     def register_views(self, *names: str) -> None:
         for n in names:
@@ -182,10 +275,18 @@ class Warehouse:
         partition_by: list[str] | None = None,
     ) -> None:
         """MERGE: update matched keys, insert new ones. Engine-neutral
-        join-merge; maps 1:1 onto Delta/Iceberg MERGE INTO on a cluster."""
+        join-merge; maps 1:1 onto Delta/Iceberg MERGE INTO on a cluster.
+
+        Durability: the staged result is swapped in via two renames with
+        the displaced live dir kept as a ``__old`` recovery marker until
+        the swap completes — a crash at any point leaves either the old
+        or the new table recoverable (``_recover``). Concurrent READS
+        during the swap window are unsafe (no transactional log); use the
+        Delta-backed warehouse for reader isolation.
+        """
         if not key_columns:
             raise QueryValidationError("upsert requires key columns")
-        path = self.table_path(name)
+        path = self._recover(name)
         if not os.path.exists(path):
             self.write_table(df, name, partition_by)
             return
@@ -203,16 +304,18 @@ class Warehouse:
         # Parquet source can't overwrite in place while reading itself —
         # stage to a sibling dir, then swap (what a transactional format
         # does under the hood with its log).
+        import shutil
+
         tmp = path + "__staging"
         w = merged.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(tmp)
         old = path + "__old"
+        if os.path.exists(old):  # stale marker from an interrupted swap
+            shutil.rmtree(old)
         os.rename(path, old)
         os.rename(tmp, path)
-        import shutil
-
         shutil.rmtree(old)
 
     def append_aligned(self, df: DataFrame, name: str) -> None:
@@ -294,7 +397,7 @@ class Warehouse:
     def high_watermark(self, name: str, column: str):
         """MAX(column) of the target, or None if the table is absent —
         the is_incremental() scan-window guard (SURVEY.md §2.1)."""
-        if not os.path.exists(self.table_path(name)):
+        if not self.exists(name):
             return None
         row = self.table(name).agg(F.max(column).alias("hw")).collect()[0]
         return row.hw
@@ -309,16 +412,136 @@ class Warehouse:
     ) -> None:
         """Filter source to rows newer than MAX(watermark) - grace, then
         MERGE (agent_treasury_yield_curve_spreads.sql:26-31 shape).
-        ``grace=None`` means strictly-newer rows only."""
+
+        ``grace=None`` means strictly-newer rows only. For date/timestamp
+        watermarks, ``grace`` may be a ``timedelta``, an int day count
+        (both applied driver-side to the collected watermark scalar, so
+        no engine-specific interval arithmetic is involved), or a Column
+        interval expression (e.g. ``F.expr("INTERVAL 2 DAYS")``); for
+        numeric watermarks it must be a number.
+        """
         hw = self.high_watermark(name, watermark_column)
         if hw is not None:
-            if grace is None:
-                source = source.where(F.col(watermark_column) > F.lit(hw))
-            else:
-                source = source.where(
-                    F.col(watermark_column) >= F.lit(hw) - grace
-                )
+            source = source.where(
+                F.col(watermark_column) > F.lit(hw)
+                if grace is None
+                else F.col(watermark_column) >= self._grace_cutoff(hw, grace)
+            )
         self.upsert(source, name, key_columns)
+
+    @staticmethod
+    def _grace_cutoff(hw, grace):
+        from datetime import timedelta
+
+        from pyspark.sql import Column
+
+        if isinstance(grace, Column):  # interval expression
+            return F.lit(hw) - grace
+        if isinstance(hw, (date, datetime)):
+            if isinstance(grace, timedelta):
+                return F.lit(hw - grace)
+            if isinstance(grace, int) and not isinstance(grace, bool):
+                return F.lit(hw - timedelta(days=grace))
+            raise QueryValidationError(
+                "grace for a date/timestamp watermark must be a"
+                f" timedelta, int days, or interval Column; got"
+                f" {type(grace)!r}"
+            )
+        if isinstance(grace, (int, float)) and not isinstance(grace, bool):
+            return F.lit(hw - grace)
+        raise QueryValidationError(
+            f"unsupported grace {type(grace)!r} for watermark value"
+            f" {type(hw)!r}"
+        )
+
+
+def delta_available(spark: SparkSession | None = None) -> bool:
+    """Probe for Delta Lake support (delta-spark package + jars).
+
+    Probed 2026-08-13 in the build sandbox: NOT available (no ``delta``
+    module, no delta jars under pyspark/jars, package installs
+    forbidden), so ``make_warehouse`` always falls back to the parquet
+    join-merge engine here. On a cluster with delta-spark installed the
+    Delta path activates automatically and ``upsert`` becomes a
+    transactional ``DeltaTable.merge`` (reference:
+    bigquery_warehouse.py:124-179 MERGE; dbt_project.yml:59-63 Iceberg
+    backtesting layer).
+    """
+    try:
+        import delta  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class DeltaWarehouse(Warehouse):
+    """Warehouse over Delta tables: physical MERGE INTO + time travel.
+
+    Requires delta-spark; constructing it without raises ImportError.
+    Only ``upsert`` and ``table`` differ from the parquet base — the
+    query gate, binder, sampling, and incremental logic are shared.
+    """
+
+    def __init__(self, spark: SparkSession, base_dir: str):
+        if not delta_available(spark):
+            raise ImportError("delta-spark is not installed")
+        super().__init__(spark, base_dir)
+
+    def table(self, name: str) -> DataFrame:
+        return self.spark.read.format("delta").load(self.table_path(name))
+
+    def write_table(
+        self, df: DataFrame, name: str, partition_by: list[str] | None = None
+    ) -> None:
+        w = df.write.format("delta").mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.save(self.table_path(name))
+
+    def upsert(
+        self,
+        df: DataFrame,
+        name: str,
+        key_columns: list[str],
+        partition_by: list[str] | None = None,
+    ) -> None:
+        if not key_columns:
+            raise QueryValidationError("upsert requires key columns")
+        path = self.table_path(name)
+        if not os.path.exists(path):
+            self.write_table(df, name, partition_by)
+            return
+        from delta.tables import DeltaTable
+
+        target = DeltaTable.forPath(self.spark, path)
+        cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_columns)
+        (
+            target.alias("t")
+            .merge(df.alias("s"), cond)
+            .whenMatchedUpdateAll()
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
+
+    def table_at_version(self, name: str, version: int) -> DataFrame:
+        """Time travel — the backtesting-layer read (Iceberg/Delta
+        snapshot isolation)."""
+        return (
+            self.spark.read.format("delta")
+            .option("versionAsOf", version)
+            .load(self.table_path(name))
+        )
+
+
+def make_warehouse(
+    spark: SparkSession, base_dir: str, fmt: str = "auto"
+) -> Warehouse:
+    """Factory: Delta-backed warehouse when the runtime supports it,
+    parquet join-merge engine otherwise (``fmt`` forces either)."""
+    if fmt == "delta" or (fmt == "auto" and delta_available(spark)):
+        return DeltaWarehouse(spark, base_dir)
+    return Warehouse(spark, base_dir)
 
 
 def scd2_apply(

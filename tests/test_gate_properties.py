@@ -73,3 +73,70 @@ def test_numeric_binding_roundtrip_shapes(n, f):
     bound = bind_params("SELECT @a AS a, @b AS b", {"a": n, "b": f})
     assert str(n) in bound
     validate_read_only(bound)
+
+
+# ----------------------------------------------------------- lexer parity
+# Regression cases for the single-scan lexer (ADVICE r1): a two-pass
+# comment-then-string strip desyncs from Spark's lexer on `--` inside
+# string literals and on backslash escapes.
+
+
+def test_gate_rejects_piggyback_after_string_with_comment_marker():
+    # '--' inside the literal must NOT comment out the rest of the line.
+    try:
+        validate_read_only("SELECT 'x--'; DROP TABLE t")
+        raised = False
+    except QueryValidationError:
+        raised = True
+    assert raised
+
+
+def test_gate_accepts_comment_marker_inside_string():
+    validate_read_only("SELECT 'a--b' AS c")  # must not raise
+    validate_read_only('SELECT "a--b" AS c')
+
+
+def test_gate_handles_backslash_escaped_quote():
+    # Spark lexes 'a\' OR 1; DROP...' as ONE string literal; the gate
+    # must agree (no false multi-statement, no false DROP hit).
+    validate_read_only("SELECT 'a\\' OR 1; DROP TABLE t' AS s")
+
+
+def test_gate_rejects_statement_after_backslash_escaped_string():
+    try:
+        validate_read_only("SELECT 'a\\'b'; DROP TABLE t")
+        raised = False
+    except QueryValidationError:
+        raised = True
+    assert raised
+
+
+def test_gate_adjacent_quote_pairs_match_spark_lexing():
+    # '' is two adjacent literals in Spark, not an escape; either way the
+    # statement is a single read-only SELECT.
+    validate_read_only("SELECT 'it''s fine' AS s")
+
+
+def test_gate_ignores_keywords_in_backtick_identifiers():
+    validate_read_only("SELECT `drop` FROM t")
+
+
+def test_gate_rejects_nested_block_comment_smuggling():
+    try:
+        validate_read_only("SELECT 1 /* /* nested */ still */ ; DROP TABLE t")
+        raised = False
+    except QueryValidationError:
+        raised = True
+    assert raised
+
+
+def test_binder_skips_params_inside_strings_lexer_aware():
+    bound = bind_params("SELECT '@notparam' AS s, @p AS p", {"p": 7})
+    assert "@notparam" in bound and " 7 AS p" in bound.replace("  ", " ")
+
+
+def test_binder_rejects_nonfinite_floats_as_bare_literals():
+    bound = bind_params("SELECT @x AS x", {"x": float("nan")})
+    assert "CAST('NaN' AS DOUBLE)" in bound
+    bound = bind_params("SELECT @x AS x", {"x": float("-inf")})
+    assert "CAST('-Infinity' AS DOUBLE)" in bound

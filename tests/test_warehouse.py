@@ -193,3 +193,36 @@ def test_scd2_apply_versions_dimension(spark):
         1: "retail",
         2: "tech",
     }
+
+
+def test_upsert_crash_recovery_marker(spark, wh):
+    import os
+
+    df = spark.createDataFrame([(1, "a")], ["id", "v"])
+    wh.write_table(df, "t")
+    path = wh.table_path("t")
+    # Simulate a crash between the two swap renames: live dir moved
+    # aside, staged dir never moved in.
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+    rows = wh.table("t").collect()  # must transparently recover
+    assert [(r.id, r.v) for r in rows] == [(1, "a")]
+    assert os.path.exists(path) and not os.path.exists(path + "__old")
+
+
+def test_warehouse_factory_probes_delta(spark, tmp_path):
+    from economic_data_project_spark.sources.warehouse import (
+        DeltaWarehouse,
+        Warehouse,
+        delta_available,
+        make_warehouse,
+    )
+
+    wh = make_warehouse(spark, str(tmp_path / "wfac"))
+    if delta_available(spark):
+        assert isinstance(wh, DeltaWarehouse)
+    else:
+        # sandbox path (README "Delta Lake availability"): clean fallback
+        assert type(wh) is Warehouse
+        with pytest.raises(ImportError):
+            DeltaWarehouse(spark, str(tmp_path / "wdelta"))
