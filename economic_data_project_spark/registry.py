@@ -53,9 +53,10 @@ def load_all() -> None:
     )
     from .plans import family_spine, models, signal_chain  # noqa: F401
     from .quality import checks  # noqa: F401
-    from .signals import kernels  # noqa: F401
+    from .semantic import marts  # noqa: F401
+    from .signals import breadth, kernels  # noqa: F401
     from .similarity import ann  # noqa: F401
-    from .text import analysis, dedup, documents, ml  # noqa: F401
+    from .text import analysis, dedup, documents, extraction, ml  # noqa: F401
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1,71 +1,93 @@
 """Document clustering + topic modeling (SURVEY.md §2.10).
 
-Mirrors the reference's dbt-ml models:
-- KMeans clusters (sec_document_clusters.yml:5-31: k=8, L2-normalized
-  TF-IDF so Euclidean ~ cosine, seeded): Spark ML pipeline
-  RegexTokenizer -> StopWordsRemover -> CountVectorizer -> IDF ->
-  Normalizer(p=2) -> KMeans(seed).
+Mirrors the reference's dbt-ml models at option-level fidelity:
+
+- TF-IDF features (sec_document_tfidf.yml:23-40): ngram_range [1,2]
+  (unigram+bigram union), min_df 2, max_df 0.85, max_features 20000,
+  english stop words, token pattern ``[a-zA-Z]{3,20}`` — Spark ML
+  pipeline RegexTokenizer -> StopWordsRemover -> NGram(2) -> union ->
+  CountVectorizer(minDF/maxDF/vocabSize) -> IDF -> Normalizer(p=2).
+- KMeans clusters (sec_document_clusters.yml:14-31: k=8, l2 normalize,
+  random_state 0, metrics n_clusters/silhouette/inertia, companions:
+  c-TF-IDF top_terms 8, representative_docs 3): one row per cluster
+  with size, silhouette (distributed ClusteringEvaluator), inertia
+  (training cost), c-TF-IDF top terms, and the 3 docs nearest the
+  centroid.
 - NMF topics (sec_document_topics.yml:13-24: 8 topics, soft assignment,
   reconstruction error): no Spark-native NMF and no sklearn in this
   container -> seeded multiplicative-update NMF in NumPy on the
   driver-collected TF-IDF matrix. DOCUMENTED DEVIATION from the
-  reference's sklearn NMF (same algorithm family, different init), as
-  SURVEY.md §2.10 anticipates; at the reference's corpus caps (20k docs
-  x 20k vocab, sec_filings.yml:19) the matrix is ~3 GB sparse — still a
-  driver-side job there too.
+  reference's sklearn NMF (same algorithm family, different init).
+  The collect is bounded by NMF_MAX_DOCS, mirroring the reference's own
+  ``max_objects: 20000`` corpus cap (sec_filings.yml:19) — exceeding it
+  raises instead of silently OOMing the driver.
 
-Both are rows-only queries (no ANSI-SQL oracle exists for iterative
-algorithms — the driver records the weaker rows-only check, which the
-judge sees, per the driver contract).
+Both queries are rows-only (no ANSI-SQL oracle exists for iterative
+algorithms — the driver records the weaker rows-only check).
 
-Scale notes: the featurization pipeline is fully distributed (fit =
-two passes for vocab + idf); only KMeans centroids (k x vocab) live on
-the driver. NMF collects the doc x vocab matrix — bounded by vocabSize
-and the doc cap, the same bound the reference operates under.
+Scale notes: featurization is fully distributed (two passes for vocab +
+idf); silhouette is a distributed evaluator job; only k x vocab
+matrices (centroids, c-TF-IDF) and the capped NMF matrix live on the
+driver.
 """
 
 from __future__ import annotations
 
 import numpy as np
 from pyspark.ml.clustering import KMeans
+from pyspark.ml.evaluation import ClusteringEvaluator
 from pyspark.ml.feature import (
     IDF,
     CountVectorizer,
+    NGram,
     Normalizer,
     RegexTokenizer,
     StopWordsRemover,
 )
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.stat import Summarizer
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import query
 
 K_CLUSTERS = 8
-VOCAB_SIZE = 2048
+VOCAB_SIZE = 20000
+MIN_DF = 2.0
+MAX_DF = 0.85
+TOP_TERMS = 8
+REPRESENTATIVE_DOCS = 3
 SEED = 0
+NMF_MAX_DOCS = 20000  # reference max_objects cap (sec_filings.yml:19)
 
 
 def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
-    """Distributed TF-IDF featurization; returns (features df, vocab)."""
+    """Distributed 1-2gram TF-IDF featurization; returns (df, vocab)."""
     tok = RegexTokenizer(
         inputCol="text",
         outputCol="raw_tokens",
-        pattern="[a-z]{3,20}",
+        pattern="[a-zA-Z]{3,20}",
         gaps=False,
         toLowercase=True,
     )
-    stop = StopWordsRemover(inputCol="raw_tokens", outputCol="tokens")
+    stop = StopWordsRemover(inputCol="raw_tokens", outputCol="unigrams")
+    bigram = NGram(n=2, inputCol="unigrams", outputCol="bigrams")
     cv = CountVectorizer(
         inputCol="tokens",
         outputCol="tf",
         vocabSize=VOCAB_SIZE,
-        minDF=2.0,
+        minDF=MIN_DF,
+        maxDF=MAX_DF,
     )
     idf = IDF(inputCol="tf", outputCol="tfidf")
     norm = Normalizer(inputCol="tfidf", outputCol="features", p=2.0)
 
-    tokens = stop.transform(tok.transform(docs))
+    grams = bigram.transform(stop.transform(tok.transform(docs)))
+    tokens = grams.withColumn(
+        "tokens", F.concat(F.col("unigrams"), F.col("bigrams"))
+    )
     cv_model = cv.fit(tokens)
     tf = cv_model.transform(tokens)
     idf_model = idf.fit(tf)
@@ -76,15 +98,92 @@ def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
 @query("doc_kmeans_clusters")  # rows-only: iterative ML, no SQL oracle
 def doc_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    feats, _ = tfidf_features(docs)
+    feats, vocab = tfidf_features(docs)
+    feats = feats.cache()
     km = KMeans(k=K_CLUSTERS, seed=SEED, featuresCol="features")
     model = km.fit(feats)
-    out = model.transform(feats)
-    return (
-        out.groupBy(F.col("prediction").alias("cluster"))
+    out = model.transform(feats).cache()
+
+    # model-level metrics (sec_document_clusters.yml metrics:)
+    inertia = float(model.summary.trainingCost)
+    silhouette = float(
+        ClusteringEvaluator(
+            featuresCol="features",
+            predictionCol="prediction",
+            metricName="silhouette",
+            distanceMeasure="squaredEuclidean",
+        ).evaluate(out)
+    )
+
+    # c-TF-IDF top terms per cluster (k x vocab on the driver only)
+    tf_sums = (
+        out.groupBy("prediction")
+        .agg(Summarizer.sum(F.col("tf")).alias("tf_sum"))
+        .collect()
+    )
+    k = len(tf_sums)
+    mat = np.zeros((K_CLUSTERS, len(vocab)))
+    for r in tf_sums:
+        mat[r.prediction, :] = r.tf_sum.toArray()
+    class_totals = np.maximum(mat.sum(axis=1, keepdims=True), 1.0)
+    avg_words = float(mat.sum()) / max(k, 1)
+    term_freq = np.maximum(mat.sum(axis=0), 1.0)
+    ctfidf = (mat / class_totals) * np.log1p(avg_words / term_freq)
+    top_terms = {
+        c: ", ".join(
+            vocab[j] for j in np.argsort(ctfidf[c])[::-1][:TOP_TERMS]
+        )
+        for c in range(K_CLUSTERS)
+    }
+    tt = spark.createDataFrame(
+        [(c, s) for c, s in top_terms.items()], "cluster int, top_terms string"
+    )
+
+    # representative docs: nearest to own centroid, deterministic ties
+    centers = model.clusterCenters()
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "prediction int, center array<double>",
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                vector_to_array(F.col("features")),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    wnear = Window.partitionBy("prediction").orderBy(
+        F.col("centroid_dist"), F.col("doc_id")
+    )
+    reps = (
+        out.select("doc_id", "prediction", "features")
+        .join(F.broadcast(cdf), "prediction")
+        .withColumn("centroid_dist", dist)
+        .withColumn("rn", F.row_number().over(wnear))
+        .where(F.col("rn") <= REPRESENTATIVE_DOCS)
+        .groupBy("prediction")
         .agg(
-            F.count("*").alias("n_docs"),
-            F.min("doc_id").alias("representative_doc_id"),
+            F.concat_ws(
+                ",", F.collect_list(F.col("doc_id").cast("string"))
+            ).alias("representative_doc_ids")
+        )
+    )
+
+    sizes = out.groupBy(F.col("prediction")).agg(F.count("*").alias("n_docs"))
+    return (
+        sizes.join(tt, sizes.prediction == tt.cluster)
+        .join(reps, "prediction")
+        .select(
+            "cluster",
+            "n_docs",
+            F.lit(silhouette).alias("silhouette"),
+            F.lit(inertia).alias("inertia"),
+            "top_terms",
+            "representative_doc_ids",
         )
         .orderBy("cluster")
     )
@@ -93,6 +192,14 @@ def doc_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("doc_nmf_topics")  # rows-only: iterative ML, no SQL oracle
 def doc_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    if n_docs > NMF_MAX_DOCS:
+        raise ValueError(
+            f"doc_nmf_topics: corpus has {n_docs} documents, above the"
+            f" driver-side cap of {NMF_MAX_DOCS} (the reference's"
+            " max_objects bound). Sample the corpus or use a distributed"
+            " topic model (e.g. Spark LDA) for larger inputs."
+        )
     feats, vocab = tfidf_features(docs)
     rows = feats.select("doc_id", "tfidf").collect()
     doc_ids = [r.doc_id for r in rows]
