@@ -97,3 +97,58 @@ def test_select_except(spark):
     assert "o_orderstatus" not in out.columns
     with _pytest.raises(KeyError):
         select_except(df, "nope")
+
+
+def test_nl_to_sql_template_battery(spark):
+    """All 10 canned question shapes run the FULL path: template
+    generation -> read-only validation -> safety limit -> execution
+    (ref nl_to_sql_module.py:8-76)."""
+    from economic_data_project_spark.catalog import load_table
+    from economic_data_project_spark.sources.nl_sql import (
+        UnsupportedQuestionError,
+        nl_to_sql,
+        template_generator,
+    )
+    from .conftest import SF_DIR
+
+    for t in ("orders", "nation"):
+        load_table(spark, SF_DIR, t).createOrReplaceTempView(t)
+
+    battery = {
+        "how many rows in orders?": lambda df: df.collect()[0].n_rows > 0,
+        "top 5 orders by o_totalprice": lambda df: df.count() == 5,
+        "distinct values of o_orderstatus in orders":
+            lambda df: 1 <= df.count() <= 3,
+        "average o_totalprice by o_orderstatus in orders":
+            lambda df: "avg_o_totalprice" in df.columns,
+        "total o_totalprice by o_orderpriority in orders":
+            lambda df: df.count() == 5,
+        "orders rows where o_totalprice over 400000":
+            lambda df: all(r.o_totalprice > 400000 for r in df.collect()),
+        "smallest 3 orders by o_totalprice": lambda df: df.count() == 3,
+        "count orders by o_orderstatus": lambda df: df.count() <= 3,
+        "min and max o_totalprice in orders":
+            lambda df: df.collect()[0].min_o_totalprice
+            <= df.collect()[0].max_o_totalprice,
+        "monthly o_totalprice totals in orders by o_orderdate":
+            lambda df: df.count() > 12,
+    }
+    for question, check in battery.items():
+        out = nl_to_sql(
+            spark, question, ["orders", "nation"], template_generator, 5000
+        )
+        assert check(out), question
+
+    # unknown table and unsupported shape both refuse, never guess
+    import pytest as _pytest
+
+    with _pytest.raises(UnsupportedQuestionError):
+        nl_to_sql(
+            spark, "how many rows in secrets", ["orders"],
+            template_generator,
+        )
+    with _pytest.raises(UnsupportedQuestionError):
+        nl_to_sql(
+            spark, "please summarize the vibes", ["orders"],
+            template_generator,
+        )
