@@ -534,6 +534,52 @@ class DeltaWarehouse(Warehouse):
         )
 
 
+def iceberg_available(spark: SparkSession) -> bool:
+    """Probe for an Iceberg runtime (catalog extension + jars).
+
+    Probed 2026-08-13 in the build sandbox: NOT available (no iceberg
+    jars under pyspark/jars, no pyiceberg, installs forbidden) — same
+    result as the Delta probe above; README documents both. Reference:
+    the Iceberg-backed backtesting layer, dbt_project.yml:59-63.
+    """
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def iceberg_sink_write(
+    spark: SparkSession,
+    df: DataFrame,
+    table: str,
+    partition_by: list[str] | None = None,
+    mode: str = "createOrReplace",
+) -> None:
+    """Iceberg sink (dbt_project.yml:59-63 backtesting layer): DSv2
+    ``writeTo`` with hidden partitioning. Raises with the probe result
+    when the runtime lacks Iceberg (this sandbox — see README)."""
+    if not iceberg_available(spark):
+        raise RuntimeError(
+            "Iceberg runtime not available: no iceberg-spark jars on the"
+            " classpath (probed via SparkCatalog). Deploy with"
+            " iceberg-spark-runtime + a catalog config to activate;"
+            " see README 'Table-format availability'."
+        )
+    writer = df.writeTo(table).using("iceberg")
+    if partition_by:
+        writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+    if mode == "createOrReplace":
+        writer.createOrReplace()
+    elif mode == "append":
+        writer.append()
+    else:
+        raise QueryValidationError(f"unknown iceberg write mode {mode!r}")
+
+
 def make_warehouse(
     spark: SparkSession, base_dir: str, fmt: str = "auto"
 ) -> Warehouse:

@@ -226,3 +226,18 @@ def test_warehouse_factory_probes_delta(spark, tmp_path):
         assert type(wh) is Warehouse
         with pytest.raises(ImportError):
             DeltaWarehouse(spark, str(tmp_path / "wdelta"))
+
+
+def test_iceberg_sink_probe_and_gate(spark):
+    from economic_data_project_spark.sources.warehouse import (
+        iceberg_available,
+        iceberg_sink_write,
+    )
+
+    df = spark.range(3)
+    if iceberg_available(spark):
+        iceberg_sink_write(spark, df, "local.tmp_iceberg_probe")
+    else:
+        # sandbox path (README "Table-format availability")
+        with pytest.raises(RuntimeError, match="Iceberg runtime"):
+            iceberg_sink_write(spark, df, "t")
