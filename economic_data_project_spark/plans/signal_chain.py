@@ -559,3 +559,78 @@ def signal_chain_instances(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_chain(spark, sf_dir, "signal_instances").orderBy(
         "flag", "signal_name", "entry_date"
     )
+
+
+# ---------------------------------------------------------------------------
+# Current setups: "what is happening right now" — each entity's latest
+# bar joined back to the event log, setup/triggered/active states only
+# (technical_current_setups.sql:20-52). Staleness rule re-expressed
+# deterministically: latest bar must be within 14 days of the GLOBAL max
+# date (the reference uses CURRENT_DATE, nondeterministic for an oracle).
+# ---------------------------------------------------------------------------
+
+
+@GRAPH.model("current_setups", deps=("signal_events", "tech_daily_ohlcv"))
+def current_setups(spark: SparkSession) -> DataFrame:
+    daily = spark.table("tech_daily_ohlcv")
+    gmax = daily.agg(F.max("d").alias("gmax"))
+    latest = (
+        daily.groupBy("flag")
+        .agg(F.max("d").alias("latest_date"))
+        .crossJoin(F.broadcast(gmax))
+        .where(F.col("latest_date") >= F.date_sub(F.col("gmax"), 14))
+        .select("flag", "latest_date")
+    )
+    e = spark.table("signal_events")
+    return (
+        e.join(
+            F.broadcast(latest),
+            (e.flag == latest.flag) & (e.d == latest.latest_date),
+        )
+        .where(
+            F.col("signal_state").isin("setup", "triggered", "active")
+        )
+        .select(
+            e.flag,
+            "d",
+            "indicator_name",
+            "signal_name",
+            "signal_side",
+            "signal_state",
+            "signal_value",
+            "close",
+            "rel_vol",
+            "volume_confirmed",
+            "trigger_date",
+            "setup_date",
+            "bars_since_trigger",
+            "max_holding_bars",
+        )
+    )
+
+
+_CURRENT_SETUPS_ORACLE = f"""
+WITH {_events_sql_core()},
+latest_bar AS (
+  SELECT flag, MAX(d) AS latest_date
+  FROM daily
+  GROUP BY flag
+  HAVING MAX(d) >= (SELECT MAX(d) - INTERVAL 14 DAY FROM daily)
+)
+SELECT c.flag, c.d, c.indicator_name, c.signal_name, c.signal_side,
+       c.signal_state, c.signal_value, c.close, c.rel_vol,
+       COALESCE(c.rel_vol >= 1.5, FALSE) AS volume_confirmed,
+       c.trigger_date, c.setup_date, c.bars_since_trigger,
+       {MAX_HOLDING} AS max_holding_bars
+FROM classified c
+JOIN latest_bar l ON c.flag = l.flag AND c.d = l.latest_date
+WHERE c.signal_state IN ('setup', 'triggered', 'active')
+ORDER BY c.flag, c.signal_name
+"""
+
+
+@query("signal_current_setups", oracle=_CURRENT_SETUPS_ORACLE)
+def signal_current_setups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run_chain(spark, sf_dir, "current_setups").orderBy(
+        "flag", "signal_name"
+    )

@@ -52,9 +52,9 @@ def load_all() -> None:
         windows,
     )
     from .plans import family_spine, models, signal_chain  # noqa: F401
-    from .quality import checks  # noqa: F401
+    from .quality import checks, schema_tests  # noqa: F401
     from .semantic import marts  # noqa: F401
-    from .signals import breadth, kernels  # noqa: F401
+    from .signals import acceleration, breadth, kernels  # noqa: F401
     from .similarity import ann  # noqa: F401
     from .text import analysis, dedup, documents, extraction, ml  # noqa: F401
 

@@ -40,3 +40,45 @@ def test_ohlc_consistency(spark):
         ["open", "high", "low", "close"],
     )
     assert check_ohlc_consistency(df).count() == 2
+
+
+def test_schema_test_engine(spark):
+    """The declarative runner reports per-test violation counts: a clean
+    table passes, seeded defects fail with exact counts."""
+    from unittest import mock
+
+    from economic_data_project_spark.quality import schema_tests as st
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk bigint")
+    child = spark.createDataFrame(
+        [
+            (1, "A", 5.0, 1),
+            (1, "A", -1.0, 2),   # dup grain + nonpositive
+            (None, "Z", 3.0, 1),  # null key + bad enum
+            (3, "B", 999.0, 9),  # orphan fk + out of range
+        ],
+        "k bigint, cat string, v double, fk bigint",
+    )
+    spec = {
+        "child": {
+            "not_null": ["k"],
+            "unique": [["k", "cat"]],
+            "accepted_values": {"cat": ["A", "B"]},
+            "value_in_range": {"v": (0.0, 100.0)},
+            "positive": ["v"],
+            "relationships": [("fk", "parent", "pk")],
+        }
+    }
+    with mock.patch.object(st, "SCHEMA_TESTS", spec):
+        out = {
+            (r.model, r.column, r.test_name): (r.n_violations, r.status)
+            for r in st.run_schema_tests(
+                spark, {"child": child, "parent": parent}
+            ).collect()
+        }
+    assert out[("child", "k", "not_null")] == (1, "fail")
+    assert out[("child", "k, cat", "unique")] == (1, "fail")
+    assert out[("child", "cat", "accepted_values")] == (1, "fail")
+    assert out[("child", "v", "value_in_range")] == (2, "fail")
+    assert out[("child", "v", "positive")] == (1, "fail")
+    assert out[("child", "fk", "relationships")] == (1, "fail")
