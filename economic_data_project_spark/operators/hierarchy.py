@@ -1,0 +1,172 @@
+"""Hierarchy resolution + thread-structure metrics.
+
+Mirror of ``dbt_project/models/analysis/reddit_thread_structure.sql``
+(thread-level rollups over parent/depth comment chains) and the
+``stg_reddit_comments`` depth derivation it assumes upstream: given a
+parent-edge relation, resolve every node's root and depth, then compute
+per-thread structure metrics (total/reply counts, max/avg depth,
+deep-thread and quality flags, reddit_thread_structure.sql:25-80).
+
+The event log has no explicit parent_id, so edges are derived
+deterministically: an event's parent is the same user's previous event
+when the gap is <= 6 hours (session threading); otherwise it starts a
+new thread. Chains are resolved with **pointer doubling** (path
+halving): each of O(log max_depth) rounds joins the pointer table to
+itself, jumping every node's ancestor pointer twice as far. That is the
+scale-correct distributed formulation — depth-by-depth peeling (the
+recursive-CTE shape DuckDB runs in the oracle) needs O(depth) passes
+and leaves most of the cluster idle per round, while pointer doubling
+is O(log d) full-parallel shuffles. Each round is persisted so the
+lineage stays linear (on a cluster, periodically ``localCheckpoint``).
+
+The single driver-side scalar (max events per user, an upper bound on
+chain length) sizes the iteration count — a metadata aggregate, same
+pattern as MLlib's iterative jobs, not a data collect.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.parity import davg, dsum, sql_davg, sql_dsum
+from ..registry import query
+
+SESSION_GAP_HOURS = 6
+
+_ORACLE = f"""
+WITH RECURSIVE edges AS (
+  SELECT event_id, user_id, ts, event_type, value,
+    LAG(event_id) OVER w AS prev_id,
+    LAG(ts) OVER w AS prev_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+linked AS (
+  SELECT event_id, user_id, event_type, value,
+    (CASE WHEN prev_ts IS NOT NULL
+           AND ts - prev_ts <= INTERVAL {SESSION_GAP_HOURS} HOUR
+          THEN prev_id END) AS parent_id
+  FROM edges
+),
+resolved AS (
+  SELECT event_id, user_id, event_type, value,
+         event_id AS root_id, 0 AS depth
+  FROM linked WHERE parent_id IS NULL
+  UNION ALL
+  SELECT l.event_id, l.user_id, l.event_type, l.value,
+         r.root_id, r.depth + 1
+  FROM linked l JOIN resolved r ON l.parent_id = r.event_id
+)
+SELECT root_id AS thread_id,
+  CAST(MIN(user_id) AS BIGINT) AS user_id,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_replies,
+  CAST(MAX(depth) AS BIGINT) AS max_depth,
+  {sql_davg("depth")} AS avg_depth,
+  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_purchases,
+  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_errors,
+  {sql_dsum("value")} AS total_value,
+  (MAX(depth) >= 3 AND COUNT(*) >= 4) AS is_deep_thread,
+  (CASE WHEN MAX(depth) >= 3 THEN 'high'
+        WHEN MAX(depth) >= 1 THEN 'medium'
+        ELSE 'low' END) AS thread_quality
+FROM resolved
+GROUP BY root_id
+ORDER BY thread_id
+"""
+
+
+def resolve_hierarchy(linked: DataFrame) -> DataFrame:
+    """Pointer-doubling root/depth resolution over (event_id, parent_id).
+
+    Returns (event_id, root_id, depth). ``parent_id`` NULL marks roots.
+    """
+    ptr = linked.select(
+        F.col("event_id").alias("id"),
+        F.coalesce("parent_id", "event_id").alias("anc"),
+        F.when(F.col("parent_id").isNull(), 0).otherwise(1).alias("d"),
+    ).persist()
+    # Upper bound on chain length -> iteration count (metadata scalar).
+    max_chain = (
+        linked.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+        or 1
+    )
+    for _ in range(max(1, math.ceil(math.log2(max(2, max_chain))))):
+        hop = ptr.select(
+            F.col("id").alias("h_id"),
+            F.col("anc").alias("h_anc"),
+            F.col("d").alias("h_d"),
+        )
+        ptr = (
+            ptr.join(hop, ptr.anc == hop.h_id)
+            .select(
+                "id",
+                F.col("h_anc").alias("anc"),
+                (F.col("d") + F.col("h_d")).alias("d"),
+            )
+            .persist()
+        )
+    return ptr.select(
+        F.col("id").alias("event_id"),
+        F.col("anc").alias("root_id"),
+        F.col("d").alias("depth"),
+    )
+
+
+@query("thread_structure", oracle=_ORACLE)
+def thread_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = SESSION_GAP_HOURS * 3600 * 1_000_000
+    linked = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNotNull()
+            & (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                <= gap_us
+            ),
+            F.lag("event_id").over(w),
+        ).alias("parent_id"),
+    )
+    resolved = linked.join(
+        resolve_hierarchy(linked), on="event_id"
+    )
+    return (
+        resolved.groupBy(F.col("root_id").alias("thread_id"))
+        .agg(
+            F.min("user_id").alias("user_id"),
+            F.count("*").alias("n_events"),
+            (F.count("*") - 1).alias("n_replies"),
+            F.max("depth").cast("long").alias("max_depth"),
+            davg("depth").alias("avg_depth"),
+            F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+            .cast("long")
+            .alias("n_purchases"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+            dsum("value").alias("total_value"),
+            ((F.max("depth") >= 3) & (F.count("*") >= 4)).alias(
+                "is_deep_thread"
+            ),
+            F.when(F.max("depth") >= 3, "high")
+            .when(F.max("depth") >= 1, "medium")
+            .otherwise("low")
+            .alias("thread_quality"),
+        )
+        .orderBy("thread_id")
+    )

@@ -44,15 +44,17 @@ def load_all() -> None:
         advanced,
         aggregates,
         events,
+        hierarchy,
         indicators,
         joins,
         recursive,
+        regime_perf,
         relational,
         setops,
         windows,
     )
     from .plans import family_spine, models, signal_chain  # noqa: F401
-    from .quality import checks, schema_tests  # noqa: F401
+    from .quality import checks, coverage, schema_tests  # noqa: F401
     from .semantic import marts  # noqa: F401
     from .signals import acceleration, breadth, kernels  # noqa: F401
     from .similarity import ann  # noqa: F401
