@@ -299,3 +299,102 @@ def sector_regime_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ranked.unionByName(overall).orderBy("symbol", "regime")
+
+
+# --------------------------------------------------------------------------
+# Factor-tilt mapping (analysis/factor_tilts.sql:16-53): the monthly
+# regime history LEFT-joined to a literal regime->tilt seed (the
+# reference's UNNEST(STRUCT...) block), emitting the recommended factor
+# tilts per month. Broadcast seed join — the regime series is the only
+# scan.
+# --------------------------------------------------------------------------
+
+TILT_SEED = [
+    (
+        "expansion", "Neutral", "Overweight", "Neutral", "Underweight",
+        "Neutral", "Momentum tends to lead in sustained expansions.",
+    ),
+    (
+        "contraction", "Neutral", "Underweight", "Overweight", "Overweight",
+        "Underweight",
+        "Quality and low volatility typically hold up best in recessions.",
+    ),
+    (
+        "neutral", "Overweight", "Neutral", "Overweight", "Neutral",
+        "Neutral",
+        "Value and financial strength tend to outperform late-cycle.",
+    ),
+]
+
+_TILT_COLS = (
+    "value_tilt", "momentum_tilt", "quality_tilt", "low_vol_tilt",
+    "size_tilt", "notes",
+)
+
+_TILT_SEED_SQL = ", ".join(
+    "(" + ", ".join(f"'{v}'" for v in row) + ")" for row in TILT_SEED
+)
+
+_TILTS_ORACLE = f"""
+WITH regime_wide AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+    {sql_dsum("CASE WHEN l_returnflag = 'A' THEN " + _REV + " END")} AS rev_a,
+    {sql_dsum("CASE WHEN l_returnflag = 'N' THEN " + _REV + " END")} AS rev_n,
+    {sql_dsum("CASE WHEN l_returnflag = 'R' THEN " + _REV + " END")} AS rev_r
+  FROM lineitem GROUP BY 1
+),
+regimes AS (
+  SELECT month,
+    (CASE WHEN rev_n > COALESCE(rev_a, 0) + COALESCE(rev_r, 0)
+            THEN 'expansion'
+          WHEN COALESCE(rev_r, 0) > COALESCE(rev_n, 0) THEN 'contraction'
+          ELSE 'neutral' END) AS regime
+  FROM regime_wide
+),
+seed(regime, {", ".join(_TILT_COLS)}) AS (VALUES {_TILT_SEED_SQL})
+SELECT rh.month, rh.regime, {", ".join("rm." + c for c in _TILT_COLS)}
+FROM regimes rh
+LEFT JOIN seed rm ON rh.regime = rm.regime
+WHERE rh.regime IS NOT NULL
+ORDER BY rh.month
+"""
+
+
+@query("factor_tilts", oracle=_TILTS_ORACLE)
+def factor_tilts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        "decimal(28,6)"
+    )
+    regimes = (
+        li.groupBy(
+            F.trunc(F.to_date("l_shipdate"), "month").alias("month")
+        )
+        .pivot("l_returnflag", ["A", "N", "R"])
+        .agg(F.sum(rev).cast("double"))
+        .select(
+            "month",
+            F.when(
+                F.col("N")
+                > F.coalesce(F.col("A"), F.lit(0))
+                + F.coalesce(F.col("R"), F.lit(0)),
+                "expansion",
+            )
+            .when(
+                F.coalesce(F.col("R"), F.lit(0))
+                > F.coalesce(F.col("N"), F.lit(0)),
+                "contraction",
+            )
+            .otherwise("neutral")
+            .alias("regime"),
+        )
+    )
+    seed = spark.createDataFrame(
+        TILT_SEED, ["regime", *_TILT_COLS]
+    )
+    return (
+        regimes.join(F.broadcast(seed), on="regime", how="left")
+        .where(F.col("regime").isNotNull())
+        .select("month", "regime", *_TILT_COLS)
+        .orderBy("month")
+    )

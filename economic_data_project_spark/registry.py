@@ -43,6 +43,7 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         advanced,
         aggregates,
+        event_study,
         events,
         hierarchy,
         indicators,
@@ -56,7 +57,12 @@ def load_all() -> None:
     from .plans import family_spine, models, signal_chain  # noqa: F401
     from .quality import checks, coverage, schema_tests  # noqa: F401
     from .semantic import marts  # noqa: F401
-    from .signals import acceleration, breadth, kernels  # noqa: F401
+    from .signals import (  # noqa: F401
+        acceleration,
+        breadth,
+        divergences,
+        kernels,
+    )
     from .similarity import ann  # noqa: F401
     from .text import analysis, dedup, documents, extraction, ml  # noqa: F401
 
