@@ -43,10 +43,12 @@ def load_all() -> None:
     from .operators import (  # noqa: F401
         advanced,
         aggregates,
+        corr_enhanced,
         event_study,
         events,
         hierarchy,
         indicators,
+        leading_indicator,
         joins,
         recursive,
         regime_perf,
