@@ -66,7 +66,14 @@ def load_all() -> None:
         kernels,
     )
     from .similarity import ann  # noqa: F401
-    from .text import analysis, dedup, documents, extraction, ml  # noqa: F401
+    from .text import (  # noqa: F401
+        analysis,
+        dedup,
+        documents,
+        extraction,
+        mentions,
+        ml,
+    )
 
 
 def all_queries() -> dict[str, QueryFn]:

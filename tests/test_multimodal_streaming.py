@@ -172,3 +172,60 @@ def test_salted_join_equals_plain_join(spark):
     assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
     left = salted_join(fact, dim.where("k = 'hot'"), "k", "left")
     assert left.where("name IS NULL").count() == 200  # cold keys kept
+
+
+def test_stateful_running_totals_matches_batch(spark, tmp_path):
+    """applyInPandasWithState running per-user totals drained with
+    AvailableNow equal the batch aggregation over the same input."""
+    from economic_data_project_spark.streaming.stateful import (
+        running_user_totals,
+    )
+
+    stream = read_events_stream(spark, SF_DIR)
+    q = run_available_now_update(
+        running_user_totals(stream),
+        str(tmp_path / "ck_stateful"),
+        "stateful_totals",
+    )
+    q.stop()
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            """SELECT * FROM (
+                 SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY n_events DESC) AS rn
+                 FROM stateful_totals) WHERE rn = 1"""
+        ).collect()
+    }
+    batch = load_table(spark, SF_DIR, "events")
+    expected = {
+        r.user_id: r
+        for r in batch.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.max("value").alias("max_value"),
+        )
+        .collect()
+    }
+    assert set(got) == set(expected)
+    for uid, exp in expected.items():
+        assert got[uid].n_events == exp.n_events
+        assert got[uid].total_value == pytest.approx(
+            exp.total_value, abs=1e-6
+        )
+        assert got[uid].max_value == exp.max_value
+        assert got[uid].finalized == "open"
+
+
+def run_available_now_update(stream_df, checkpoint, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q
