@@ -56,7 +56,12 @@ def load_all() -> None:
         setops,
         windows,
     )
-    from .plans import family_spine, models, signal_chain  # noqa: F401
+    from .plans import (  # noqa: F401
+        family_spine,
+        models,
+        sensitivity_chain,
+        signal_chain,
+    )
     from .quality import checks, coverage, schema_tests  # noqa: F401
     from .semantic import marts  # noqa: F401
     from .signals import (  # noqa: F401
