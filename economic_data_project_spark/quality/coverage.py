@@ -149,3 +149,236 @@ def series_grain_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("entry_count").desc(), "series_code")
     )
+
+
+# --------------------------------------------------------------------------
+# Current data coverage / freshness report
+# (semantic_layer/current_data_coverage.sql:1-203): a declarative
+# source-spec seed (lookback window + warn/error freshness thresholds),
+# a UNION of per-source (entity, date) observations, per-source latest
+# date + trailing-window entity coverage vs the all-time entity
+# universe, and the healthy/partial/lagging/coverage_gap/stale status
+# ladder. Determinism: "today" is the union-wide MAX(observation_date)
+# instead of CURRENT_DATE (:125, :186); generated_at is dropped.
+# With events ending years after orders/lineitem, the market sources
+# legitimately classify as 'stale' — the ladder's full range is
+# exercised.
+# --------------------------------------------------------------------------
+
+SOURCE_SPECS = [
+    # source_name, domain, grain, lookback_days, warn_days, error_days
+    ("lineitem_raw", "markets", "daily_market_prices", 31, 5, 10),
+    ("orders_raw", "markets", "daily_market_prices", 31, 5, 10),
+    ("events_raw", "activity", "event_stream", 7, 2, 5),
+]
+
+_SPEC_SQL = ", ".join(
+    f"('{s}', '{d}', '{g}', {lb}, {w}, {e})"
+    for s, d, g, lb, w, e in SOURCE_SPECS
+)
+
+_COVERAGE_ORACLE = f"""
+WITH specs(source_name, source_domain, grain, lookback_days,
+           freshness_warn_days, freshness_error_days) AS
+  (VALUES {_SPEC_SQL}),
+observations AS (
+  SELECT 'lineitem_raw' AS source_name,
+         CAST(l_suppkey AS VARCHAR) AS entity_id,
+         CAST(l_shipdate AS DATE) AS observation_date
+  FROM lineitem WHERE l_suppkey IS NOT NULL AND l_shipdate IS NOT NULL
+  UNION ALL
+  SELECT 'orders_raw', CAST(o_custkey AS VARCHAR),
+         CAST(o_orderdate AS DATE)
+  FROM orders WHERE o_custkey IS NOT NULL AND o_orderdate IS NOT NULL
+  UNION ALL
+  SELECT 'events_raw', CAST(user_id AS VARCHAR), CAST(ts AS DATE)
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+),
+today AS (SELECT MAX(observation_date) AS today FROM observations),
+expected AS (
+  SELECT source_name,
+         CAST(COUNT(DISTINCT entity_id) AS BIGINT)
+           AS expected_entity_count
+  FROM observations GROUP BY source_name
+),
+latest AS (
+  SELECT source_name, MAX(observation_date) AS coverage_date
+  FROM observations GROUP BY source_name
+),
+windowed AS (
+  SELECT o.source_name, o.entity_id
+  FROM observations o
+  JOIN latest l ON o.source_name = l.source_name
+  JOIN specs s ON o.source_name = s.source_name
+  WHERE o.observation_date >= l.coverage_date - s.lookback_days
+),
+counts AS (
+  SELECT source_name,
+         CAST(COUNT(*) AS BIGINT) AS observed_row_count,
+         CAST(COUNT(DISTINCT entity_id) AS BIGINT)
+           AS observed_entity_count
+  FROM windowed GROUP BY source_name
+)
+SELECT
+  s.source_name || ':' || CAST(l.coverage_date AS VARCHAR) AS coverage_id,
+  s.source_name, s.source_domain, s.grain,
+  l.coverage_date,
+  l.coverage_date - s.lookback_days AS coverage_window_start,
+  CAST(s.lookback_days AS BIGINT) AS lookback_days,
+  e.expected_entity_count,
+  COALESCE(c.observed_entity_count, 0) AS observed_entity_count,
+  e.expected_entity_count - COALESCE(c.observed_entity_count, 0)
+    AS missing_entity_count,
+  COALESCE(c.observed_row_count, 0) AS observed_row_count,
+  (COALESCE(c.observed_entity_count, 0) * 1.0
+   / NULLIF(e.expected_entity_count, 0)) AS coverage_pct,
+  CAST(date_diff('day', l.coverage_date, t.today) AS BIGINT)
+    AS freshness_lag_days,
+  CAST(s.freshness_warn_days AS BIGINT) AS freshness_warn_days,
+  CAST(s.freshness_error_days AS BIGINT) AS freshness_error_days,
+  (CASE
+     WHEN e.expected_entity_count = 0 THEN 'no_expected_entities'
+     WHEN date_diff('day', l.coverage_date, t.today)
+          > s.freshness_error_days THEN 'stale'
+     WHEN (COALESCE(c.observed_entity_count, 0) * 1.0
+           / NULLIF(e.expected_entity_count, 0)) < 0.80
+       THEN 'coverage_gap'
+     WHEN date_diff('day', l.coverage_date, t.today)
+          > s.freshness_warn_days THEN 'lagging'
+     WHEN (COALESCE(c.observed_entity_count, 0) * 1.0
+           / NULLIF(e.expected_entity_count, 0)) < 0.98 THEN 'partial'
+     ELSE 'healthy' END) AS coverage_status
+FROM specs s
+CROSS JOIN today t
+LEFT JOIN latest l ON s.source_name = l.source_name
+LEFT JOIN expected e ON s.source_name = e.source_name
+LEFT JOIN counts c ON s.source_name = c.source_name
+ORDER BY s.source_name
+"""
+
+
+@query("current_data_coverage", oracle=_COVERAGE_ORACLE)
+def current_data_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    events = load_table(spark, sf_dir, "events")
+
+    obs = (
+        li.where(
+            F.col("l_suppkey").isNotNull()
+            & F.col("l_shipdate").isNotNull()
+        )
+        .select(
+            F.lit("lineitem_raw").alias("source_name"),
+            F.col("l_suppkey").cast("string").alias("entity_id"),
+            F.to_date("l_shipdate").alias("observation_date"),
+        )
+        .unionByName(
+            orders.where(
+                F.col("o_custkey").isNotNull()
+                & F.col("o_orderdate").isNotNull()
+            ).select(
+                F.lit("orders_raw").alias("source_name"),
+                F.col("o_custkey").cast("string").alias("entity_id"),
+                F.to_date("o_orderdate").alias("observation_date"),
+            )
+        )
+        .unionByName(
+            events.where(
+                F.col("user_id").isNotNull() & F.col("ts").isNotNull()
+            ).select(
+                F.lit("events_raw").alias("source_name"),
+                F.col("user_id").cast("string").alias("entity_id"),
+                F.to_date("ts").alias("observation_date"),
+            )
+        )
+    )
+    specs = spark.createDataFrame(
+        SOURCE_SPECS,
+        "source_name string, source_domain string, grain string,"
+        " lookback_days long, freshness_warn_days long,"
+        " freshness_error_days long",
+    )
+    today = obs.agg(F.max("observation_date").alias("today"))
+    expected = obs.groupBy("source_name").agg(
+        F.countDistinct("entity_id").cast("long").alias(
+            "expected_entity_count"
+        )
+    )
+    latest = obs.groupBy("source_name").agg(
+        F.max("observation_date").alias("coverage_date")
+    )
+    windowed = (
+        obs.join(F.broadcast(latest), on="source_name")
+        .join(F.broadcast(specs.select("source_name", "lookback_days")),
+              on="source_name")
+        .where(
+            F.col("observation_date")
+            >= F.date_sub(
+                F.col("coverage_date"),
+                F.col("lookback_days").cast("int"),
+            )
+        )
+    )
+    counts = windowed.groupBy("source_name").agg(
+        F.count("*").cast("long").alias("observed_row_count"),
+        F.countDistinct("entity_id").cast("long").alias(
+            "observed_entity_count"
+        ),
+    )
+    pct = (
+        F.coalesce("observed_entity_count", F.lit(0))
+        * 1.0
+        / F.nullif(F.col("expected_entity_count"), F.lit(0))
+    )
+    lag_days = F.datediff(F.col("today"), F.col("coverage_date")).cast(
+        "long"
+    )
+    return (
+        specs.crossJoin(F.broadcast(today))
+        .join(F.broadcast(latest), on="source_name", how="left")
+        .join(F.broadcast(expected), on="source_name", how="left")
+        .join(F.broadcast(counts), on="source_name", how="left")
+        .select(
+            F.concat(
+                F.col("source_name"),
+                F.lit(":"),
+                F.col("coverage_date").cast("string"),
+            ).alias("coverage_id"),
+            "source_name",
+            "source_domain",
+            "grain",
+            "coverage_date",
+            F.date_sub(
+                F.col("coverage_date"),
+                F.col("lookback_days").cast("int"),
+            ).alias("coverage_window_start"),
+            "lookback_days",
+            "expected_entity_count",
+            F.coalesce("observed_entity_count", F.lit(0)).alias(
+                "observed_entity_count"
+            ),
+            (
+                F.col("expected_entity_count")
+                - F.coalesce("observed_entity_count", F.lit(0))
+            ).alias("missing_entity_count"),
+            F.coalesce("observed_row_count", F.lit(0)).alias(
+                "observed_row_count"
+            ),
+            pct.alias("coverage_pct"),
+            lag_days.alias("freshness_lag_days"),
+            "freshness_warn_days",
+            "freshness_error_days",
+            F.when(
+                F.col("expected_entity_count") == 0,
+                "no_expected_entities",
+            )
+            .when(lag_days > F.col("freshness_error_days"), "stale")
+            .when(pct < 0.80, "coverage_gap")
+            .when(lag_days > F.col("freshness_warn_days"), "lagging")
+            .when(pct < 0.98, "partial")
+            .otherwise("healthy")
+            .alias("coverage_status"),
+        )
+        .orderBy("source_name")
+    )

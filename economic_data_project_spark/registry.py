@@ -66,6 +66,7 @@ def load_all() -> None:
     from .semantic import marts  # noqa: F401
     from .signals import (  # noqa: F401
         acceleration,
+        alerts,
         breadth,
         divergences,
         kernels,
