@@ -49,6 +49,7 @@ def load_all() -> None:
         hierarchy,
         indicators,
         leading_indicator,
+        market_analysis,
         joins,
         recursive,
         regime_perf,
