@@ -47,6 +47,7 @@ def load_all() -> None:
         event_study,
         events,
         hierarchy,
+        housing,
         indicators,
         leading_indicator,
         market_analysis,
@@ -80,6 +81,7 @@ def load_all() -> None:
         extraction,
         mentions,
         ml,
+        sampling,
     )
 
 

@@ -233,3 +233,129 @@ def market_breadth_mcclellan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("zweig_thrust_signal"),
     ).orderBy("d")
+
+
+# --------------------------------------------------------------------------
+# Per-sector % of members above the 200-day MA, sampled weekly
+# (analysis/dispersion/sector_breadth_timeseries.sql:37-115): per-member
+# 200d SMA with a warm-up count guard, member->sector rollup to a daily
+# percentage, then ROW_NUMBER-downsampling to the last trading day per
+# (sector, week). Members = the 25 nations; sectors = their regions.
+# The CURRENT_DATE trailing windows are dropped (oracle determinism) —
+# the warm-up guard alone trims the early series.
+# --------------------------------------------------------------------------
+
+_BREADTH_TS_ORACLE = """
+WITH member_daily AS (
+  SELECT n_name AS member, r_name AS sector,
+         CAST(l_shipdate AS DATE) AS date,
+         CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                  AS DECIMAL(28,6))) AS DOUBLE) / 1e6 AS price
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY 1, 2, 3
+),
+with_ma AS (
+  SELECT *,
+    CAST(SUM(CAST(price AS DECIMAL(28,6))) OVER w200 AS DOUBLE)
+      / COUNT(*) OVER w200 AS sma_200,
+    COUNT(*) OVER w200 AS ma_days
+  FROM member_daily
+  WINDOW w200 AS (PARTITION BY member ORDER BY date
+                  ROWS BETWEEN 199 PRECEDING AND CURRENT ROW)
+),
+flags AS (
+  SELECT date, sector,
+    (CASE WHEN ma_days >= 200 AND price > sma_200 THEN 1 ELSE 0 END)
+      AS above_200_ma
+  FROM with_ma
+  WHERE ma_days >= 200
+),
+daily_breadth AS (
+  SELECT date, sector,
+    CAST(COUNT(*) AS BIGINT) AS sector_member_count,
+    CAST(SUM(above_200_ma) AS BIGINT) AS members_above_200_ma,
+    ROUND(SUM(above_200_ma) * 100.0 / COUNT(*), 1) AS pct_above_200_ma
+  FROM flags GROUP BY date, sector
+),
+weekly AS (
+  SELECT *,
+    ROW_NUMBER() OVER (PARTITION BY sector, date_trunc('week', date)
+                       ORDER BY date DESC) AS rn
+  FROM daily_breadth
+)
+SELECT date, sector, sector_member_count, members_above_200_ma,
+       pct_above_200_ma
+FROM weekly WHERE rn = 1
+ORDER BY date, sector
+"""
+
+
+@query("sector_breadth_timeseries", oracle=_BREADTH_TS_ORACLE)
+def sector_breadth_timeseries(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+        DEC
+    )
+    member_daily = (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy(
+            F.col("n_name").alias("member"),
+            F.col("r_name").alias("sector"),
+            F.to_date("l_shipdate").alias("date"),
+        )
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("price"))
+    )
+    w200 = (
+        Window.partitionBy("member")
+        .orderBy("date")
+        .rowsBetween(-199, 0)
+    )
+    sma = (
+        F.sum(F.col("price").cast(DEC)).over(w200).cast("double")
+        / F.count("*").over(w200)
+    )
+    flags = (
+        member_daily.select(
+            "date",
+            "sector",
+            sma.alias("sma_200"),
+            F.count("*").over(w200).alias("ma_days"),
+            "price",
+        )
+        .where(F.col("ma_days") >= 200)
+        .select(
+            "date",
+            "sector",
+            F.when(F.col("price") > F.col("sma_200"), 1)
+            .otherwise(0)
+            .alias("above_200_ma"),
+        )
+    )
+    daily_breadth = flags.groupBy("date", "sector").agg(
+        F.count("*").cast("long").alias("sector_member_count"),
+        F.sum("above_200_ma").cast("long").alias(
+            "members_above_200_ma"
+        ),
+        F.round(
+            F.sum("above_200_ma") * 100.0 / F.count("*"), 1
+        ).alias("pct_above_200_ma"),
+    )
+    wk = Window.partitionBy(
+        "sector", F.trunc("date", "week")
+    ).orderBy(F.col("date").desc())
+    return (
+        daily_breadth.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+        .orderBy("date", "sector")
+    )

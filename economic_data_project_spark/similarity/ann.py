@@ -452,3 +452,230 @@ def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-style ANN: coarse quantizer -> inverted lists -> probed exact
+# search. The scale path beyond sign-LSH: cluster the corpus once, then
+# each query scores only nprobe inverted lists (~nprobe/K of the
+# corpus). Reference ships brute force (semantic_search.py:80-84); this
+# is the standard IVF upgrade, kept fully deterministic:
+# - centroid init = the first K vectors by vec_id (no RNG);
+# - ONE Lloyd step, with per-dimension means decimal-exact
+#   (posexplode -> SUM(DECIMAL)/COUNT per (cluster, dim)) so both
+#   engines rebuild bit-identical centroids — a distributed k-means
+#   iteration expressed relationally;
+# - assignment/probe ranking tiebreak on id.
+# The oracle runs the SAME algorithm, so the contract is exact over
+# what IVF promises (recall within probed cells), not a fuzzy
+# approximation. At 100 TB: centroids broadcast, assignment is
+# map-side argmax, the probe join shuffles only (cluster_id) lists.
+# --------------------------------------------------------------------------
+
+_IVF_K = 16
+_IVF_NPROBE = 4
+_DIM = 64
+
+
+def _ivf_oracle() -> str:
+    dot_qc = DOT_DUCK.format(a="q.embedding", b="c.centroid")
+    norm_c = NORM_DUCK.format(v="c.centroid")
+    dot_vc = DOT_DUCK.format(a="v.embedding", b="c.centroid")
+    norm_v = NORM_DUCK.format(v="v.embedding")
+    dot_qx = DOT_DUCK.format(a="q.embedding", b="x.embedding")
+    return f"""
+WITH init AS (
+  SELECT vec_id AS cluster0, embedding AS cent0,
+         {NORM_DUCK.format(v="embedding")} AS norm0
+  FROM embeddings WHERE vec_id < {_IVF_K}
+),
+corpus AS (
+  SELECT vec_id, embedding, label,
+         {NORM_DUCK.format(v="embedding")} AS vnorm
+  FROM embeddings
+),
+assign0 AS (
+  SELECT vec_id, cluster0 AS cluster FROM (
+    SELECT v.vec_id, i.cluster0,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        ({DOT_DUCK.format(a="v.embedding", b="i.cent0")}
+         / (v.vnorm * i.norm0)) DESC, i.cluster0) AS rn
+    FROM corpus v CROSS JOIN init i
+  ) WHERE rn = 1
+),
+dims AS (
+  SELECT a.cluster, t.i, CAST(v.embedding[t.i] AS DOUBLE) AS val
+  FROM assign0 a
+  JOIN corpus v USING (vec_id)
+  CROSS JOIN generate_series(1, {_DIM}) AS t(i)
+),
+centroids AS (
+  SELECT cluster, list(mean_val ORDER BY i) AS centroid
+  FROM (
+    SELECT cluster, i,
+      CAST(SUM(CAST(val AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+        AS mean_val
+    FROM dims GROUP BY cluster, i
+  ) GROUP BY cluster
+),
+final_assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        ({dot_vc} / (v.vnorm * {norm_c})) DESC, c.cluster) AS rn
+    FROM corpus v CROSS JOIN centroids c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster, probe_rank FROM (
+    SELECT q.vec_id AS query_id, c.cluster,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ({dot_qc} / (q.vnorm * {norm_c})) DESC, c.cluster)
+        AS probe_rank
+    FROM corpus q CROSS JOIN centroids c
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE probe_rank <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.label,
+    ({dot_qx} / (q.vnorm * x.vnorm)) AS cosine
+  FROM probes p
+  JOIN final_assign fa ON p.cluster = fa.cluster
+  JOIN corpus x ON fa.vec_id = x.vec_id
+  JOIN corpus q ON p.query_id = q.vec_id
+  WHERE x.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, label, cosine, rnk AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.expr(NORM_SPARK.format(v="embedding")).alias("vnorm"),
+    )
+    init = corpus.where(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cluster0"),
+        F.col("embedding").alias("cent0"),
+        F.col("vnorm").alias("norm0"),
+    )
+
+    def argmin_assign(vectors: DataFrame, cents: DataFrame,
+                      cos_expr: str, cluster_col: str) -> DataFrame:
+        scored = vectors.crossJoin(F.broadcast(cents)).select(
+            "vec_id",
+            F.col(cluster_col).alias("cluster"),
+            F.expr(cos_expr).alias("c"),
+        )
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("c").desc(), F.col("cluster")
+        )
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", "cluster")
+        )
+
+    cos0 = (
+        DOT_SPARK.format(a="embedding", b="cent0")
+        + " / (vnorm * norm0)"
+    )
+    assign0 = argmin_assign(corpus, init, cos0, "cluster0")
+
+    dims = (
+        assign0.join(corpus, on="vec_id")
+        .select(
+            "cluster", F.posexplode("embedding").alias("pos", "val")
+        )
+        .select(
+            "cluster",
+            (F.col("pos") + 1).alias("i"),
+            F.col("val").cast("double").alias("val"),
+        )
+    )
+    centroids = (
+        dims.groupBy("cluster", "i")
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(28,6)")).cast("double")
+                / F.count("*")
+            ).alias("mean_val")
+        )
+        .groupBy("cluster")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, mean_val))),"
+                " s -> s.mean_val)"
+            ).alias("centroid")
+        )
+        .withColumn(
+            "cnorm", F.expr(NORM_SPARK.format(v="centroid"))
+        )
+    )
+    cos1 = (
+        DOT_SPARK.format(a="embedding", b="centroid")
+        + " / (vnorm * cnorm)"
+    )
+    final_assign = argmin_assign(corpus, centroids, cos1, "cluster")
+
+    queries = corpus.where(F.col("vec_id") < _N_QUERIES)
+    probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
+        F.col("vec_id").alias("query_id"),
+        "cluster",
+        F.expr(cos1).alias("c"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("cluster")
+    )
+    probes = (
+        probe_scored.withColumn("probe_rank", F.row_number().over(wq))
+        .where(F.col("probe_rank") <= _IVF_NPROBE)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        probes.join(final_assign, on="cluster")
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("vnorm").alias("q_norm"),
+    )
+    x = corpus.select(
+        "vec_id",
+        F.col("embedding").alias("x_emb"),
+        F.col("vnorm").alias("x_norm"),
+        "label",
+    )
+    cos_qx = (
+        DOT_SPARK.format(a="q_emb", b="x_emb") + " / (q_norm * x_norm)"
+    )
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(x, on="vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "label",
+            F.expr(cos_qx).alias("cosine"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _TOP_K)
+        .orderBy("query_id", "rank")
+    )
