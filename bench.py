@@ -38,6 +38,11 @@ HEADLINE = [
     "technical_indicator_daily",  # 14-indicator wide battery
     "signal_chain_events",      # 4-layer chain, 12-signal state machine
     "signal_families_spine",    # 6-family full-outer composite spine
+    # round 2 additions (new rows — no prior-round baseline to regress)
+    "sector_indicator_sensitivity",  # 9-corr pair battery chain layer
+    "thread_structure",         # pointer-doubling hierarchy resolution
+    "ann_ivf_topk",             # IVF inverted-list ANN (Lloyd step)
+    "dq_schema_tests",          # one-scan-per-table declarative tests
 ]
 
 

@@ -93,14 +93,35 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
         F.coalesce("parent_id", "event_id").alias("anc"),
         F.when(F.col("parent_id").isNull(), 0).otherwise(1).alias("d"),
     ).persist()
-    # Upper bound on chain length -> iteration count (metadata scalar).
-    max_chain = (
-        linked.groupBy("user_id")
-        .agg(F.count("*").alias("n"))
-        .agg(F.max("n"))
-        .first()[0]
-        or 1
-    )
+    # Bound on chain length -> iteration count (metadata scalar). When
+    # the frame carries the session order (ts), the exact longest run
+    # via gaps-and-islands over the root flag — each extra doubling
+    # round is a full self-join, so a tight bound matters. For generic
+    # forests (no ts) fall back to the loose max-events-per-user bound.
+    if "ts" in linked.columns:
+        wq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        wcum = wq.rowsBetween(Window.unboundedPreceding, 0)
+        max_chain = (
+            linked.withColumn(
+                "grp",
+                F.sum(
+                    F.when(F.col("parent_id").isNull(), 1).otherwise(0)
+                ).over(wcum),
+            )
+            .groupBy("user_id", "grp")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+            or 1
+        )
+    else:
+        max_chain = (
+            linked.groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+            or 1
+        )
     for _ in range(max(1, math.ceil(math.log2(max(2, max_chain))))):
         hop = ptr.select(
             F.col("id").alias("h_id"),
@@ -133,6 +154,7 @@ def thread_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "value",
+        "ts",
         F.when(
             F.lag("ts").over(w).isNotNull()
             & (

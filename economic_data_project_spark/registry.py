@@ -44,6 +44,7 @@ def load_all() -> None:
         advanced,
         aggregates,
         corr_enhanced,
+        data_points,
         event_study,
         events,
         hierarchy,
