@@ -83,6 +83,7 @@ def load_all() -> None:
         mentions,
         ml,
         sampling,
+        trends,
     )
 
 
