@@ -242,3 +242,209 @@ def cross_asset_divergences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("defensive_ratio_uptrend_flag"),
     ).orderBy("date")
+
+
+# --------------------------------------------------------------------------
+# Rolling-OLS residual kernel (int_cross_asset_commodity_signals.sql:14-105):
+# 252d rolling linear regression of the commodity price on the real
+# yield via windowed moment averages (beta = (E[xy]-E[x]E[y]) /
+# (E[x^2]-E[x]^2)), the regression residual, its rolling z-score, and
+# the 252d copper/gold-ratio-vs-yield rolling correlation. A rolling
+# regression is the one kernel the cross-asset stack adds beyond
+# SMA/corr — expressed entirely as decimal-exact windowed sums.
+# Series mapping: gold = flag-N daily revenue, real yield = flag-A mean
+# discount x 100, copper = flag-R daily revenue, treasury yield = mean
+# tax x 100.
+# --------------------------------------------------------------------------
+
+_ROLL = "(ORDER BY date ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)"
+
+
+def _ols_oracle() -> str:
+    ax = ta.sql_wavg("real_yield_10y", _ROLL)
+    ay = ta.sql_wavg("gold_price", _ROLL)
+    axy = ta.sql_wavg("real_yield_10y * gold_price", _ROLL)
+    ax2 = ta.sql_wavg("real_yield_10y * real_yield_10y", _ROLL)
+    res = "CASE WHEN beta IS NOT NULL AND alpha IS NOT NULL" \
+          " THEN gold_price - (alpha + beta * real_yield_10y) END"
+    ravg = ta.sql_wavg(res, "w")
+    rstd = ta.sql_wstd(res, "w")
+    n = "COUNT(copper_gold_ratio) OVER w"
+    sx = ta.sql_wsum("copper_gold_ratio", "w")
+    sy = ta.sql_wsum("treasury_10y_yield", "w")
+    sxx = ta.sql_wsum("copper_gold_ratio * copper_gold_ratio", "w")
+    syy = ta.sql_wsum("treasury_10y_yield * treasury_10y_yield", "w")
+    sxy = ta.sql_wsum("copper_gold_ratio * treasury_10y_yield", "w")
+    return f"""
+WITH daily AS (
+  SELECT CAST(l_shipdate AS DATE) AS date,
+    {_sql_rev("N")} AS gold_price,
+    {_sql_rev("R")} AS copper_price,
+    (CAST(SUM(CASE WHEN l_returnflag = 'A'
+                   THEN CAST(l_discount AS DECIMAL(28,6)) END) AS DOUBLE)
+     / COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END)) * 100
+      AS real_yield_10y,
+    (CAST(SUM(CAST(l_tax AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)) * 100
+      AS treasury_10y_yield
+  FROM lineitem GROUP BY 1
+),
+reg AS (
+  SELECT date, gold_price, copper_price, real_yield_10y,
+         treasury_10y_yield,
+    {ax} AS avg_x, {ay} AS avg_y, {axy} AS avg_xy, {ax2} AS avg_x2
+  FROM daily
+),
+fitted AS (
+  SELECT *,
+    (CASE WHEN (avg_x2 - avg_x * avg_x) != 0
+          THEN (avg_xy - avg_x * avg_y) / (avg_x2 - avg_x * avg_x) END)
+      AS beta,
+    (CASE WHEN (avg_x2 - avg_x * avg_x) != 0
+          THEN avg_y - ((avg_xy - avg_x * avg_y)
+                        / (avg_x2 - avg_x * avg_x)) * avg_x END)
+      AS alpha,
+    (copper_price / NULLIF(gold_price, 0)) * 1000 AS copper_gold_ratio
+  FROM reg
+),
+rolled AS (
+  SELECT *,
+    ({res}) AS gold_real_residual,
+    {ravg} AS residual_avg,
+    {rstd} AS residual_std,
+    (CASE WHEN {n} > 1 THEN ({sxy} - {sx} * {sy} / {n})
+       / NULLIF(SQRT(GREATEST(({sxx} - {sx} * {sx} / {n})
+           * ({syy} - {sy} * {sy} / {n}), 0.0)), 0) END)
+      AS copper_gold_yield_corr_252d
+  FROM fitted
+  WINDOW w AS (ORDER BY date ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
+)
+SELECT date, gold_price, real_yield_10y,
+  ROUND(beta, 9) AS beta, ROUND(alpha, 9) AS alpha,
+  ROUND(gold_real_residual, 9) AS gold_real_residual,
+  ROUND((CASE WHEN residual_std > 0
+        THEN (gold_real_residual - residual_avg) / residual_std END), 9)
+    AS gold_real_residual_zscore,
+  copper_gold_ratio, treasury_10y_yield,
+  ROUND(copper_gold_yield_corr_252d, 9) AS copper_gold_yield_corr_252d
+FROM rolled
+ORDER BY date
+"""
+
+
+@query("commodity_real_residual", oracle=_ols_oracle())
+def commodity_real_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+
+    def frev(flag: str):
+        return (
+            F.sum(F.when(F.col("l_returnflag") == flag, rev)).cast(
+                "double"
+            )
+            / F.lit(1e6)
+        )
+
+    daily = li.groupBy(F.to_date("l_shipdate").alias("date")).agg(
+        frev("N").alias("gold_price"),
+        frev("R").alias("copper_price"),
+        (
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "A",
+                    F.col("l_discount").cast(DEC),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("l_returnflag") == "A", F.lit(1)))
+            * 100
+        ).alias("real_yield_10y"),
+        (
+            F.sum(F.col("l_tax").cast(DEC)).cast("double")
+            / F.count("*")
+            * 100
+        ).alias("treasury_10y_yield"),
+    )
+    w = Window.orderBy("date").rowsBetween(-251, 0)
+    x, y = F.col("real_yield_10y"), F.col("gold_price")
+    reg = daily.select(
+        "*",
+        ta.wavg(x, w).alias("avg_x"),
+        ta.wavg(y, w).alias("avg_y"),
+        ta.wavg(x * y, w).alias("avg_xy"),
+        ta.wavg(x * x, w).alias("avg_x2"),
+    )
+    var_x = F.col("avg_x2") - F.col("avg_x") * F.col("avg_x")
+    beta = F.when(
+        var_x != 0,
+        (F.col("avg_xy") - F.col("avg_x") * F.col("avg_y")) / var_x,
+    )
+    alpha = F.when(
+        var_x != 0,
+        F.col("avg_y")
+        - (F.col("avg_xy") - F.col("avg_x") * F.col("avg_y"))
+        / var_x
+        * F.col("avg_x"),
+    )
+    fitted = reg.select(
+        "*",
+        beta.alias("beta"),
+        alpha.alias("alpha"),
+        (
+            (F.col("copper_price") / F.nullif(y, F.lit(0))) * 1000
+        ).alias("copper_gold_ratio"),
+    )
+    res = F.when(
+        F.col("beta").isNotNull() & F.col("alpha").isNotNull(),
+        y - (F.col("alpha") + F.col("beta") * x),
+    )
+    cg, ty = F.col("copper_gold_ratio"), F.col("treasury_10y_yield")
+    n = F.count(cg).over(w)
+    sx, sy = ta.wsum(cg, w), ta.wsum(ty, w)
+    sxx, syy, sxy = (
+        ta.wsum(cg * cg, w),
+        ta.wsum(ty * ty, w),
+        ta.wsum(cg * ty, w),
+    )
+    corr = F.when(
+        n > 1,
+        (sxy - sx * sy / n)
+        / F.nullif(
+            F.sqrt(
+                F.greatest(
+                    (sxx - sx * sx / n) * (syy - sy * sy / n),
+                    F.lit(0.0),
+                )
+            ),
+            F.lit(0),
+        ),
+    )
+    rolled = fitted.select(
+        "*",
+        res.alias("gold_real_residual"),
+        ta.wavg(res, w).alias("residual_avg"),
+        ta.wstd(res, w).alias("residual_std"),
+        corr.alias("copper_gold_yield_corr_252d"),
+    )
+    # Derived regression/corr outputs rounded to 9dp on BOTH sides:
+    # windowed sums of messy products can land on decimal-cast ties
+    # where the engines' half-rounding disagrees by 1 ulp.
+    return rolled.select(
+        "date",
+        "gold_price",
+        "real_yield_10y",
+        F.round("beta", 9).alias("beta"),
+        F.round("alpha", 9).alias("alpha"),
+        F.round("gold_real_residual", 9).alias("gold_real_residual"),
+        F.round(
+            F.when(
+                F.col("residual_std") > 0,
+                (F.col("gold_real_residual") - F.col("residual_avg"))
+                / F.col("residual_std"),
+            ),
+            9,
+        ).alias("gold_real_residual_zscore"),
+        "copper_gold_ratio",
+        "treasury_10y_yield",
+        F.round("copper_gold_yield_corr_252d", 9).alias(
+            "copper_gold_yield_corr_252d"
+        ),
+    ).orderBy("date")
