@@ -138,3 +138,36 @@ def test_filter_pushdown_crosses_dag_model_boundaries(spark):
     plan = _plan(df)
     assert "PushedFilters: [" in plan
     assert "IsNotNull(l_quantity)" in plan or "GreaterThan(l_quantity" in plan
+
+
+def test_stratified_sample_map_only(spark):
+    """Hash-gate sampling is a pure map over the scan: the gate (md5 +
+    substring + compare) must not introduce any shuffle. One Exchange
+    is allowed for the display ORDER BY only."""
+    df = all_queries()["stratified_sample"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Exchange") <= 1
+
+
+def test_ivf_centroids_broadcast(spark):
+    """IVF assignment/probing broadcasts the centroid table — the
+    corpus must never shuffle against 16 centroid rows."""
+    df = all_queries()["ann_ivf_topk"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_schema_tests_single_scan_rowlevel(spark):
+    """All row-level column tests for one table compile into ONE
+    aggregate pass: the orders scan appears once for the row-level
+    battery (plus one scan each for the uniqueness group-by and the
+    relationship anti-join child — 3 total), never once per test."""
+    df = all_queries()["dq_schema_tests"](spark, SF_DIR)
+    plan = _plan(df)
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    n_orders_scans = phys.count("orders.parquet")
+    n_orders_tests = 6  # not_null x3 + accepted_values x2 + positive
+    assert n_orders_scans <= 4, (
+        f"{n_orders_scans} orders scans for {n_orders_tests} row-level "
+        "tests — the one-scan battery regressed to scan-per-test"
+    )
