@@ -91,7 +91,7 @@ GRAPH = ModelGraph()
 
 # ------------------------------------------------------------- layer 0
 
-@GRAPH.model("sens_panel")
+@GRAPH.model("sens_panel", materialization="cached_view")
 def sens_panel(spark: SparkSession) -> DataFrame:
     orders = spark.table("__src_orders")
     li = spark.table("__src_lineitem")
@@ -178,7 +178,11 @@ def _pair_means(panel: DataFrame) -> DataFrame:
     return panel.groupBy("symbol", "series_code").agg(*aggs)
 
 
-@GRAPH.model("sector_indicator_sensitivity", deps=("sens_panel",))
+@GRAPH.model(
+    "sector_indicator_sensitivity",
+    deps=("sens_panel",),
+    materialization="cached_view",
+)
 def sector_indicator_sensitivity_model(spark: SparkSession) -> DataFrame:
     panel = spark.table("sens_panel")
     cat = spark.createDataFrame(
