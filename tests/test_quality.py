@@ -82,3 +82,37 @@ def test_schema_test_engine(spark):
     assert out[("child", "v", "value_in_range")] == (2, "fail")
     assert out[("child", "v", "positive")] == (1, "fail")
     assert out[("child", "fk", "relationships")] == (1, "fail")
+
+
+def test_hash_gate_sampling_monotone(spark):
+    """Hash-gate property: raising a stratum's rate only ADDS rows —
+    sample(r1) is a subset of sample(r2) for r1 < r2, because inclusion
+    is a fixed hash-prefix compare against a growing threshold. This is
+    the reproducibility contract seeded sampleBy cannot give."""
+    from unittest import mock
+
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark.text import sampling as sm
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.lit("en").alias("lang"),
+        F.lit("s").alias("source"),
+        F.lit(10).alias("n_chars"),
+    )
+
+    def ids(rate):
+        with mock.patch.object(sm, "STRATA", [("en", rate), ("other", 1.0)]):
+            gate = sm._gate_col()
+            rate_col = sm._rate_col()
+            return {
+                r.doc_id
+                for r in docs.select("doc_id", "lang")
+                .where(gate)
+                .collect()
+            }
+
+    small, big = ids(0.2), ids(0.6)
+    assert small <= big
+    assert len(small) < len(big) < 500
