@@ -73,6 +73,7 @@ def load_all() -> None:
         breadth,
         divergences,
         kernels,
+        volatility,
     )
     from .similarity import ann  # noqa: F401
     from .text import (  # noqa: F401

@@ -1,0 +1,312 @@
+"""Market volatility signals: realized / Parkinson / Garman-Klass / VRP.
+
+Mirror of ``dbt_project/models/signals/market_volatility_signals.sql``:
+implied-vol context windows (20d avg/min/max + daily change, :18-26),
+close-to-close realized volatility annualized by sqrt(252) (:59-68),
+the Parkinson range estimator ``SUM(ln(h/l)^2) / (4 n ln 2)`` (:85-94),
+the Garman-Klass estimator ``0.5 ln(h/l)^2 - (2 ln 2 - 1) ln(c/o)^2``
+(:95), and the variance risk premium (implied minus realized, :160-163)
+for two entities LEFT-joined on the implied-vol spine (:125-168).
+
+Series mapping: implied vol = flag-A mean discount x 100; SPY/QQQ =
+flag-N / flag-R daily bars (close = revenue/1e6, high/low = price
+extrema); open proxied by the prior close (the data has no open).
+
+Determinism: LN is libm territory — ``ln(h/l)`` can differ by 1 ulp
+between the JVM and DuckDB. Both log terms are rounded to 9dp BEFORE
+the windowed decimal-exact sums, and all vol outputs rounded to 9dp,
+per the engine's libm policy. CURRENT_DATE trailing filter dropped.
+
+Scale: one hash-agg to daily bars; windows partition per symbol; the
+estimator fan-out is a single window pass; the final 3-way join is
+per-date.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions import ta
+from ..registry import query
+
+DEC = "decimal(28,6)"
+_REV = "l_extendedprice * (1 - l_discount)"
+LN2 = math.log(2.0)
+_GK_C = 2 * LN2 - 1
+
+
+def _vol_oracle() -> str:
+    def wsum(expr: str, n: int) -> str:
+        w = (
+            f"(PARTITION BY symbol ORDER BY date"
+            f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        )
+        return ta.sql_wsum(expr, w)
+
+    def wstd_ret(n: int) -> str:
+        w = (
+            f"(PARTITION BY symbol ORDER BY date"
+            f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
+        )
+        return ta.sql_wstd("daily_return", w)
+
+    cols = []
+    for n in (20, 30):
+        cols.append(
+            f"ROUND({wstd_ret(n)} * SQRT(252.0) * 100, 9)"
+            f" AS realized_vol_{n}d"
+        )
+    for n in (20, 60):
+        cols.append(
+            f"ROUND(SQRT(({wsum('log_hl * log_hl', n)}"
+            f" / (4.0 * {n} * CAST({LN2!r} AS DOUBLE))) * 252) * 100, 9)"
+            f" AS parkinson_vol_{n}d"
+        )
+        cols.append(
+            f"ROUND(SQRT(GREATEST(({wsum('gk_component', n)} / {n}.0)"
+            f" * 252, 0.0)) * 100, 9) AS gk_vol_{n}d"
+        )
+    est_cols = ",\n    ".join(cols)
+    vrp = ",\n  ".join(
+        f"ROUND(v.vix_close - {s}.realized_vol_{n}d, 9)"
+        f" AS {s}_vrp_{n}d"
+        for s in ("spy", "qqq")
+        for n in (20, 30)
+    )
+    sym_cols = ",\n  ".join(
+        f"{s}.{c} AS {s}_{c}"
+        for s in ("spy", "qqq")
+        for c in (
+            "realized_vol_20d",
+            "realized_vol_30d",
+            "parkinson_vol_20d",
+            "parkinson_vol_60d",
+            "gk_vol_20d",
+            "gk_vol_60d",
+        )
+    )
+    return f"""
+WITH bars AS (
+  SELECT l_returnflag AS symbol, CAST(l_shipdate AS DATE) AS date,
+    CAST(SUM(CAST({_REV} AS DECIMAL(28,6))) AS DOUBLE) / 1e6 AS close,
+    MAX(l_extendedprice) / 1e4 AS high,
+    MIN(l_extendedprice) / 1e4 AS low
+  FROM lineitem WHERE l_returnflag IN ('N', 'R') GROUP BY 1, 2
+),
+vol_inputs AS (
+  SELECT symbol, date,
+    ROUND(close / NULLIF(LAG(close) OVER ws, 0) - 1, 6) AS daily_return,
+    ROUND(LN(high / low), 9) AS log_hl,
+    ROUND(LN(close / NULLIF(LAG(close) OVER ws, 0)), 9) AS log_co
+  FROM bars
+  WINDOW ws AS (PARTITION BY symbol ORDER BY date)
+),
+gk_in AS (
+  SELECT *,
+    (0.5 * log_hl * log_hl
+     - CAST({_GK_C!r} AS DOUBLE) * log_co * log_co)
+      AS gk_component
+  FROM vol_inputs
+  WHERE daily_return IS NOT NULL
+),
+vol_estimates AS (
+  SELECT symbol, date,
+    {est_cols}
+  FROM gk_in
+),
+vix AS (
+  SELECT CAST(l_shipdate AS DATE) AS date,
+    (CAST(SUM(CASE WHEN l_returnflag = 'A'
+                   THEN CAST(l_discount AS DECIMAL(28,6)) END) AS DOUBLE)
+     / COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END)) * 100
+      AS vix_close
+  FROM lineitem GROUP BY 1
+),
+vix_stats AS (
+  SELECT date, vix_close,
+    {ta.sql_wavg("vix_close",
+                 "(ORDER BY date ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)")}
+      AS vix_avg_20d,
+    MIN(vix_close) OVER (ORDER BY date
+      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vix_min_20d,
+    MAX(vix_close) OVER (ORDER BY date
+      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vix_max_20d,
+    LAG(vix_close) OVER (ORDER BY date) AS vix_prev_close
+  FROM vix
+)
+SELECT v.date, v.vix_close, v.vix_avg_20d, v.vix_min_20d, v.vix_max_20d,
+  v.vix_prev_close,
+  (v.vix_close - v.vix_prev_close) AS vix_daily_change,
+  (CASE WHEN v.vix_prev_close > 0
+        THEN (v.vix_close - v.vix_prev_close) / v.vix_prev_close * 100
+        ELSE 0 END) AS vix_daily_change_pct,
+  {sym_cols},
+  {vrp}
+FROM vix_stats v
+LEFT JOIN (SELECT * FROM vol_estimates WHERE symbol = 'N') spy
+  ON v.date = spy.date
+LEFT JOIN (SELECT * FROM vol_estimates WHERE symbol = 'R') qqq
+  ON v.date = qqq.date
+ORDER BY v.date
+"""
+
+
+@query("market_volatility_signals", oracle=_vol_oracle())
+def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+
+    bars = (
+        li.where(F.col("l_returnflag").isin("N", "R"))
+        .groupBy(
+            F.col("l_returnflag").alias("symbol"),
+            F.to_date("l_shipdate").alias("date"),
+        )
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(1e6)).alias("close"),
+            (F.max("l_extendedprice") / F.lit(1e4)).alias("high"),
+            (F.min("l_extendedprice") / F.lit(1e4)).alias("low"),
+        )
+    )
+    ws = Window.partitionBy("symbol").orderBy("date")
+    prev = F.lag("close").over(ws)
+    vol_inputs = bars.select(
+        "symbol",
+        "date",
+        F.round(F.col("close") / F.nullif(prev, F.lit(0)) - 1, 6).alias(
+            "daily_return"
+        ),
+        F.round(F.log(F.col("high") / F.col("low")), 9).alias("log_hl"),
+        F.round(
+            F.log(F.col("close") / F.nullif(prev, F.lit(0))), 9
+        ).alias("log_co"),
+    )
+    gk_in = vol_inputs.where(
+        F.col("daily_return").isNotNull()
+    ).withColumn(
+        "gk_component",
+        0.5 * F.col("log_hl") * F.col("log_hl")
+        - _GK_C * F.col("log_co") * F.col("log_co"),
+    )
+
+    def roll(n: int):
+        return ws.rowsBetween(-(n - 1), 0)
+
+    est_cols: list[Column] = []
+    for n in (20, 30):
+        est_cols.append(
+            F.round(
+                ta.wstd("daily_return", roll(n))
+                * F.sqrt(F.lit(252.0))
+                * 100,
+                9,
+            ).alias(f"realized_vol_{n}d")
+        )
+    for n in (20, 60):
+        est_cols.append(
+            F.round(
+                F.sqrt(
+                    ta.wsum(
+                        F.col("log_hl") * F.col("log_hl"), roll(n)
+                    )
+                    / (4.0 * n * LN2)
+                    * 252
+                )
+                * 100,
+                9,
+            ).alias(f"parkinson_vol_{n}d")
+        )
+        est_cols.append(
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        ta.wsum("gk_component", roll(n)) / float(n) * 252,
+                        F.lit(0.0),
+                    )
+                )
+                * 100,
+                9,
+            ).alias(f"gk_vol_{n}d")
+        )
+    vol_estimates = gk_in.select("symbol", "date", *est_cols)
+
+    vix = li.groupBy(F.to_date("l_shipdate").alias("date")).agg(
+        (
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "A",
+                    F.col("l_discount").cast(DEC),
+                )
+            ).cast("double")
+            / F.count(F.when(F.col("l_returnflag") == "A", F.lit(1)))
+            * 100
+        ).alias("vix_close")
+    )
+    wd = Window.orderBy("date")
+    w20 = wd.rowsBetween(-19, 0)
+    vix_stats = vix.select(
+        "date",
+        "vix_close",
+        ta.wavg("vix_close", w20).alias("vix_avg_20d"),
+        F.min("vix_close").over(w20).alias("vix_min_20d"),
+        F.max("vix_close").over(w20).alias("vix_max_20d"),
+        F.lag("vix_close").over(wd).alias("vix_prev_close"),
+    )
+
+    est_names = [
+        "realized_vol_20d",
+        "realized_vol_30d",
+        "parkinson_vol_20d",
+        "parkinson_vol_60d",
+        "gk_vol_20d",
+        "gk_vol_60d",
+    ]
+
+    def side(sym: str, alias: str) -> DataFrame:
+        return vol_estimates.where(F.col("symbol") == sym).select(
+            F.col("date").alias(f"{alias}_date"),
+            *[F.col(c).alias(f"{alias}_{c}") for c in est_names],
+        )
+
+    out = (
+        vix_stats.join(
+            side("N", "spy"),
+            vix_stats.date == F.col("spy_date"),
+            "left",
+        )
+        .join(side("R", "qqq"), vix_stats.date == F.col("qqq_date"), "left")
+        .drop("spy_date", "qqq_date")
+    )
+    vrp_cols = [
+        F.round(
+            F.col("vix_close") - F.col(f"{s}_realized_vol_{n}d"), 9
+        ).alias(f"{s}_vrp_{n}d")
+        for s in ("spy", "qqq")
+        for n in (20, 30)
+    ]
+    return out.select(
+        "date",
+        "vix_close",
+        "vix_avg_20d",
+        "vix_min_20d",
+        "vix_max_20d",
+        "vix_prev_close",
+        (F.col("vix_close") - F.col("vix_prev_close")).alias(
+            "vix_daily_change"
+        ),
+        F.when(
+            F.col("vix_prev_close") > 0,
+            (F.col("vix_close") - F.col("vix_prev_close"))
+            / F.col("vix_prev_close")
+            * 100,
+        )
+        .otherwise(0.0)
+        .alias("vix_daily_change_pct"),
+        *[f"{s}_{c}" for s in ("spy", "qqq") for c in est_names],
+        *vrp_cols,
+    ).orderBy("date")
