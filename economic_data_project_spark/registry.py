@@ -73,6 +73,7 @@ def load_all() -> None:
         breadth,
         divergences,
         kernels,
+        momentum,
         volatility,
     )
     from .similarity import ann  # noqa: F401
