@@ -500,3 +500,120 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kernel, "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup CONNECTED COMPONENTS: pairs -> canonical cluster ids.
+# The step the reference's content-hash dedup implies but near-dup
+# pipelines actually need: verified similarity pairs form a graph whose
+# connected components are the dedup clusters (keep one representative
+# per component). Spark: iterative min-label propagation — every round
+# each node adopts the smallest label among itself and its neighbors;
+# rounds proceed until a fixpoint (per-round convergence check is a
+# count() on changed labels — the MLlib-style iterative driver control;
+# cluster diameters from LSH banding are tiny, so 2-3 rounds). The
+# oracle computes the same components via WITH RECURSIVE transitive
+# closure + MIN over the reachable set — O(V*E) and DuckDB-only; the
+# Spark side stays O(rounds * E).
+# --------------------------------------------------------------------------
+
+_COMPONENTS_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        / (len(a.shingles) + len(b.shingles)
+           - len(list_intersect(a.shingles, b.shingles)))
+        >= {_JACCARD_THRESHOLD}
+),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+  WHERE e.v <> r.u
+),
+comp AS (
+  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
+  FROM reach GROUP BY u
+),
+sized AS (
+  SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
+  FROM comp GROUP BY component_id
+)
+SELECT c.doc_id, c.component_id, s.component_size,
+       (c.doc_id = c.component_id) AS is_representative
+FROM comp c JOIN sized s ON c.component_id = s.component_id
+ORDER BY c.component_id, c.doc_id
+"""
+
+
+def connected_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
+    """Min-label propagation over an undirected edge list -> (id, component_id)."""
+    edges = pairs.select(
+        F.col(a).alias("u"), F.col(b).alias("v")
+    ).unionByName(
+        pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    while True:
+        nb = (
+            edges.join(labels, edges.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("label").alias("nb_label"))
+        )
+        new_labels = (
+            labels.join(nb, labels.id == nb.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"),
+                    F.coalesce("nb_label", F.col("label")),
+                ).alias("label"),
+                (
+                    F.col("nb_label").isNotNull()
+                    & (F.col("nb_label") < F.col("label"))
+                ).alias("changed"),
+            )
+            .persist()
+        )
+        n_changed = new_labels.where(F.col("changed")).count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("component_id")
+    )
+
+
+@query("dedup_components", oracle=_COMPONENTS_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    sized = comp.groupBy("component_id").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return (
+        comp.join(F.broadcast(sized), on="component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "component_size",
+            (F.col("doc_id") == F.col("component_id")).alias(
+                "is_representative"
+            ),
+        )
+        .orderBy("component_id", "doc_id")
+    )
