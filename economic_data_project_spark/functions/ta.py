@@ -53,6 +53,41 @@ def wstd(c: Column | str, w) -> Column:
     )
 
 
+def dec_sq(c: Column | str, scale: int, width: int = 16) -> Column:
+    """EXACT decimal square of a ``scale``-dp-rounded double.
+
+    ``ROUND(x, p)`` leaves a double within half an ulp of ``k/10^p``;
+    casting it to DECIMAL(width, p) recovers k exactly, and the decimal
+    product ``k^2/10^(2p)`` is exact. Casting the double square
+    ``x*x`` to DECIMAL(.., 6) instead re-rounds a 2p-dp value at 6dp,
+    where Spark (exact BigDecimal HALF_UP) and DuckDB (scaled-double
+    llround) can disagree near the boundary — the 1e-9 drift class seen
+    in realized_vol_30d. Keep width+scale small enough that the square's
+    precision (2*width+1) stays under 38 on both engines."""
+    d = _c(c).cast(f"decimal({width},{scale})")
+    return d * d
+
+
+def wsum_raw(c: Column, w) -> Column:
+    """Windowed SUM of an already-exact decimal column, as double."""
+    return F.sum(c).over(w).cast("double")
+
+
+def wstd_exact(c: Column | str, w, scale: int = 6) -> Column:
+    """wstd for a ``scale``-dp-rounded input: the sum of squares goes
+    through dec_sq so no re-rounding happens (see dec_sq)."""
+    x = _c(c)
+    n = F.count(x).over(w)
+    s = wsum(x, w)
+    ss = wsum_raw(dec_sq(x, scale), w)
+    return F.when(
+        n > 1,
+        F.sqrt(
+            F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
+        ),
+    )
+
+
 def zscore(c: Column | str, w) -> Column:
     """Rolling z-score (ta_primitives.sql:60-66)."""
     x = _c(c)
@@ -140,6 +175,26 @@ def sql_wstd(expr: str, over: str) -> str:
     n = f"COUNT({expr}) OVER {over}"
     s = sql_wsum(expr, over)
     ss = sql_wsum(f"({expr}) * ({expr})", over)
+    return (
+        f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST(({ss} - {s} * {s} / {n})"
+        f" / ({n} - 1.0), 0.0)) END)"
+    )
+
+
+def sql_dec_sq(expr: str, scale: int, width: int = 16) -> str:
+    """DuckDB twin of dec_sq (exact decimal square)."""
+    d = f"CAST(({expr}) AS DECIMAL({width},{scale}))"
+    return f"({d} * {d})"
+
+
+def sql_wsum_raw(expr: str, over: str) -> str:
+    return f"CAST(SUM({expr}) OVER {over} AS DOUBLE)"
+
+
+def sql_wstd_exact(expr: str, over: str, scale: int = 6) -> str:
+    n = f"COUNT({expr}) OVER {over}"
+    s = sql_wsum(expr, over)
+    ss = sql_wsum_raw(sql_dec_sq(expr, scale), over)
     return (
         f"(CASE WHEN {n} > 1 THEN SQRT(GREATEST(({ss} - {s} * {s} / {n})"
         f" / ({n} - 1.0), 0.0)) END)"

@@ -124,3 +124,102 @@ def housing_inventory_population(
         )
         .orderBy("time_date", "series_name")
     )
+
+
+# ------------------------------------------------------- mortgage rates
+#
+# Mirror of ``dbt_project/models/government/housing_mortgage_rates.sql``:
+# monthly-resampled rate series joined to a monthly price series (:14-36),
+# then the 30-year amortization payment
+#   P * (r/12/100 * (1+r/12/100)^360) / ((1+r/12/100)^360 - 1)
+# at 0% and 20% down (:38-55).
+#
+# Mapping: mortgage_rate = monthly mean of 100*l_discount (a 0-10 "rate"
+# with obs per lineitem row, the monthly AVG resample of a daily series);
+# median price = monthly mean o_totalprice. Determinism: rates/prices are
+# decimal-exact-sum quotients emitted unrounded (identical IEEE division
+# cross-engine); the payment keeps the reference's ROUND(...,2) — safe
+# because pow() output is irrational-dense (memory: ROUND after
+# libm/sqrt is tie-free; both engines' pow agree far beyond 2dp here).
+#
+# Scale: two partial-agg'd hash-aggs; the month-grain join is a shuffle
+# on ~hundreds of rows after aggregation (broadcast either side).
+
+_MORTGAGE_ORACLE = """
+WITH rate AS (
+  SELECT date_trunc('month', CAST(l_shipdate AS DATE)) AS date,
+    CAST(SUM(CAST(l_discount * 100 AS DECIMAL(28,6))) AS DOUBLE)
+      / COUNT(*) AS mortgage_rate
+  FROM lineitem GROUP BY 1
+),
+price AS (
+  SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS date,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      AS median_price_no_down_payment,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*)
+      * 0.8 AS median_price_20_pct_down_payment
+  FROM orders GROUP BY 1
+)
+SELECT CAST(rate.date AS DATE) AS date,
+  median_price_no_down_payment,
+  median_price_20_pct_down_payment,
+  mortgage_rate,
+  ROUND(
+    median_price_no_down_payment
+    * (mortgage_rate / 12 / 100
+       * power(1 + mortgage_rate / 12 / 100, 360))
+    / (power(1 + mortgage_rate / 12 / 100, 360) - 1),
+    2) AS monthly_payment_no_down_payment,
+  ROUND(
+    median_price_20_pct_down_payment
+    * (mortgage_rate / 12 / 100
+       * power(1 + mortgage_rate / 12 / 100, 360))
+    / (power(1 + mortgage_rate / 12 / 100, 360) - 1),
+    2) AS monthly_payment_20_pct_down_payment
+FROM rate
+INNER JOIN price ON rate.date = price.date
+ORDER BY rate.date ASC
+"""
+
+
+@query("housing_mortgage_rates", oracle=_MORTGAGE_ORACLE)
+def housing_mortgage_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    rate = li.groupBy(
+        F.trunc(F.to_date("l_shipdate"), "month").alias("date")
+    ).agg(
+        (
+            F.sum((F.col("l_discount") * 100).cast(DEC)).cast("double")
+            / F.count("*")
+        ).alias("mortgage_rate")
+    )
+    base_price = (
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+        / F.count("*")
+    )
+    price = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("date")
+    ).agg(
+        base_price.alias("median_price_no_down_payment"),
+        (base_price * 0.8).alias("median_price_20_pct_down_payment"),
+    )
+    r = F.col("mortgage_rate") / 12 / 100
+    growth = F.pow(r + 1, 360)
+    pay_factor = r * growth / (growth - 1)
+    return (
+        rate.join(price, "date")
+        .select(
+            "date",
+            "median_price_no_down_payment",
+            "median_price_20_pct_down_payment",
+            "mortgage_rate",
+            F.round(
+                F.col("median_price_no_down_payment") * pay_factor, 2
+            ).alias("monthly_payment_no_down_payment"),
+            F.round(
+                F.col("median_price_20_pct_down_payment") * pay_factor, 2
+            ).alias("monthly_payment_20_pct_down_payment"),
+        )
+        .orderBy("date")
+    )

@@ -45,6 +45,7 @@ def load_all() -> None:
         aggregates,
         corr_enhanced,
         data_points,
+        econ_series,
         event_study,
         events,
         hierarchy,
@@ -73,6 +74,7 @@ def load_all() -> None:
         breadth,
         divergences,
         kernels,
+        liquidity,
         momentum,
         volatility,
     )

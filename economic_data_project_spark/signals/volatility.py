@@ -13,9 +13,18 @@ flag-N / flag-R daily bars (close = revenue/1e6, high/low = price
 extrema); open proxied by the prior close (the data has no open).
 
 Determinism: LN is libm territory — ``ln(h/l)`` can differ by 1 ulp
-between the JVM and DuckDB. Both log terms are rounded to 9dp BEFORE
-the windowed decimal-exact sums, and all vol outputs rounded to 9dp,
-per the engine's libm policy. CURRENT_DATE trailing filter dropped.
+between the JVM and DuckDB, so both log terms are rounded to 9dp at
+the source (O(1) magnitude: the scaled-multiply round is exact
+there). Squared terms (return^2, log^2, gk_component) are EXACT
+decimal squares of the rounded inputs (``ta.dec_sq``): casting the
+double square to DECIMAL(28,6) re-rounds a 12/18-dp value at 6dp,
+where the engines' double->decimal casts can disagree near the half
+boundary. Estimator/VRP outputs are emitted UNROUNDED: every term is
+an exact decimal and the remaining ops (cast, -, *, /, sqrt) are
+deterministic IEEE, whereas ROUND(x, 9) at |x|~1e5 is itself
+cross-engine-fragile (Spark rounds the shortest decimal repr,
+DuckDB a scaled multiply — the residual 1e-9 drift the oracle suite
+caught). CURRENT_DATE trailing filter dropped.
 
 Scale: one hash-agg to daily bars; windows partition per symbol; the
 estimator fan-out is a single window pass; the final 3-way join is
@@ -24,6 +33,7 @@ per-date.
 
 from __future__ import annotations
 
+import decimal
 import math
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -37,43 +47,43 @@ from ..registry import query
 DEC = "decimal(28,6)"
 _REV = "l_extendedprice * (1 - l_discount)"
 LN2 = math.log(2.0)
-_GK_C = 2 * LN2 - 1
+# 2 ln 2 - 1 as a 12dp decimal literal: the GK cross-term constant must
+# be an exact decimal so gk_component stays in exact decimal arithmetic
+# end-to-end (see dec_sq in functions/ta.py).
+_GK_C12 = f"{2 * LN2 - 1:.12f}"
 
 
 def _vol_oracle() -> str:
-    def wsum(expr: str, n: int) -> str:
-        w = (
+    def frame(n: int) -> str:
+        return (
             f"(PARTITION BY symbol ORDER BY date"
             f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
         )
-        return ta.sql_wsum(expr, w)
-
-    def wstd_ret(n: int) -> str:
-        w = (
-            f"(PARTITION BY symbol ORDER BY date"
-            f" ROWS BETWEEN {n - 1} PRECEDING AND CURRENT ROW)"
-        )
-        return ta.sql_wstd("daily_return", w)
 
     cols = []
     for n in (20, 30):
         cols.append(
-            f"ROUND({wstd_ret(n)} * SQRT(252.0) * 100, 9)"
+            f"({ta.sql_wstd_exact('daily_return', frame(n), 6)}"
+            f" * SQRT(252.0) * 100)"
             f" AS realized_vol_{n}d"
         )
     for n in (20, 60):
-        cols.append(
-            f"ROUND(SQRT(({wsum('log_hl * log_hl', n)}"
-            f" / (4.0 * {n} * CAST({LN2!r} AS DOUBLE))) * 252) * 100, 9)"
-            f" AS parkinson_vol_{n}d"
+        sq_hl = ta.sql_wsum_raw(
+            ta.sql_dec_sq("log_hl", 9, 10), frame(n)
         )
         cols.append(
-            f"ROUND(SQRT(GREATEST(({wsum('gk_component', n)} / {n}.0)"
-            f" * 252, 0.0)) * 100, 9) AS gk_vol_{n}d"
+            f"(SQRT(({sq_hl}"
+            f" / (4.0 * {n} * CAST({LN2!r} AS DOUBLE))) * 252) * 100)"
+            f" AS parkinson_vol_{n}d"
+        )
+        gk_sum = ta.sql_wsum_raw("gk_component", frame(n))
+        cols.append(
+            f"(SQRT(GREATEST(({gk_sum} / {n}.0)"
+            f" * 252, 0.0)) * 100) AS gk_vol_{n}d"
         )
     est_cols = ",\n    ".join(cols)
     vrp = ",\n  ".join(
-        f"ROUND(v.vix_close - {s}.realized_vol_{n}d, 9)"
+        f"(v.vix_close - {s}.realized_vol_{n}d)"
         f" AS {s}_vrp_{n}d"
         for s in ("spy", "qqq")
         for n in (20, 30)
@@ -108,8 +118,9 @@ vol_inputs AS (
 ),
 gk_in AS (
   SELECT *,
-    (0.5 * log_hl * log_hl
-     - CAST({_GK_C!r} AS DOUBLE) * log_co * log_co)
+    (CAST(0.5 AS DECIMAL(2,1)) * {ta.sql_dec_sq("log_hl", 9, 10)}
+     - CAST({_GK_C12} AS DECIMAL(13,12))
+       * {ta.sql_dec_sq("log_co", 9, 10)})
       AS gk_component
   FROM vol_inputs
   WHERE daily_return IS NOT NULL
@@ -190,8 +201,8 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("daily_return").isNotNull()
     ).withColumn(
         "gk_component",
-        0.5 * F.col("log_hl") * F.col("log_hl")
-        - _GK_C * F.col("log_co") * F.col("log_co"),
+        F.lit(decimal.Decimal("0.5")) * ta.dec_sq("log_hl", 9, 10)
+        - F.lit(decimal.Decimal(_GK_C12)) * ta.dec_sq("log_co", 9, 10),
     )
 
     def roll(n: int):
@@ -200,37 +211,34 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_cols: list[Column] = []
     for n in (20, 30):
         est_cols.append(
-            F.round(
-                ta.wstd("daily_return", roll(n))
+            (
+                ta.wstd_exact("daily_return", roll(n), 6)
                 * F.sqrt(F.lit(252.0))
-                * 100,
-                9,
+                * 100
             ).alias(f"realized_vol_{n}d")
         )
     for n in (20, 60):
         est_cols.append(
-            F.round(
+            (
                 F.sqrt(
-                    ta.wsum(
-                        F.col("log_hl") * F.col("log_hl"), roll(n)
-                    )
+                    ta.wsum_raw(ta.dec_sq("log_hl", 9, 10), roll(n))
                     / (4.0 * n * LN2)
                     * 252
                 )
-                * 100,
-                9,
+                * 100
             ).alias(f"parkinson_vol_{n}d")
         )
         est_cols.append(
-            F.round(
+            (
                 F.sqrt(
                     F.greatest(
-                        ta.wsum("gk_component", roll(n)) / float(n) * 252,
+                        ta.wsum_raw(F.col("gk_component"), roll(n))
+                        / float(n)
+                        * 252,
                         F.lit(0.0),
                     )
                 )
-                * 100,
-                9,
+                * 100
             ).alias(f"gk_vol_{n}d")
         )
     vol_estimates = gk_in.select("symbol", "date", *est_cols)
@@ -283,8 +291,8 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("spy_date", "qqq_date")
     )
     vrp_cols = [
-        F.round(
-            F.col("vix_close") - F.col(f"{s}_realized_vol_{n}d"), 9
+        (
+            F.col("vix_close") - F.col(f"{s}_realized_vol_{n}d")
         ).alias(f"{s}_vrp_{n}d")
         for s in ("spy", "qqq")
         for n in (20, 30)
