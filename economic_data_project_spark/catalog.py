@@ -52,10 +52,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     default; read nanos as long and truncate to microseconds — the same
     ns->us truncation DuckDB applies, so timestamps stay comparable."""
     from pyspark.sql import functions as F
-    from pyspark.sql.types import LongType
+    from pyspark.sql.types import LongType, TimestampNTZType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
+    if isinstance(df.schema["ts"].dataType, TimestampNTZType):
+        # Newer testdata writes TIMESTAMP_NTZ; session tz is UTC so the
+        # cast to TIMESTAMP is wall-clock-identical (and unix_micros /
+        # watermarks require the tz-aware type).
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     if isinstance(df.schema["ts"].dataType, LongType):
         df = df.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))

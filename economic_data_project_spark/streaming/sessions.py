@@ -38,10 +38,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events*.parquet")
     )
-    if dict(stream.dtypes)["ts"] == "bigint":
+    ts_type = dict(stream.dtypes)["ts"]
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        # Watermarks require TIMESTAMP (with tz); session tz is UTC so the
+        # cast is wall-clock-identical to the batch catalog's ntz column.
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
