@@ -12,8 +12,10 @@ a thin adapter over its query registry.
 from __future__ import annotations
 
 import glob
+import inspect
 import json
 import os
+import subprocess
 import sys
 from collections.abc import Callable
 
@@ -25,19 +27,63 @@ sys.path.insert(0, _HERE)
 from economic_data_project_spark import registry  # noqa: E402
 from economic_data_project_spark.session import tune_session  # noqa: E402
 
-# Queries whose Spark code or oracle changed this round: the driver must
-# re-verify them even though they may have passed a previous round.
-_FORCE_FIRST = [
-    "conditional_aggregates",
-    "cumulative_obv",
-    "economic_regime_classification",
-    "signal_event_machine",
-    "staging_projection",
-    "dq_stale_series",
-    "sentiment_lexicon_scores",
-    "signal_diffusion_index",
-    "text_quality_scores",
-]
+_PKG = "economic_data_project_spark"
+
+
+def _git(*args: str) -> str:
+    try:
+        res = subprocess.run(
+            ["git", *args],
+            cwd=_HERE,
+            capture_output=True,
+            text=True,
+            timeout=15,
+        )
+        return res.stdout if res.returncode == 0 else ""
+    except Exception:
+        return ""
+
+
+def _changed_queries() -> list[str]:
+    """Queries whose Spark code or oracle changed since the last
+    driver-recorded CORRECTNESS file — derived from ``git diff`` so the
+    force-first list can never go stale (a hand-edited list silently
+    skipped re-verification of changed code). A query counts as changed
+    when its defining module, or any package module that module directly
+    imports (e.g. ``functions/ta.py`` helpers shared by many oracles),
+    differs from the tree at the commit that last touched the newest
+    ``CORRECTNESS_r*.json``."""
+    recs = sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
+    if not recs:
+        return []
+    ref = _git(
+        "log", "-n", "1", "--format=%H", "--", os.path.basename(recs[-1])
+    ).strip()
+    if not ref:
+        return []
+    changed = {
+        f
+        for f in _git("diff", "--name-only", ref).splitlines()
+        if f.endswith(".py")
+    }
+    if not changed:
+        return []
+    out: list[str] = []
+    for name, fn in registry.all_queries().items():
+        mods = {fn.__module__}
+        m = sys.modules.get(fn.__module__)
+        if m is not None:
+            for v in vars(m).values():
+                dep = (
+                    v.__name__
+                    if inspect.ismodule(v)
+                    else getattr(v, "__module__", None)
+                )
+                if isinstance(dep, str) and dep.startswith(_PKG):
+                    mods.add(dep)
+        if {mod.replace(".", "/") + ".py" for mod in mods} & changed:
+            out.append(name)
+    return out
 
 
 def _ever_passed() -> set[str]:
@@ -64,7 +110,7 @@ def _priority_order(names: list[str]) -> list[str]:
     """Changed-this-round first, then never-driver-verified, then the
     stable tail — so a driver that checks a bounded prefix always spends
     its budget on the queries with no green row yet."""
-    force = [n for n in _FORCE_FIRST if n in names]
+    force = [n for n in _changed_queries() if n in names]
     passed = _ever_passed() - set(force)
     fresh = [n for n in names if n not in passed and n not in force]
     stable = [n for n in names if n in passed]

@@ -88,6 +88,25 @@ def wstd_exact(c: Column | str, w, scale: int = 6) -> Column:
     )
 
 
+def emit(c: Column | str, dp: int = 6) -> Column:
+    """Emission normalizer for double output columns that must hash-match
+    a DuckDB oracle. ROUND(x, dp) absorbs the 1-ulp drift class where
+    DuckDB casts a wide-scale exact decimal sum to double in two
+    roundings (int128 -> double, then /10^scale) while the JVM's
+    BigDecimal.doubleValue is correctly rounded; ``+ 0.0`` collapses
+    IEEE signed zero (DuckDB's ROUND propagates -0.0, Spark's does
+    not). Both engines then produce the identical double except when
+    the true value lies within ~1 ulp of a half-ulp-of-10^-dp
+    boundary. Use on EMITTED columns only — comparisons/CASE ladders
+    should keep the unrounded value."""
+    return F.round(_c(c), dp) + F.lit(0.0)
+
+
+def sql_emit(expr: str, dp: int = 6) -> str:
+    """DuckDB twin of :func:`emit`."""
+    return f"(ROUND({expr}, {dp}) + 0.0)"
+
+
 def zscore(c: Column | str, w) -> Column:
     """Rolling z-score (ta_primitives.sql:60-66)."""
     x = _c(c)

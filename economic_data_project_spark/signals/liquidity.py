@@ -18,10 +18,14 @@ flow series the weekly grain semantics are unchanged. RRP depletion
 thresholds are rescaled to the synthetic magnitude (2.0/2.8/3.2 M vs the
 reference's 50/200/500 B, :118-123).
 
-Determinism: component, net, and moving-average columns are emitted
-unrounded (exact decimal sums / deterministic quotients); the z-score
-keeps the reference's ROUND(...,2) (post-sqrt, tie-free); pct changes
-are emitted unrounded (quotients of exact values).
+Determinism: component, net, moving-average and pct-change columns
+are emitted unrounded (exact decimal sums and deterministic IEEE
+quotients — rounding them would ADD risk: sum/count quotients
+terminate at the 7th decimal digit where the engines' ROUNDs
+disagree, see signals/volatility.py). The z-score keeps the
+reference's ROUND(...,2) but through ``ta.emit``/``ta.sql_emit``:
+the ``+ 0.0`` collapses IEEE -0.0, which DuckDB's ROUND propagates
+where Spark emits +0.0 (observed at exactly-zero deviations).
 
 Scale: one hash-agg per component; the weekly joins and windows operate
 on the weekly aggregate (~50 rows/year) — the unpartitioned window is
@@ -86,7 +90,7 @@ SELECT CAST(date AS DATE) AS date, walcl, wtregen, rrpontsyd,
   {_pct_sql(4)},
   {_pct_sql(13)},
   {_pct_sql(52)},
-  ROUND({_Z}, 2) AS net_liquidity_zscore,
+  {ta.sql_emit(_Z, 2)} AS net_liquidity_zscore,
   (CASE
      WHEN net_liquidity > {ta.sql_wavg("net_liquidity", "w4")}
       AND {ta.sql_wavg("net_liquidity", "w4")}
@@ -183,7 +187,7 @@ def net_liquidity_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         pct(4).alias("net_liquidity_4w_pct_change"),
         pct(13).alias("net_liquidity_13w_pct_change"),
         pct(52).alias("net_liquidity_52w_pct_change"),
-        F.round(z, 2).alias("net_liquidity_zscore"),
+        ta.emit(z, 2).alias("net_liquidity_zscore"),
         F.when((nl > ma4) & (ma4 > ma13), "expanding")
         .when((nl < ma4) & (ma4 < ma13), "contracting")
         .otherwise("mixed")

@@ -19,12 +19,22 @@ there). Squared terms (return^2, log^2, gk_component) are EXACT
 decimal squares of the rounded inputs (``ta.dec_sq``): casting the
 double square to DECIMAL(28,6) re-rounds a 12/18-dp value at 6dp,
 where the engines' double->decimal casts can disagree near the half
-boundary. Estimator/VRP outputs are emitted UNROUNDED: every term is
-an exact decimal and the remaining ops (cast, -, *, /, sqrt) are
-deterministic IEEE, whereas ROUND(x, 9) at |x|~1e5 is itself
-cross-engine-fragile (Spark rounds the shortest decimal repr,
-DuckDB a scaled multiply — the residual 1e-9 drift the oracle suite
-caught). CURRENT_DATE trailing filter dropped.
+boundary. One drift class remains even with exact decimal sums: a
+scale-18 decimal (the dec_sq product) whose significand exceeds 2^53
+is cast to double by DuckDB as int128->double THEN /1e18 — two
+roundings — while the JVM's BigDecimal.doubleValue is correctly
+rounded, so the cast itself can differ by 1 ulp (seen on the
+Parkinson sums on DuckDB 1.0). Hence the SIX estimator columns go
+through ``ta.emit`` / ``ta.sql_emit`` (ROUND(x, 6) + 0.0 on BOTH
+engines) at the vol_estimates stage — sqrt outputs are irrational so
+the residual half-boundary risk of ROUND itself is negligible — and
+VRP subtracts the already-rounded realized vol. The vix_* columns
+are emitted UNROUNDED on purpose: they are quotients of exact 6dp
+decimal sums by small counts, which terminate at the 7th decimal
+digit (often in ...5), exactly where Spark's exact-binary HALF_UP
+and DuckDB's scaled-multiply ROUND disagree — rounding those is what
+breaks parity, not what fixes it. CURRENT_DATE trailing filter
+dropped.
 
 Scale: one hash-agg to daily bars; windows partition per symbol; the
 estimator fan-out is a single window pass; the final 3-way join is
@@ -62,25 +72,23 @@ def _vol_oracle() -> str:
 
     cols = []
     for n in (20, 30):
-        cols.append(
-            f"({ta.sql_wstd_exact('daily_return', frame(n), 6)}"
-            f" * SQRT(252.0) * 100)"
-            f" AS realized_vol_{n}d"
+        rv = (
+            f"{ta.sql_wstd_exact('daily_return', frame(n), 6)}"
+            f" * SQRT(252.0) * 100"
         )
+        cols.append(f"{ta.sql_emit(rv)} AS realized_vol_{n}d")
     for n in (20, 60):
         sq_hl = ta.sql_wsum_raw(
             ta.sql_dec_sq("log_hl", 9, 10), frame(n)
         )
-        cols.append(
-            f"(SQRT(({sq_hl}"
-            f" / (4.0 * {n} * CAST({LN2!r} AS DOUBLE))) * 252) * 100)"
-            f" AS parkinson_vol_{n}d"
+        pk = (
+            f"SQRT(({sq_hl}"
+            f" / (4.0 * {n} * CAST({LN2!r} AS DOUBLE))) * 252) * 100"
         )
+        cols.append(f"{ta.sql_emit(pk)} AS parkinson_vol_{n}d")
         gk_sum = ta.sql_wsum_raw("gk_component", frame(n))
-        cols.append(
-            f"(SQRT(GREATEST(({gk_sum} / {n}.0)"
-            f" * 252, 0.0)) * 100) AS gk_vol_{n}d"
-        )
+        gk = f"SQRT(GREATEST(({gk_sum} / {n}.0) * 252, 0.0)) * 100"
+        cols.append(f"{ta.sql_emit(gk)} AS gk_vol_{n}d")
     est_cols = ",\n    ".join(cols)
     vrp = ",\n  ".join(
         f"(v.vix_close - {s}.realized_vol_{n}d)"
@@ -211,7 +219,7 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     est_cols: list[Column] = []
     for n in (20, 30):
         est_cols.append(
-            (
+            ta.emit(
                 ta.wstd_exact("daily_return", roll(n), 6)
                 * F.sqrt(F.lit(252.0))
                 * 100
@@ -219,7 +227,7 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     for n in (20, 60):
         est_cols.append(
-            (
+            ta.emit(
                 F.sqrt(
                     ta.wsum_raw(ta.dec_sq("log_hl", 9, 10), roll(n))
                     / (4.0 * n * LN2)
@@ -229,7 +237,7 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"parkinson_vol_{n}d")
         )
         est_cols.append(
-            (
+            ta.emit(
                 F.sqrt(
                     F.greatest(
                         ta.wsum_raw(F.col("gk_component"), roll(n))
