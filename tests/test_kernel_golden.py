@@ -1,0 +1,300 @@
+"""Golden-value tests for the five rows-only (`no_oracle`) kernels.
+
+The driver can only row-count these (no SQL oracle exists for iterative
+linear algebra / ML), so ground truth lives here:
+
+- ``signal_turbulence`` / ``signal_absorption_ratio`` /
+  ``signal_mst_network``: the full Spark pipeline (panel build + kernel)
+  is re-computed INDEPENDENTLY — the monthly nation panel via DuckDB SQL
+  straight off the parquet files (no Spark), the math via a fresh NumPy
+  transcription of the reference formulation
+  (turbulence_index.py:85-177, absorption_ratio.py:61-157,
+  network_correlation.py:60-156) — and compared per-row. The MST check
+  uses Kruskal where the engine uses Prim, so agreement is evidence the
+  tree itself is right, not just the code copied. ``np.linalg.pinv`` is
+  the one primitive shared with the engine: near the rcond cutoff of a
+  rank-deficient covariance a different pseudo-inverse is legitimately
+  a different number, so reinventing it would test numerics, not math.
+
+- ``doc_kmeans_clusters`` / ``doc_nmf_topics``: run on a constructed
+  corpus whose answer is knowable by hand — 8 groups of 5 identical
+  documents over pairwise-disjoint vocabularies give orthogonal TF-IDF
+  blocks, so the correct clustering has 8 pure clusters of 5 docs,
+  zero inertia, silhouette 1, and per-cluster top terms drawn from the
+  group's own vocabulary. Any covariance/assignment bug breaks these
+  exact values.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from economic_data_project_spark.registry import all_queries
+
+from .conftest import SF_DIR, duckdb_connect
+
+# ------------------------------------------------------------------ panel
+
+PANEL_SQL = """
+SELECT n_name AS nation,
+  date_trunc('month', CAST(l_shipdate AS DATE)) AS d,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+       AS DOUBLE) / 1e6 AS rev
+FROM lineitem li
+JOIN supplier s ON li.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@pytest.fixture(scope="module")
+def wide_panel() -> pd.DataFrame:
+    con = duckdb_connect(SF_DIR)
+    pdf = con.execute(PANEL_SQL).df()
+    con.close()
+    pdf["d"] = pd.to_datetime(pdf["d"]).dt.date
+    wide = pdf.pivot(index="d", columns="nation", values="rev").sort_index()
+    return wide[sorted(wide.columns)]
+
+
+def _returns(wide: pd.DataFrame) -> tuple[list, np.ndarray]:
+    """Pct-change matrix after per-series forward fill (reference:
+    ``np.diff(prices, axis=0) / prices[:-1]``), via pandas — a second
+    code path from the engine's raw-NumPy version."""
+    filled = wide.ffill()
+    with np.errstate(invalid="ignore", divide="ignore"):
+        rets = filled.pct_change(fill_method=None)
+    R = rets.to_numpy(dtype=float)[1:]
+    return list(wide.index[1:]), R
+
+
+# ------------------------------------------------------ matrix kernels
+
+
+def _expected_turbulence(dates, R):
+    win, hist, rows = 24, [], []
+    for t in range(win, R.shape[0]):
+        W = R[t - win : t]
+        ok = ~np.any(np.isnan(W), axis=0)
+        if ok.sum() < 2 or np.any(np.isnan(R[t, ok])):
+            continue
+        Wok = W[:, ok]
+        mu = Wok.mean(axis=0)
+        cov = np.cov(Wok.T)  # reference: np.cov(window.T)
+        d = R[t, ok] - mu
+        turb = float(np.sqrt(max(d @ np.linalg.pinv(cov) @ d, 0.0)))
+        pct = float(np.mean([h < turb for h in hist])) if hist else 0.5
+        hist.append(turb)
+        regime = (
+            "extreme" if pct >= 0.95 else "elevated" if pct >= 0.75
+            else "normal"
+        )
+        rows.append((dates[t], turb, pct, regime))
+    return rows
+
+
+def test_turbulence_golden(spark, wide_panel):
+    got = all_queries()["signal_turbulence"](spark, SF_DIR).collect()
+    exp = _expected_turbulence(*_returns(wide_panel))
+    assert len(got) == len(exp) > 10
+    for g, (d, turb, pct, regime) in zip(got, exp):
+        assert g.d == d
+        assert g.turbulence == pytest.approx(turb, rel=1e-7, abs=1e-9)
+        assert g.turb_pct == pytest.approx(pct, abs=1e-12)
+        assert g.regime == regime
+
+
+def _expected_absorption(dates, R):
+    win, ars, rows = 24, [], []
+    for t in range(win, R.shape[0] + 1):
+        W = R[t - win : t]
+        keep = np.mean(np.isnan(W), axis=0) <= 0.2
+        if keep.sum() < 5:
+            continue
+        Wk = pd.DataFrame(W[:, keep]).ffill().bfill().to_numpy()
+        C = np.corrcoef(Wk.T)  # reference: np.corrcoef(window_clean.T)
+        if np.any(np.isnan(C)):
+            continue
+        evals = np.sort(np.linalg.eigvalsh(C))[::-1]
+        k = max(int(np.ceil(0.2 * len(evals))), 1)
+        ar = float(evals[:k].sum() / evals.sum())
+        ars.append(ar)
+        hist = np.array(ars[-24:])
+        z = (
+            float((ar - hist.mean()) / hist.std(ddof=1))
+            if len(hist) > 10 and hist.std(ddof=1) > 0
+            else 0.0
+        )
+        d_ar = ar - ars[-2] if len(ars) > 1 else 0.0
+        rows.append((dates[t - 1], ar, z, d_ar))
+    return rows
+
+
+def test_absorption_golden(spark, wide_panel):
+    got = all_queries()["signal_absorption_ratio"](spark, SF_DIR).collect()
+    exp = _expected_absorption(*_returns(wide_panel))
+    assert len(got) == len(exp) > 10
+    for g, (d, ar, z, d_ar) in zip(got, exp):
+        assert g.d == d
+        assert g.absorption_ratio == pytest.approx(ar, rel=1e-9)
+        assert g.ar_zscore == pytest.approx(z, rel=1e-7, abs=1e-9)
+        assert g.ar_delta == pytest.approx(d_ar, abs=1e-9)
+
+
+def _kruskal_mst(D: np.ndarray):
+    """Kruskal + union-find: independent of the engine's Prim."""
+    n = D.shape[0]
+    edges = sorted(
+        (D[i, j], i, j) for i in range(n) for j in range(i + 1, n)
+    )
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total, deg, used = 0.0, np.zeros(n, dtype=int), 0
+    for w, i, j in edges:
+        ri, rj = find(i), find(j)
+        if ri != rj:
+            parent[ri] = rj
+            total += w
+            deg[i] += 1
+            deg[j] += 1
+            used += 1
+            if used == n - 1:
+                break
+    return total, int(deg.max()), float((deg == 1).sum()) / n
+
+
+def _expected_mst(dates, R):
+    win, rows = 12, []
+    for t in range(win, R.shape[0] + 1):
+        W = R[t - win : t]
+        ok = ~np.any(np.isnan(W), axis=0)
+        if ok.sum() < 3:
+            continue
+        C = np.corrcoef(W[:, ok].T)
+        D = np.sqrt(np.maximum(2.0 * (1.0 - C), 0.0))
+        total, max_deg, leaf_share = _kruskal_mst(D)
+        rows.append((dates[t - 1], total, max_deg, leaf_share))
+    return rows
+
+
+def test_mst_golden(spark, wide_panel):
+    got = all_queries()["signal_mst_network"](spark, SF_DIR).collect()
+    exp = _expected_mst(*_returns(wide_panel))
+    assert len(got) == len(exp) > 10
+    for g, (d, total, max_deg, leaf_share) in zip(got, exp):
+        assert g.d == d
+        assert g.mst_total_length == pytest.approx(total, rel=1e-9)
+        assert g.mst_max_degree == max_deg
+        assert g.leaf_share == pytest.approx(leaf_share, abs=1e-12)
+
+
+# ------------------------------------------------------ doc ML fixtures
+
+GROUP_WORDS = [
+    ("zebra", "quartz"),
+    ("falcon", "marble"),
+    ("orchid", "copper"),
+    ("glacier", "velvet"),
+    ("harbor", "crimson"),
+    ("lantern", "meadow"),
+    ("pyramid", "saffron"),
+    ("tundra", "cobalt"),
+]
+
+
+@pytest.fixture(scope="module")
+def ml_sf_dir(spark, tmp_path_factory) -> str:
+    """A documents table with a hand-knowable answer: 8 groups x 5
+    IDENTICAL docs over pairwise-disjoint vocabularies."""
+    root = tmp_path_factory.mktemp("mlcorpus")
+    rows = []
+    for g, (w1, w2) in enumerate(GROUP_WORDS):
+        text = f"{w1} {w2} {w1} {w2} {w1}"
+        for i in range(5):
+            rows.append((g * 5 + i, text, "en", "fixture", len(text)))
+    pdf = pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    pdf.to_parquet(str(root / "documents.parquet"), index=False)
+    return str(root)
+
+
+def test_kmeans_golden(spark, ml_sf_dir):
+    rows = all_queries()["doc_kmeans_clusters"](spark, ml_sf_dir).collect()
+    assert len(rows) == 8
+    # 8 orthogonal blobs of 5 identical docs: every cluster pure, size 5,
+    # centroids == the points => inertia 0, silhouette 1
+    assert all(r.n_docs == 5 for r in rows)
+    assert rows[0].inertia == pytest.approx(0.0, abs=1e-9)
+    assert rows[0].silhouette == pytest.approx(1.0, abs=1e-9)
+    seen_groups = set()
+    for r in rows:
+        reps = sorted(int(x) for x in r.representative_doc_ids.split(","))
+        groups = {i // 5 for i in reps}
+        assert len(groups) == 1, "representatives must come from one group"
+        g = groups.pop()
+        seen_groups.add(g)
+        w1, w2 = GROUP_WORDS[g]
+        top = r.top_terms.split(", ")
+        # The group's vocabulary is 4 terms (2 unigrams + 2 bigrams); all
+        # other vocab entries have zero count in this cluster, so exactly
+        # the first 4 c-TF-IDF terms must come from the group's own words
+        # (the tail of the top-8 is arbitrary zero-score vocab).
+        assert all(w1 in t or w2 in t for t in top[:4])
+        assert any(t in (w1, w2) for t in top)
+    assert seen_groups == set(range(8))
+
+
+def test_nmf_golden(spark, ml_sf_dir):
+    rows = all_queries()["doc_nmf_topics"](spark, ml_sf_dir).collect()
+    assert len(rows) == 40
+    # V has exact rank 8 (orthogonal blocks) => NMF with k=8 factors it
+    # almost exactly and each group maps to one topic
+    v_norm = np.sqrt(40.0)  # 40 unit-norm TF-IDF rows
+    assert rows[0].reconstruction_error < 0.05 * v_norm
+    by_group: dict[int, set[int]] = {}
+    for r in rows:
+        by_group.setdefault(r.doc_id // 5, set()).add(r.topic)
+    assert all(len(t) == 1 for t in by_group.values()), by_group
+    topics = {t.pop() for t in by_group.values()}
+    assert len(topics) == 8, "each orthogonal block gets its own topic"
+    for r in rows:
+        w1, w2 = GROUP_WORDS[r.doc_id // 5]
+        assert any(
+            t in (w1, w2) for t in r.topic_terms.split(", ")
+        ), r.topic_terms
+
+
+def test_nmf_dispatches_to_lda_above_cap(spark, ml_sf_dir, monkeypatch):
+    """Above the reference's max_objects cap the NMF query must route to
+    the distributed LDA path (same schema) instead of refusing."""
+    from economic_data_project_spark.text import ml
+
+    monkeypatch.setattr(ml, "NMF_MAX_DOCS", 10)
+    df = all_queries()["doc_nmf_topics"](spark, ml_sf_dir)
+    assert [f.name for f in df.schema.fields] == [
+        "doc_id",
+        "topic",
+        "topic_strength",
+        "topic_terms",
+        "reconstruction_error",
+    ]
+    rows = df.collect()
+    assert len(rows) == 40
+    assert all(0 <= r.topic < 8 for r in rows)
+    assert all(0.0 < r.topic_strength <= 1.0 for r in rows)
+
+
+def test_lda_runs_on_corpus(spark):
+    rows = all_queries()["doc_topics_lda"](spark, SF_DIR).collect()
+    assert len(rows) == 500
+    assert all(0 <= r.topic < 8 for r in rows)
+    assert all(0.0 < r.topic_strength <= 1.0 for r in rows)
