@@ -75,8 +75,8 @@ def attach_fake_media(documents: DataFrame) -> DataFrame:
 
 def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     """Deterministic stand-in for a codec: dimensions and mean luminance
-    derived from the payload digest + bytes. NOT a real decode — swap for
-    Pillow/libav in a full deployment."""
+    derived from the payload digest + bytes. NOT a real decode — the
+    fallback when no image library is importable on the workers."""
     digest = hashlib.md5(payload).digest()
     width = 64 + digest[0] % 192
     height = 64 + digest[1] % 192
@@ -86,28 +86,61 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, int]:
     return width, height, channels, mean_luma
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """Arrow-batched decode stage (mapInPandas; map-only, no shuffle)."""
+def _pil_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Real image decode via Pillow (runs on the worker; Pillow must be
+    importable there). Raises on undecodable bytes — the caller falls
+    back to the fake so a corrupt payload degrades, not fails, the
+    stage."""
+    import io
+
+    import PIL.Image
+
+    with PIL.Image.open(io.BytesIO(payload)) as img:
+        width, height = img.size
+        channels = len(img.getbands())
+        luma = int(np.asarray(img.convert("L"), dtype=np.float64).mean())
+    return width, height, channels, luma
+
+
+def default_image_decoder():
+    """The real decoder when Pillow is importable, else None (fake path).
+    Same polarity as ``text/extraction.pdf_text_with_pages``: the
+    library's presence UPGRADES the stage, never breaks it."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        return None
+    return _pil_decode
+
+
+def decode_media(media: DataFrame, image_decoder=None) -> DataFrame:
+    """Arrow-batched decode stage (mapInPandas; map-only, no shuffle).
+
+    ``image_decoder``: optional ``payload_bytes -> (w, h, channels,
+    mean_luma)`` applied to ``image/*`` payloads; defaults to Pillow
+    when importable. Resolved on the DRIVER and shipped in the closure,
+    so tests can inject a decoder without the workers needing the
+    library. Decode failures fall back to the deterministic fake
+    (decoder column says which path produced each row)."""
+    if image_decoder is None:
+        image_decoder = default_image_decoder()
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        try:  # real decoder path (not available in this container)
-            import PIL.Image  # noqa: F401
-
-            have_pil = True
-        except ImportError:
-            have_pil = False
         for pdf in batches:
             rows = []
             for media_id, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
-                if have_pil and mtype == "image/png":
-                    raise NotImplementedError(
-                        "real image decode is intentionally stubbed; "
-                        "wire PIL.Image.open here in a full deployment"
-                    )
-                w, h, c, luma = _fake_decode(bytes(payload))
-                rows.append((media_id, mtype, w, h, c, luma, "fake"))
+                raw = bytes(payload)
+                decoded = None
+                if image_decoder is not None and mtype.startswith("image/"):
+                    try:
+                        decoded = (*image_decoder(raw), "real")
+                    except Exception:
+                        decoded = None
+                if decoded is None:
+                    decoded = (*_fake_decode(raw), "fake")
+                rows.append((media_id, mtype, *decoded))
             yield pd.DataFrame(
                 rows,
                 columns=[

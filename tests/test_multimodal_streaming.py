@@ -11,6 +11,8 @@ input — the strongest equivalence a local test can make.
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 
 import pytest
 from pyspark.sql import functions as F
@@ -83,6 +85,110 @@ def test_extract_features(media):
     row = feats.first()
     assert 0 < row.aspect_ratio < 4.1
     assert row.size_bucket in ("large", "small")
+
+
+# ------------------------------------------------- real-decoder injection
+
+
+def _tiny_png(pixels: list[list[int]]) -> bytes:
+    """A real (if minimal) 8-bit grayscale PNG, stdlib only."""
+    h, w = len(pixels), len(pixels[0])
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = b"".join(b"\x00" + bytes(row) for row in pixels)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _mini_png_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """Stdlib PNG decoder (grayscale, filter-0 only) standing in for
+    Pillow: proves REAL decoded dims/luma flow through the stage when a
+    decoder is present."""
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a png")
+    w, h = struct.unpack(">II", payload[16:24])
+    pos, idat = 8, b""
+    while pos < len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat += payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = w + 1
+    vals: list[int] = []
+    for r in range(h):
+        row = raw[r * stride : (r + 1) * stride]
+        if row[0] != 0:
+            raise ValueError("unsupported filter")
+        vals.extend(row[1:])
+    return w, h, 1, int(sum(vals) / len(vals))
+
+
+def test_decode_media_real_decoder_path(spark):
+    """With an image decoder present, image payloads decode for REAL
+    (decoder='real', true dims/luma); corrupt payloads and non-image
+    types fall back to the fake — the presence of a codec upgrades the
+    stage, never breaks it (the old guard raised instead)."""
+    png = _tiny_png([[10, 20], [30, 40]])
+    rows = [
+        (1, "image/png", bytearray(png), "t", len(png)),
+        (2, "image/png", bytearray(b"corrupt bytes"), "t", 13),
+        (3, "audio/wav", bytearray(b"riff-ish"), "t", 8),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, media_type string, payload binary,"
+        " source string, n_bytes long",
+    )
+    decoded = {
+        r.media_id: r
+        for r in decode_media(media, image_decoder=_mini_png_decode).collect()
+    }
+    good = decoded[1]
+    assert (good.width, good.height, good.channels) == (2, 2, 1)
+    assert good.mean_luma == 25  # (10+20+30+40)/4
+    assert good.decoder == "real"
+    assert decoded[2].decoder == "fake"
+    assert decoded[3].decoder == "fake"
+    # real dims flow through the downstream feature stage
+    feats = {
+        r.media_id: r
+        for r in extract_features(
+            decode_media(media, image_decoder=_mini_png_decode)
+        ).collect()
+    }
+    assert feats[1].aspect_ratio == 1.0
+    assert feats[1].size_bucket == "small"
+    assert feats[1].mean_luma == 25
+
+
+def test_default_decoder_polarity():
+    """default_image_decoder returns the Pillow path iff Pillow imports —
+    never raises. In this container (no Pillow) it must be None."""
+    from economic_data_project_spark.multimodal.media import (
+        default_image_decoder,
+    )
+
+    dec = default_image_decoder()
+    try:
+        import PIL.Image  # noqa: F401
+
+        assert dec is not None
+    except ImportError:
+        assert dec is None
 
 
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
