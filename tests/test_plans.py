@@ -71,6 +71,30 @@ def test_decode_stage_is_map_only(spark):
     assert "Exchange" not in _plan(decoded)
 
 
+def test_ngram_nn_df_cap_below_candidate_join(spark):
+    # The document-frequency cap (broadcast LeftAnti against the hot
+    # shingle set) must sit BELOW the postings self-join: it exists to
+    # bound that join's m^2 fan-out, so a refactor that applies it after
+    # candidate generation (or drops it) re-opens the skew explosion.
+    df = all_queries()["ngram_jaccard_nn"](spark, SF_DIR)
+    plan = _plan(df)
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    lines = phys.splitlines()
+    anti = [i for i, l in enumerate(lines) if "LeftAnti" in l]
+    assert anti, "df-cap anti-join missing from the plan"
+    inner = [
+        i
+        for i, l in enumerate(lines)
+        if ("Join" in l or "Join " in l)
+        and "Inner" in l
+        and "shingle" in l
+    ]
+    assert inner, "candidate self-join missing from the plan"
+    # formatted tree prints children below parents: every LeftAnti must
+    # be deeper than the first candidate join that consumes it
+    assert min(anti) > min(inner)
+
+
 def test_text_quality_shuffle_free(spark):
     df = all_queries()["text_quality_scores"](spark, SF_DIR)
     plan = _plan(df)
