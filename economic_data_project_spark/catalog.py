@@ -47,25 +47,46 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    default; read nanos as long and truncate to microseconds — the same
-    ns->us truncation DuckDB applies, so timestamps stay comparable."""
+def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an events timestamp column to tz-aware TIMESTAMP —
+    shared by the batch catalog and the streaming reader so the two
+    paths cannot drift as new testdata formats appear.
+
+    Handles the formats the testdata has shipped so far:
+    - TIMESTAMP(NANOS) read as long (``nanosAsLong``): truncate ns->us,
+      the same truncation DuckDB applies, so timestamps stay comparable;
+    - TIMESTAMP_NTZ: cast to TIMESTAMP. That cast resolves against the
+      session timezone at EXECUTION time, so it is wall-clock-identical
+      only under UTC — require it loudly here instead of letting a
+      non-UTC external session silently shift every timestamp
+      (``session.tune_session`` sets UTC; the check catches sessions
+      that skipped it)."""
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType, TimestampNTZType
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    if isinstance(df.schema["ts"].dataType, TimestampNTZType):
-        # Newer testdata writes TIMESTAMP_NTZ; session tz is UTC so the
-        # cast to TIMESTAMP is wall-clock-identical (and unix_micros /
-        # watermarks require the tz-aware type).
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
-    if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(
+            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
         )
+    if isinstance(dt, TimestampNTZType):
+        tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+        if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00"):
+            raise ValueError(
+                f"events '{col}' is TIMESTAMP_NTZ and the session"
+                f" timezone is {tz!r}: the NTZ->TIMESTAMP cast would"
+                " shift wall clocks. Call session.tune_session(spark)"
+                " (sets UTC) before loading events."
+            )
+        return df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
+    default; read nanos as long, then normalize (see normalize_ts)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return normalize_ts(spark.read.parquet(table_path(sf_dir, "events")))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

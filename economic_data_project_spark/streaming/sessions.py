@@ -29,8 +29,11 @@ from pyspark.sql import functions as F
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (schema pinned from a
     batch read — streaming sources never infer; glob path because the
-    file source wants a directory/pattern, and the same nanos->micros
-    timestamp normalization the batch catalog applies)."""
+    file source wants a directory/pattern). Timestamp normalization is
+    the SAME ``catalog.normalize_ts`` the batch catalog applies, so the
+    batch≡stream equality tests compare identical wall clocks."""
+    from ..catalog import normalize_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
@@ -38,16 +41,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .format("parquet")
         .load(f"{sf_dir}/events*.parquet")
     )
-    ts_type = dict(stream.dtypes)["ts"]
-    if ts_type == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
-    elif ts_type == "timestamp_ntz":
-        # Watermarks require TIMESTAMP (with tz); session tz is UTC so the
-        # cast is wall-clock-identical to the batch catalog's ntz column.
-        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
+    return normalize_ts(stream)
 
 
 def windowed_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:

@@ -191,6 +191,25 @@ def test_default_decoder_polarity():
         assert dec is None
 
 
+def test_normalize_ts_utc_guard(spark):
+    """NTZ->TIMESTAMP is wall-clock-identical only under UTC: a non-UTC
+    session must fail loudly, not silently shift timestamps."""
+    from economic_data_project_spark.catalog import normalize_ts
+
+    df = spark.range(1).withColumn(
+        "ts", F.lit("2024-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        with pytest.raises(ValueError, match="timezone|UTC"):
+            normalize_ts(df)
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        assert dict(normalize_ts(df).dtypes)["ts"] == "timestamp"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
+
+
 def test_streaming_windowed_counts_match_batch(spark, tmp_path):
     stream = windowed_counts(read_events_stream(spark, SF_DIR))
     q = run_available_now(stream, str(tmp_path / "ckpt1"), "win_counts")
