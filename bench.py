@@ -46,6 +46,35 @@ HEADLINE = [
 ]
 
 
+def _skew_join(spark, sf_dir: str, salted: bool):
+    """Skew-stress workload: 90% of lineitem rows map to one join key,
+    joined to a 100-row dim with broadcast disabled (the salting
+    use-case: a broadcast-ineligible shuffle join with a hot key).
+    Timed with and without salted_join so BENCH records what the salt
+    buys on this box round-over-round."""
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark.functions.dialect import salted_join
+
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    fact = li.select(
+        F.when(F.col("l_orderkey") % 10 < 9, 0)
+        .otherwise(F.col("l_orderkey") % 100)
+        .cast("long")
+        .alias("k"),
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "rev"
+        ),
+    )
+    dim = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    joined = (
+        salted_join(fact, dim, "k") if salted else fact.join(dim, "k")
+    )
+    return joined.groupBy("grp").agg(F.sum("rev").alias("rev"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,7 +92,29 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
-    total = round(sum(timings.values()), 3)
+    # Skew-stress pair (broadcast disabled so the shuffle join is real;
+    # not part of the headline total — these measure a technique, not an
+    # operator).
+    skew: dict[str, float] = {}
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for label, salted in (
+            ("skew_join_plain", False),
+            ("skew_join_salted", True),
+        ):
+            t0 = time.perf_counter()
+            _skew_join(spark, sf_dir, salted).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            skew[label] = round(time.perf_counter() - t0, 3)
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", old_thresh
+        )
+    timings.update(skew)
+
+    total = round(sum(t for n, t in timings.items() if n not in skew), 3)
     print(
         json.dumps(
             {

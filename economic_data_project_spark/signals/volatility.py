@@ -263,7 +263,7 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("vix_close")
     )
-    wd = Window.orderBy("date")
+    wd = ta.series_window("date")
     w20 = wd.rowsBetween(-19, 0)
     vix_stats = vix.select(
         "date",

@@ -23,6 +23,28 @@ SF_DIR_ORACLE = os.environ.get(
     "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
 )
 
+# Lane markers by module: `-m fast` is the pre-commit lane (<2 min);
+# `-m "not fast"` is the long tail (oracle sweep + streaming drains).
+# Auto-applied so 450+ tests don't each carry a decorator.
+_SLOW_MODULES = {
+    "test_multimodal_streaming",  # AvailableNow drains, ~5 min
+    "test_kernel_golden",  # full kernel pipelines + LDA fits
+    "test_doc_ml",  # Spark ML fits
+    "test_recursive_cte",  # 40 s exact-recurrence equivalence sweep
+}
+_ORACLE_MODULES = {"test_oracle"}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _ORACLE_MODULES:
+            item.add_marker(pytest.mark.oracle)
+        elif mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture(scope="session")
 def spark():
@@ -43,6 +65,20 @@ def duckdb_connect(sf_dir: str) -> duckdb.DuckDBPyConnection:
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')"
             )
+    return con
+
+
+_DUCK_CACHE: dict[str, duckdb.DuckDBPyConnection] = {}
+
+
+def duckdb_cached(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Session-scoped oracle connection (one per sf_dir): the 126-query
+    sweep re-created views per test; views are read_parquet lazies so a
+    shared connection is safe and shaves the per-test setup. Do NOT
+    close the returned connection."""
+    con = _DUCK_CACHE.get(sf_dir)
+    if con is None:
+        con = _DUCK_CACHE[sf_dir] = duckdb_connect(sf_dir)
     return con
 
 
@@ -82,11 +118,10 @@ def compare_with_oracle(spark, query_fn, oracle_sql, sf_dir):
     s_cols = sdf.columns
     s_rows = [tuple(r) for r in sdf.collect()]
 
-    con = duckdb_connect(sf_dir)
+    con = duckdb_cached(sf_dir)
     res = con.execute(oracle_sql)
     d_cols = [d[0] for d in res.description]
     d_rows = res.fetchall()
-    con.close()
 
     if sorted(s_cols) != sorted(d_cols):
         return False, f"column mismatch: spark={sorted(s_cols)} duckdb={sorted(d_cols)}"

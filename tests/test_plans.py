@@ -71,6 +71,29 @@ def test_decode_stage_is_map_only(spark):
     assert "Exchange" not in _plan(decoded)
 
 
+def test_signal_series_windows_are_partitioned(spark):
+    # Global-series windows go through ta.series_window (explicit
+    # single-partition key), so WindowExec never logs 'No Partition
+    # Defined' on hot paths — that warning must stay meaningful for
+    # fact-scale frames that actually lost their key. Every Window node
+    # in these plans must carry a partition spec (3 bracket groups).
+    for name in (
+        "market_volatility_signals",
+        "net_liquidity_signals",
+        "signal_acceleration",
+        "cross_asset_divergences",
+        "commodity_real_residual",
+        "economic_alert_events",
+        "signal_fear_greed",
+        "signal_diffusion_index",
+    ):
+        df = all_queries()[name](spark, SF_DIR)
+        phys = _plan(df).split("== Physical Plan ==", 1)[1]
+        for line in phys.splitlines():
+            if " Window [" in f" {line}":
+                assert line.count("], [") >= 2, (name, line.strip())
+
+
 def test_ngram_nn_df_cap_below_candidate_join(spark):
     # The document-frequency cap (broadcast LeftAnti against the hot
     # shingle set) must sit BELOW the postings self-join: it exists to
