@@ -31,6 +31,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
+from ..functions import ta
 from ..registry import query
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -351,8 +352,10 @@ def economic_regime_classification(spark: SparkSession, sf_dir: str) -> DataFram
         .otherwise("neutral")
     )
     classified = wide.withColumn("regime", regime)
-    w = Window.orderBy("month")
-    wrun = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    w = ta.series_window("month")
+    wrun = ta.series_window("month").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
     transitions = classified.select(
         "month", "rev_a", "rev_n", "rev_r", "regime",
         F.lag("regime").over(w).alias("prev_regime"),

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions import ta
 from ..functions.parity import (
     centered_corr,
     davg,
@@ -336,7 +337,7 @@ def interesting_data_points(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (
                     F.col("value")
                     / F.nullif(
-                        F.lag("value").over(Window.orderBy("month")),
+                        F.lag("value").over(ta.series_window("month")),
                         F.lit(0),
                     )
                     - 1

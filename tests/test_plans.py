@@ -75,8 +75,12 @@ def test_signal_series_windows_are_partitioned(spark):
     # Global-series windows go through ta.series_window (explicit
     # single-partition key), so WindowExec never logs 'No Partition
     # Defined' on hot paths — that warning must stay meaningful for
-    # fact-scale frames that actually lost their key. Every Window node
-    # in these plans must carry a partition spec (3 bracket groups).
+    # fact-scale frames that actually lost their key. Detection is on
+    # windowspecdefinition's FIRST argument (a sort order there means no
+    # partition keys precede it); plan lines can be truncated, so
+    # bracket-group counting is not reliable.
+    import re
+
     for name in (
         "market_volatility_signals",
         "net_liquidity_signals",
@@ -86,12 +90,21 @@ def test_signal_series_windows_are_partitioned(spark):
         "economic_alert_events",
         "signal_fear_greed",
         "signal_diffusion_index",
+        "economic_regime_classification",
+        "interesting_data_points",
     ):
         df = all_queries()[name](spark, SF_DIR)
         phys = _plan(df).split("== Physical Plan ==", 1)[1]
         for line in phys.splitlines():
-            if " Window [" in f" {line}":
-                assert line.count("], [") >= 2, (name, line.strip())
+            if " Window [" not in f" {line}":
+                continue
+            m = re.search(r"windowspecdefinition\(([^,]+),", line)
+            if m:
+                first = m.group(1)
+                assert "ASC" not in first and "DESC" not in first, (
+                    name,
+                    line.strip()[:160],
+                )
 
 
 def test_ngram_nn_df_cap_below_candidate_join(spark):
