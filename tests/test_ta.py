@@ -109,3 +109,38 @@ def test_mean_abs_dev(spark):
     )
     out = df.select(ta.mean_abs_dev("win", "ref").alias("mad")).collect()
     assert out[0].mad == pytest.approx((0 + 1 + 3) / 3)
+
+
+def test_emit_matches_sql_emit_cross_engine(spark):
+    """ta.emit (Spark) and ta.sql_emit (DuckDB) must produce the
+    identical normalized double for the same input — including signed
+    zero and values near ROUND half-boundaries (the two drift classes
+    emit exists to kill)."""
+    import duckdb
+
+    rng = np.random.RandomState(7)
+    vals = [float(v) for v in rng.uniform(-1e4, 1e4, 200)]
+    vals += [-0.0, 0.0, 378.5610213708781, 378.56102137087817]
+    vals += [5.0768795, -5.0768795, 1e-7, -1e-7, 123.4567895]
+
+    sdf = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], ["i", "x"]
+    )
+    got_spark = {
+        r.i: r.e
+        for r in sdf.select("i", ta.emit("x").alias("e")).collect()
+    }
+    con = duckdb.connect()
+    con.register(
+        "vals_tbl",
+        pd.DataFrame({"i": range(len(vals)), "x": vals}),
+    )
+    got_duck = dict(
+        con.execute(
+            "SELECT i, " + ta.sql_emit("x") + " AS e FROM vals_tbl"
+        ).fetchall()
+    )
+    con.close()
+    for i in range(len(vals)):
+        s, d = got_spark[i], got_duck[i]
+        assert repr(s) == repr(d), (i, vals[i], s, d)  # catches -0.0
