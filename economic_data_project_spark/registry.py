@@ -87,6 +87,7 @@ def load_all() -> None:
         mentions,
         ml,
         sampling,
+        screening,
         trends,
     )
 

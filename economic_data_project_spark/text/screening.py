@@ -1,0 +1,191 @@
+"""Corpus screening + sequence packing for training-data pipelines.
+
+Two operations every LLM-corpus pipeline runs before training that the
+reference's document layer stops short of:
+
+- **PII screening** (``text_pii_scan``): per-document counts of
+  email-, phone-, long-digit- and IPv4-shaped substrings plus a
+  composite flag. Pure regexp counting — the removal/redaction policy
+  is a downstream filter on these columns. Patterns are ASCII-level and
+  evaluate identically under Java regex (Spark) and RE2 (DuckDB), so
+  the query is oracle-backed; the synthetic corpus contains no PII (all
+  zeros — verified), so the value-level check lives in pytest on a
+  fixture corpus with planted PII (tests/test_screening.py).
+
+- **Sequence packing** (``doc_token_packing`` / ``packing_bin_stats``):
+  assign documents to fixed-capacity context-window bins by cumulative
+  token offset, sharded for parallelism — the distributed formulation
+  of greedy sequence packing: a global cumulative sum would serialize
+  the corpus, so documents are hash-sharded (doc_id % N_SHARDS) and
+  packed within shards, which is exactly how a 1000-executor packing
+  job runs (each shard's bins feed one writer). Bin id =
+  floor(start_offset / capacity) — fixed-boundary packing; per-bin
+  stats report fill ratios. All arithmetic is integer sums and
+  division by a power of two (exact in IEEE double), so both engines
+  hash-match without rounding.
+
+Scale: both are one scan over documents; packing shuffles once on the
+shard key (uniform by construction); windows partition per shard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..registry import query
+
+# ---------------------------------------------------------------- PII scan
+
+# ASCII-conservative patterns, identical semantics in Java regex and RE2.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "phone": r"\d{3}[-.]\d{3}[-.]\d{4}",
+    "long_digit_run": r"\d{6,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+}
+
+
+def _pii_oracle() -> str:
+    cols = ",\n  ".join(
+        f"(CAST(len(regexp_extract_all(lower(text), '{pat}')) AS BIGINT))"
+        f" AS n_{name}"
+        for name, pat in PII_PATTERNS.items()
+    )
+    any_hit = " + ".join(f"n_{name}" for name in PII_PATTERNS)
+    return f"""
+WITH counts AS (
+  SELECT doc_id, {cols}
+  FROM documents
+)
+SELECT doc_id, {", ".join("n_" + n for n in PII_PATTERNS)},
+       ({any_hit} > 0) AS pii_flag
+FROM counts
+ORDER BY doc_id
+"""
+
+
+def pii_scan(docs: DataFrame) -> DataFrame:
+    """Reusable screening stage over any frame with (doc_id, text)."""
+    counts = docs.select(
+        "doc_id",
+        *[
+            F.size(
+                F.regexp_extract_all(
+                    F.lower("text"), F.lit(pat), F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+    )
+    total = sum(
+        (F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)
+    )
+    return counts.withColumn("pii_flag", total > 0).orderBy("doc_id")
+
+
+@query("text_pii_scan", oracle=_pii_oracle())
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pii_scan(load_table(spark, sf_dir, "documents"))
+
+
+# ----------------------------------------------------------- token packing
+
+N_SHARDS = 8
+BIN_CAPACITY = 512  # tokens per context window; power of two -> /512.0 exact
+
+_TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
+
+_PACKING_CTE = f"""
+toks AS (
+  SELECT doc_id, doc_id % {N_SHARDS} AS shard,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, shard, n_tokens,
+         (SUM(n_tokens) OVER w - n_tokens) AS start_offset,
+         CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens)
+              / {BIN_CAPACITY}.0) AS BIGINT) AS bin_id
+  FROM toks
+  WINDOW w AS (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+"""
+
+_PACKING_ORACLE = f"""
+WITH {_PACKING_CTE}
+SELECT doc_id, shard, n_tokens, start_offset, bin_id
+FROM packed
+ORDER BY doc_id
+"""
+
+_BIN_STATS_ORACLE = f"""
+WITH {_PACKING_CTE}
+SELECT shard, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(n_tokens) AS bin_tokens,
+       (SUM(n_tokens) / {BIN_CAPACITY}.0) AS fill_ratio
+FROM packed
+GROUP BY shard, bin_id
+ORDER BY shard, bin_id
+"""
+
+
+def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    toks = d.select(
+        "doc_id",
+        (F.col("doc_id") % N_SHARDS).alias("shard"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit("[a-z]+"), F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    return toks.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
+            "start_offset"
+        ),
+        F.floor(
+            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
+            / float(BIN_CAPACITY)
+        )
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
+@query("doc_token_packing", oracle=_PACKING_ORACLE)
+def doc_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _packed(spark, sf_dir).orderBy("doc_id")
+
+
+@query("packing_bin_stats", oracle=_BIN_STATS_ORACLE)
+def packing_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _packed(spark, sf_dir)
+        .groupBy("shard", "bin_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            (F.sum("n_tokens") / float(BIN_CAPACITY)).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("shard", "bin_id")
+    )
