@@ -189,3 +189,182 @@ def packing_bin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "bin_id")
     )
+
+
+# ----------------------------------------------- benchmark contamination
+
+# Canary phrases (3-word shingles) standing in for a benchmark/eval-set
+# shingle table: in a real decontamination pass this list is the shingled
+# benchmark corpus (thousands of n-grams), broadcast against the training
+# corpus — the standard eval-decontamination shape. Mixed hit/miss by
+# construction so the oracle comparison exercises both branches.
+CANARY_SHINGLES: tuple[str, ...] = (
+    "row column sort",
+    "stream table hash",
+    "part filter scan",
+    "window fast query",
+    "held out phrase",
+    "never in corpus",
+)
+
+_SHINGLES_EXPR = (
+    "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat_ws(' ', slice(toks, i, 3)))"
+)
+_SHINGLES_DUCK_RAW = (
+    "list_transform(range(1, greatest(len(toks) - 1, 2)),"
+    " i -> array_to_string(toks[i:i+2], ' '))"
+)
+
+
+def _contamination_oracle() -> str:
+    canaries = ", ".join(f"'{c}'" for c in CANARY_SHINGLES)
+    return f"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct({_SHINGLES_DUCK_RAW.replace("toks", _TOKENS_DUCK)})
+           AS shingles
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         list_sort(list_intersect(shingles, [{canaries}])) AS matched
+  FROM sh
+)
+SELECT doc_id,
+       CAST(len(matched) AS BIGINT) AS n_canary_hits,
+       COALESCE(array_to_string(matched, ', '), '') AS matched_canaries,
+       (len(matched) > 0) AS contaminated
+FROM hits
+ORDER BY doc_id
+"""
+
+
+@query("benchmark_contamination", oracle=_contamination_oracle())
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination screen: per-document overlap with a
+    broadcast benchmark shingle set. At 100 TB the canary list is a
+    shingled benchmark corpus joined via broadcast (it is small) —
+    here an array-intersect against a literal array, the same map-only
+    shape."""
+    d = load_table(spark, sf_dir, "documents")
+    canary_arr = F.array(*[F.lit(c) for c in CANARY_SHINGLES])
+    sh = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.expr(
+                _SHINGLES_EXPR.replace(
+                    "toks",
+                    "regexp_extract_all(lower(text), '[a-z]+', 0)",
+                )
+            )
+        ).alias("shingles"),
+    )
+    hits = sh.select(
+        "doc_id",
+        F.sort_array(
+            F.array_intersect("shingles", canary_arr)
+        ).alias("matched"),
+    )
+    return hits.select(
+        "doc_id",
+        F.size("matched").cast("long").alias("n_canary_hits"),
+        F.array_join("matched", ", ").alias("matched_canaries"),
+        (F.size("matched") > 0).alias("contaminated"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------- repetition scoring
+
+# Gopher/C4-style repetition filters: duplicate-shingle fraction and
+# most-frequent-token fraction, with a composite drop flag.
+DUP_SHINGLE_MAX = 0.5
+TOP_TOKEN_MAX = 0.2
+
+_REPETITION_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id,
+         CAST(len({_SHINGLES_DUCK_RAW}) AS BIGINT) AS n_shingles,
+         CAST(len(list_distinct({_SHINGLES_DUCK_RAW})) AS BIGINT)
+           AS n_distinct_shingles
+  FROM base
+),
+tok_counts AS (
+  SELECT doc_id, t.tok AS tok, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM base) t
+  GROUP BY doc_id, t.tok
+),
+top_tok AS (
+  SELECT doc_id,
+         CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_token_ratio
+  FROM tok_counts GROUP BY doc_id
+)
+SELECT s.doc_id, s.n_shingles, s.n_distinct_shingles,
+       (CASE WHEN s.n_shingles > 0
+             THEN 1.0 - CAST(s.n_distinct_shingles AS DOUBLE)
+                        / s.n_shingles
+             ELSE 0.0 END) AS dup_shingle_ratio,
+       t.top_token_ratio,
+       ((CASE WHEN s.n_shingles > 0
+              THEN 1.0 - CAST(s.n_distinct_shingles AS DOUBLE)
+                         / s.n_shingles
+              ELSE 0.0 END) > {DUP_SHINGLE_MAX!r}
+        OR t.top_token_ratio > {TOP_TOKEN_MAX!r}) AS repetition_flag
+FROM sh s JOIN top_tok t ON s.doc_id = t.doc_id
+ORDER BY s.doc_id
+"""
+
+
+@query("text_repetition_scores", oracle=_REPETITION_ORACLE)
+def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition quality filter: duplicate 3-gram fraction (shingles
+    WITHOUT the dedup distinct) and most-frequent-token fraction. The
+    token mode goes through explode + two hash-aggs keyed by doc_id —
+    one shuffle on a uniform key; shingle stats are per-row HOFs."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+    sh_raw = _SHINGLES_EXPR.replace("toks", toks)
+    sh = d.select(
+        "doc_id",
+        F.size(F.expr(sh_raw)).cast("long").alias("n_shingles"),
+        F.size(F.array_distinct(F.expr(sh_raw)))
+        .cast("long")
+        .alias("n_distinct_shingles"),
+    )
+    top = (
+        d.select(
+            "doc_id", F.explode(F.expr(toks)).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            (F.max("c").cast("double") / F.sum("c")).alias(
+                "top_token_ratio"
+            )
+        )
+    )
+    dup = F.when(
+        F.col("n_shingles") > 0,
+        1.0
+        - F.col("n_distinct_shingles").cast("double")
+        / F.col("n_shingles"),
+    ).otherwise(0.0)
+    return (
+        sh.join(top, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_distinct_shingles",
+            dup.alias("dup_shingle_ratio"),
+            "top_token_ratio",
+            (
+                (dup > DUP_SHINGLE_MAX)
+                | (F.col("top_token_ratio") > TOP_TOKEN_MAX)
+            ).alias("repetition_flag"),
+        )
+        .orderBy("doc_id")
+    )

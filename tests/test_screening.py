@@ -106,3 +106,67 @@ def test_bin_stats_consistent_with_packing(spark):
         assert s.fill_ratio == pytest.approx(
             sum(toks) / BIN_CAPACITY, abs=0
         )
+
+
+def test_contamination_planted_canaries(spark):
+    from economic_data_project_spark.text.screening import (
+        benchmark_contamination,
+    )
+    import economic_data_project_spark.text.screening as scr
+
+    # run the registered query on a corpus where the answer is known
+    rows = [
+        (0, "the row column sort trick plus stream table hash combo"),
+        (1, "clean text with no canaries anywhere in sight today"),
+        (2, "window fast query window fast query repeated twice"),
+    ]
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "fixture"
+    pdf["n_chars"] = pdf["text"].str.len()
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = {
+            r.doc_id: r for r in benchmark_contamination(spark, d).collect()
+        }
+    assert got[0].n_canary_hits == 2
+    assert got[0].matched_canaries == "row column sort, stream table hash"
+    assert got[1].n_canary_hits == 0 and not got[1].contaminated
+    assert got[1].matched_canaries == ""
+    # distinct shingles: the repeated canary counts once
+    assert got[2].n_canary_hits == 1 and got[2].contaminated
+
+
+def test_repetition_scores_extremes(spark):
+    from economic_data_project_spark.text.screening import (
+        text_repetition_scores,
+    )
+    import pandas as pd
+    import tempfile, os
+
+    rows = [
+        (0, "spam " * 50),  # one token repeated: max repetition
+        # all-distinct alpha words (the tokenizer is [a-z]+, so no digits)
+        (1, " ".join(
+            "w" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(60)
+        )),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
+    pdf["lang"] = "en"
+    pdf["source"] = "fixture"
+    pdf["n_chars"] = pdf["text"].str.len()
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(os.path.join(d, "documents.parquet"), index=False)
+        got = {
+            r.doc_id: r for r in text_repetition_scores(spark, d).collect()
+        }
+    assert got[0].top_token_ratio == 1.0
+    assert got[0].dup_shingle_ratio > 0.9
+    assert got[0].repetition_flag
+    assert got[1].top_token_ratio < 0.05
+    assert got[1].dup_shingle_ratio == 0.0
+    assert not got[1].repetition_flag
