@@ -131,6 +131,17 @@ def test_ngram_nn_df_cap_below_candidate_join(spark):
     assert min(anti) > min(inner)
 
 
+def test_screening_ops_shuffle_budget(spark):
+    # pii scan and contamination are per-document HOF work: one global
+    # sort for the display ORDER BY is the only allowed exchange.
+    for name in ("text_pii_scan", "benchmark_contamination"):
+        df = all_queries()[name](spark, SF_DIR)
+        assert _plan(df).count("Exchange") <= 1, name
+    # packing shuffles once on the shard key + the display sort
+    df = all_queries()["doc_token_packing"](spark, SF_DIR)
+    assert _plan(df).count("Exchange") <= 2
+
+
 def test_text_quality_shuffle_free(spark):
     df = all_queries()["text_quality_scores"](spark, SF_DIR)
     plan = _plan(df)
