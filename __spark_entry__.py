@@ -66,6 +66,11 @@ def _changed_queries() -> list[str]:
         for f in _git("diff", "--name-only", ref).splitlines()
         if f.endswith(".py")
     }
+    # registry.py is pure registration plumbing imported by every query
+    # module; counting it as a semantic dependency would flag the whole
+    # registry on any new-query addition and push genuinely-new queries
+    # out of the driver's bounded verification prefix.
+    changed.discard(f"{_PKG}/registry.py")
     if not changed:
         return []
     out: list[str] = []
@@ -107,14 +112,17 @@ def _ever_passed() -> set[str]:
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Changed-this-round first, then never-driver-verified, then the
+    """Never-driver-verified first, then changed-this-round, then the
     stable tail — so a driver that checks a bounded prefix always spends
-    its budget on the queries with no green row yet."""
-    force = [n for n in _changed_queries() if n in names]
-    passed = _ever_passed() - set(force)
-    fresh = [n for n in names if n not in passed and n not in force]
-    stable = [n for n in names if n in passed]
-    return force + fresh + stable
+    its budget on the queries with no green row yet before re-verifying
+    changed-but-previously-green ones (a broad shared-helper edit can
+    flag most of the registry; new queries must not be crowded out)."""
+    force = set(_changed_queries())
+    passed = _ever_passed()
+    fresh = [n for n in names if n not in passed]
+    changed = [n for n in names if n in passed and n in force]
+    stable = [n for n in names if n in passed and n not in force]
+    return fresh + changed + stable
 
 
 def entry(spark: SparkSession) -> DataFrame:
