@@ -20,6 +20,45 @@ import os
 
 from pyspark.sql import SparkSession
 
+_PKG_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on Python WORKERS regardless of the
+    driver's cwd/PYTHONPATH.
+
+    Pandas UDFs that call module-level helpers (e.g. the HTML extractor)
+    are serialized with those helpers as by-reference globals, so the
+    worker must import ``economic_data_project_spark`` itself. That held
+    only when the driver happened to run from the repo root (cwd on
+    sys.path) — a driver started anywhere else got an opaque worker
+    ImportError. Ship the package the way spark-submit's ``--py-files``
+    does: zip it once per process and ``addPyFile`` it (SparkFiles adds
+    the zip to every worker's sys.path). Idempotent per JVM: re-adding
+    the same path is a no-op warning, and the zip content is a pure
+    function of the source tree."""
+    import tempfile
+    import zipfile
+
+    zip_path = os.path.join(
+        tempfile.gettempdir(), "economic_data_project_spark_pkg.zip"
+    )
+    pkg_dir = os.path.join(_PKG_ROOT, "economic_data_project_spark")
+    try:
+        if not os.path.exists(zip_path):
+            tmp = zip_path + ".tmp"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for root, _dirs, files in os.walk(pkg_dir):
+                    for f in files:
+                        if not f.endswith(".py"):
+                            continue
+                        full = os.path.join(root, f)
+                        zf.write(full, os.path.relpath(full, _PKG_ROOT))
+            os.replace(tmp, zip_path)
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # driver cwd = repo root still works; best-effort hardening
+
 
 def get_spark(
     app_name: str = "economic-data-project-spark",
@@ -46,7 +85,9 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _ship_package(spark)
+    return spark
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -62,4 +103,5 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # non-mutable in some deployments; defaults are acceptable
+    _ship_package(spark)
     return spark

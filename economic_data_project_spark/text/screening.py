@@ -108,7 +108,7 @@ toks AS (
 ),
 packed AS (
   SELECT doc_id, shard, n_tokens,
-         (SUM(n_tokens) OVER w - n_tokens) AS start_offset,
+         CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
          CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens)
               / {BIN_CAPACITY}.0) AS BIGINT) AS bin_id
   FROM toks
@@ -128,7 +128,7 @@ _BIN_STATS_ORACLE = f"""
 WITH {_PACKING_CTE}
 SELECT shard, bin_id,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
-       SUM(n_tokens) AS bin_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        (SUM(n_tokens) / {BIN_CAPACITY}.0) AS fill_ratio
 FROM packed
 GROUP BY shard, bin_id
