@@ -33,10 +33,11 @@ def _ship_package(spark: SparkSession) -> None:
     only when the driver happened to run from the repo root (cwd on
     sys.path) — a driver started anywhere else got an opaque worker
     ImportError. Ship the package the way spark-submit's ``--py-files``
-    does: zip it once per process and ``addPyFile`` it (SparkFiles adds
-    the zip to every worker's sys.path). Idempotent per JVM: re-adding
-    the same path is a no-op warning, and the zip content is a pure
-    function of the source tree."""
+    does: zip it and ``addPyFile`` it (SparkFiles adds the zip to every
+    worker's sys.path). Rebuilt on every call — a cached zip could ship
+    STALE code to workers after the source tree changes; the build is
+    milliseconds and ``os.replace`` keeps it atomic against concurrent
+    processes. Re-adding the same path to a JVM is a no-op warning."""
     import tempfile
     import zipfile
 
@@ -45,16 +46,15 @@ def _ship_package(spark: SparkSession) -> None:
     )
     pkg_dir = os.path.join(_PKG_ROOT, "economic_data_project_spark")
     try:
-        if not os.path.exists(zip_path):
-            tmp = zip_path + ".tmp"
-            with zipfile.ZipFile(tmp, "w") as zf:
-                for root, _dirs, files in os.walk(pkg_dir):
-                    for f in files:
-                        if not f.endswith(".py"):
-                            continue
-                        full = os.path.join(root, f)
-                        zf.write(full, os.path.relpath(full, _PKG_ROOT))
-            os.replace(tmp, zip_path)
+        tmp = f"{zip_path}.{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for f in sorted(files):
+                    if not f.endswith(".py"):
+                        continue
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, _PKG_ROOT))
+        os.replace(tmp, zip_path)
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # driver cwd = repo root still works; best-effort hardening
