@@ -11,8 +11,8 @@ a thin adapter over its query registry.
 
 from __future__ import annotations
 
+import ast
 import glob
-import inspect
 import json
 import os
 import subprocess
@@ -44,12 +44,57 @@ def _git(*args: str) -> str:
         return ""
 
 
+def _module_files(mod_name: str) -> set[str]:
+    """Repo-relative file candidates for a dotted module name (plain
+    module or package __init__)."""
+    base = mod_name.replace(".", "/")
+    return {base + ".py", base + "/__init__.py"}
+
+
+def _deps_of(mod_name: str) -> set[str]:
+    """``mod_name`` plus every package module its SOURCE imports — a
+    static AST scan rather than runtime ``vars()`` introspection, so
+    plain-data imports (string constants like ``functions/vectors.py``'s
+    SQL fragments, lexicon dicts, …) register as dependencies too; those
+    have no ``__module__`` and are invisible to a runtime scan."""
+    deps = {mod_name}
+    path = os.path.join(_HERE, mod_name.replace(".", "/") + ".py")
+    try:
+        with open(path) as fh:
+            tree = ast.parse(fh.read())
+    except (OSError, SyntaxError):
+        return deps
+    pkg_parts = mod_name.split(".")[:-1]
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Import):
+            for a in node.names:
+                if a.name.startswith(_PKG):
+                    deps.add(a.name)
+        elif isinstance(node, ast.ImportFrom):
+            if node.level:
+                base = pkg_parts[: len(pkg_parts) - (node.level - 1)]
+                mod = ".".join(
+                    base
+                    + (node.module.split(".") if node.module else [])
+                )
+            else:
+                mod = node.module or ""
+            if mod.startswith(_PKG):
+                deps.add(mod)
+                for a in node.names:
+                    # `from .functions import ta` imports a MODULE by
+                    # name; non-module names resolve to no file and
+                    # match nothing — harmless.
+                    deps.add(f"{mod}.{a.name}")
+    return deps
+
+
 def _changed_queries() -> list[str]:
     """Queries whose Spark code or oracle changed since the last
     driver-recorded CORRECTNESS file — derived from ``git diff`` so the
     force-first list can never go stale (a hand-edited list silently
     skipped re-verification of changed code). A query counts as changed
-    when its defining module, or any package module that module directly
+    when its defining module, or any package module that module's source
     imports (e.g. ``functions/ta.py`` helpers shared by many oracles),
     differs from the tree at the commit that last touched the newest
     ``CORRECTNESS_r*.json``."""
@@ -74,19 +119,15 @@ def _changed_queries() -> list[str]:
     if not changed:
         return []
     out: list[str] = []
+    dep_cache: dict[str, set[str]] = {}
     for name, fn in registry.all_queries().items():
-        mods = {fn.__module__}
-        m = sys.modules.get(fn.__module__)
-        if m is not None:
-            for v in vars(m).values():
-                dep = (
-                    v.__name__
-                    if inspect.ismodule(v)
-                    else getattr(v, "__module__", None)
-                )
-                if isinstance(dep, str) and dep.startswith(_PKG):
-                    mods.add(dep)
-        if {mod.replace(".", "/") + ".py" for mod in mods} & changed:
+        mod = fn.__module__
+        if mod not in dep_cache:
+            files: set[str] = set()
+            for d in _deps_of(mod):
+                files |= _module_files(d)
+            dep_cache[mod] = files
+        if dep_cache[mod] & changed:
             out.append(name)
     return out
 

@@ -66,8 +66,12 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
     dt = df.schema[col].dataType
     if isinstance(dt, LongType):
+        # integer `div`, NOT `/1000`: epoch nanos (~1.7e18) exceed 2^53,
+        # so a double-precision quotient rounds at a 256ns ulp and can
+        # land on the wrong microsecond before the cast truncates —
+        # DuckDB truncates in exact integer arithmetic.
         return df.withColumn(
-            col, F.timestamp_micros((F.col(col) / 1000).cast("long"))
+            col, F.timestamp_micros(F.expr(f"{col} div 1000"))
         )
     if isinstance(dt, TimestampNTZType):
         tz = df.sparkSession.conf.get("spark.sql.session.timeZone")

@@ -34,27 +34,43 @@ def _ship_package(spark: SparkSession) -> None:
     sys.path) — a driver started anywhere else got an opaque worker
     ImportError. Ship the package the way spark-submit's ``--py-files``
     does: zip it and ``addPyFile`` it (SparkFiles adds the zip to every
-    worker's sys.path). Rebuilt on every call — a cached zip could ship
-    STALE code to workers after the source tree changes; the build is
-    milliseconds and ``os.replace`` keeps it atomic against concurrent
-    processes. Re-adding the same path to a JVM is a no-op warning."""
+    worker's sys.path). The zip NAME carries a content hash of the
+    source tree: ``addPyFile`` serves the file at worker-fetch time, so
+    a fixed shared path would let a concurrent driver from another
+    checkout (e.g. a git worktree) clobber the file between this
+    session's add and its workers' fetch — content-addressed names make
+    that race impossible, and same-content rebuilds are no-ops.
+    Re-adding an identical path to a JVM is a no-op warning."""
+    import hashlib
     import tempfile
     import zipfile
 
-    zip_path = os.path.join(
-        tempfile.gettempdir(), "economic_data_project_spark_pkg.zip"
-    )
     pkg_dir = os.path.join(_PKG_ROOT, "economic_data_project_spark")
     try:
-        tmp = f"{zip_path}.{os.getpid()}.tmp"
-        with zipfile.ZipFile(tmp, "w") as zf:
-            for root, _dirs, files in os.walk(pkg_dir):
-                for f in sorted(files):
-                    if not f.endswith(".py"):
-                        continue
+        sources = []
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in sorted(files):
+                if f.endswith(".py"):
                     full = os.path.join(root, f)
-                    zf.write(full, os.path.relpath(full, _PKG_ROOT))
-        os.replace(tmp, zip_path)
+                    sources.append(
+                        (os.path.relpath(full, _PKG_ROOT), full)
+                    )
+        sources.sort()
+        h = hashlib.md5()
+        for rel, full in sources:
+            h.update(rel.encode())
+            with open(full, "rb") as fh:
+                h.update(fh.read())
+        zip_path = os.path.join(
+            tempfile.gettempdir(),
+            f"economic_data_project_spark_pkg.{h.hexdigest()[:16]}.zip",
+        )
+        if not os.path.exists(zip_path):
+            tmp = f"{zip_path}.{os.getpid()}.tmp"
+            with zipfile.ZipFile(tmp, "w") as zf:
+                for rel, full in sources:
+                    zf.write(full, rel)
+            os.replace(tmp, zip_path)
         spark.sparkContext.addPyFile(zip_path)
     except Exception:
         pass  # driver cwd = repo root still works; best-effort hardening

@@ -497,21 +497,39 @@ _BLOCK = 1024
 # cosine. ~10^6 vectors is where the replication factor (~1000 blocks)
 # overtakes the LSH path's band-join fan-out.
 _EMB_LSH_MIN = 200_000
-_EMB_BANDS = 8
-_EMB_BAND_BITS = 8
+_EMB_BANDS = 16
+_EMB_BAND_BITS = 6
 
 
-def _emb_lsh_pairs(e: DataFrame) -> DataFrame:
-    """Near-dup pairs via sign-LSH candidate generation: band b of a
-    vector packs the signs of coordinates [b*r, (b+1)*r) into an int;
-    pairs colliding on ANY band (equi-join on (band, band_val)) are
-    verified with the exact rounded cosine — identical values to the
-    brute path, so the routing changes candidate RECALL only (a pair
-    must agree on all r signs of some band; for the near-dup range
-    cos >= 0.9 the per-band collision rate is ~0.43, so 8 bands miss
-    ~1% of true pairs — the documented approximation of every LSH
-    scale path, same trade as ann_signlsh_bucketed)."""
+def _emb_band_starts(dim: int) -> list[int]:
+    """0-based start offsets of the L coordinate windows, spread evenly
+    across the dimension (windows may overlap when L*r > dim)."""
     r, nb = _EMB_BAND_BITS, _EMB_BANDS
+    if dim <= r:
+        return [0]
+    if nb == 1:
+        return [0]
+    return [b * (dim - r) // (nb - 1) for b in range(nb)]
+
+
+def _emb_lsh_pairs(e: DataFrame, dim: int) -> DataFrame:
+    """Near-dup pairs via sign-LSH candidate generation: band b packs
+    the signs of a 6-coordinate window into an int; pairs colliding on
+    ANY of the 16 windows (equi-join on (band, band_val)) are verified
+    with the exact rounded cosine — identical values to the brute path,
+    so the routing changes candidate RECALL only.
+
+    Recall honesty (sign-agreement per coordinate p = 1 - theta/pi,
+    independence approximation; overlapping windows correlate bands
+    slightly, lowering the effective table count): any-band collision
+    is ~0.999 at cosine 0.9, ~0.99 at 0.8, ~0.88 at 0.6 and ~0.65 at
+    the 0.4 output floor. The scale path therefore keeps essentially
+    all near-duplicates (the regime this operator exists for) while
+    the weak-similarity tail near the threshold is candidates-limited;
+    the declared all-pairs oracle remains exact at driver scale, where
+    the brute path runs. More recall at the tail = more bands — the
+    standard LSH budget knob."""
+    r = _EMB_BAND_BITS
     band_val = (
         "aggregate(zip_with(slice(embedding, {off}, %d), sequence(0, %d),"
         " (x, i) -> CASE WHEN cast(x as double) >= 0"
@@ -525,11 +543,11 @@ def _emb_lsh_pairs(e: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.expr(band_val.format(off=b * r + 1)).alias(
+                        F.expr(band_val.format(off=start + 1)).alias(
                             "band_val"
                         ),
                     )
-                    for b in range(nb)
+                    for b, start in enumerate(_emb_band_starts(dim))
                 ]
             )
         ).alias("bv"),
@@ -589,8 +607,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     if emb.count() > _EMB_LSH_MIN:
         # scale path: the all-pairs block layout would replicate each
         # vector ~n/_BLOCK times; route candidates through sign-LSH
-        # bucket collisions and verify only those.
-        return _emb_lsh_pairs(emb)
+        # bucket collisions and verify only those. Degenerate dims
+        # (< one band width) would give every vector the same empty
+        # band — keep those on the exact path.
+        first = emb.select("embedding").head()
+        dim = len(first["embedding"]) if first else 0
+        if dim >= _EMB_BAND_BITS:
+            return _emb_lsh_pairs(emb, dim)
     e = emb.select(
         "vec_id",
         "embedding",

@@ -307,13 +307,14 @@ SELECT s.doc_id, s.n_shingles, s.n_distinct_shingles,
              THEN 1.0 - CAST(s.n_distinct_shingles AS DOUBLE)
                         / s.n_shingles
              ELSE 0.0 END) AS dup_shingle_ratio,
-       t.top_token_ratio,
+       COALESCE(t.top_token_ratio, 0.0) AS top_token_ratio,
        ((CASE WHEN s.n_shingles > 0
               THEN 1.0 - CAST(s.n_distinct_shingles AS DOUBLE)
                          / s.n_shingles
               ELSE 0.0 END) > {DUP_SHINGLE_MAX!r}
-        OR t.top_token_ratio > {TOP_TOKEN_MAX!r}) AS repetition_flag
-FROM sh s JOIN top_tok t ON s.doc_id = t.doc_id
+        OR COALESCE(t.top_token_ratio, 0.0) > {TOP_TOKEN_MAX!r})
+         AS repetition_flag
+FROM sh s LEFT JOIN top_tok t ON s.doc_id = t.doc_id
 ORDER BY s.doc_id
 """
 
@@ -353,17 +354,20 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("n_distinct_shingles").cast("double")
         / F.col("n_shingles"),
     ).otherwise(0.0)
+    # LEFT join: a document with zero [a-z]+ tokens produces no explode
+    # rows and would silently vanish from the screening report under an
+    # inner join — every input doc must get a verdict.
+    ttr = F.coalesce(F.col("top_token_ratio"), F.lit(0.0))
     return (
-        sh.join(top, "doc_id")
+        sh.join(top, "doc_id", "left")
         .select(
             "doc_id",
             "n_shingles",
             "n_distinct_shingles",
             dup.alias("dup_shingle_ratio"),
-            "top_token_ratio",
+            ttr.alias("top_token_ratio"),
             (
-                (dup > DUP_SHINGLE_MAX)
-                | (F.col("top_token_ratio") > TOP_TOKEN_MAX)
+                (dup > DUP_SHINGLE_MAX) | (ttr > TOP_TOKEN_MAX)
             ).alias("repetition_flag"),
         )
         .orderBy("doc_id")

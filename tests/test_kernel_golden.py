@@ -310,7 +310,7 @@ def test_emb_lsh_path_equals_brute_on_colliding_pairs(spark):
     from economic_data_project_spark.catalog import load_table
     from economic_data_project_spark.text.dedup import (
         _EMB_BAND_BITS,
-        _EMB_BANDS,
+        _emb_band_starts,
         _emb_lsh_pairs,
     )
 
@@ -320,12 +320,14 @@ def test_emb_lsh_path_equals_brute_on_colliding_pairs(spark):
         for r in emb.collect()
     }
     bits = {v: (x >= 0) for v, x in raw.items()}
+    dim = len(next(iter(raw.values())))
+    starts = _emb_band_starts(dim)
 
     def bands(v):
         r = _EMB_BAND_BITS
         return tuple(
-            int(sum(int(bits[v][b * r + i]) << i for i in range(r)))
-            for b in range(_EMB_BANDS)
+            int(sum(int(bits[v][s + i]) << i for i in range(r)))
+            for s in starts
         )
 
     sig = {v: bands(v) for v in raw}
@@ -337,11 +339,18 @@ def test_emb_lsh_path_equals_brute_on_colliding_pairs(spark):
     )
     got = sorted(
         (r.vec_a, r.vec_b, r.cosine)
-        for r in _emb_lsh_pairs(emb).collect()
+        for r in _emb_lsh_pairs(emb, dim).collect()
     )
     assert got == expected
     assert len(expected) > 0  # the fixture corpus has near-dups
+    # the near-dup regime must be essentially fully recalled: every
+    # brute pair at cosine >= 0.8 collides in some band
+    strong = [r for r in brute if r.cosine >= 0.8]
+    recalled = {(r.vec_a, r.vec_b) for r in strong} & {
+        (a, b) for a, b, _ in got
+    }
+    assert len(recalled) >= int(0.95 * len(strong))
     # and the candidate join is a bucketed equi-join, never a cross join
-    plan = _emb_lsh_pairs(emb)._jdf.queryExecution().toString()
+    plan = _emb_lsh_pairs(emb, dim)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan

@@ -154,6 +154,7 @@ def test_repetition_scores_extremes(spark):
         (1, " ".join(
             "w" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(60)
         )),
+        (2, "1234 5678 !!!"),  # zero alpha tokens: must still get a row
     ]
     pdf = pd.DataFrame(rows, columns=["doc_id", "text"])
     pdf["lang"] = "en"
@@ -170,3 +171,6 @@ def test_repetition_scores_extremes(spark):
     assert got[1].top_token_ratio < 0.05
     assert got[1].dup_shingle_ratio == 0.0
     assert not got[1].repetition_flag
+    # tokenless doc keeps a row with a clean default verdict
+    assert got[2].top_token_ratio == 0.0
+    assert not got[2].repetition_flag
