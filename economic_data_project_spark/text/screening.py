@@ -1,7 +1,9 @@
 """Corpus screening + sequence packing for training-data pipelines.
 
-Two operations every LLM-corpus pipeline runs before training that the
-reference's document layer stops short of:
+Four operations every LLM-corpus pipeline runs before training that the
+reference's document layer stops short of — PII screening, sequence
+packing, eval-set decontamination (``benchmark_contamination``), and
+repetition filtering (``text_repetition_scores``):
 
 - **PII screening** (``text_pii_scan``): per-document counts of
   email-, phone-, long-digit- and IPv4-shaped substrings plus a
