@@ -43,6 +43,11 @@ HEADLINE = [
     "thread_structure",         # pointer-doubling hierarchy resolution
     "ann_ivf_topk",             # IVF inverted-list ANN (Lloyd step)
     "dq_schema_tests",          # one-scan-per-table declarative tests
+    # round 4 additions (doc_topics_lda deliberately NOT here: a 20s
+    # ML model fit would swamp the query-latency total's comparability)
+    "doc_token_packing",        # sharded sequence packing
+    "benchmark_contamination",  # canary-shingle decontamination screen
+    "text_repetition_scores",   # dup-ngram/top-token repetition filter
 ]
 
 
