@@ -330,10 +330,15 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
     sh_raw = _SHINGLES_EXPR.replace("toks", toks)
+    # materialize the shingle array once per row: the regexp+transform
+    # chain is the expensive part and Catalyst does not CSE it across
+    # two expressions in the same projection
     sh = d.select(
+        "doc_id", F.expr(sh_raw).alias("sh_arr")
+    ).select(
         "doc_id",
-        F.size(F.expr(sh_raw)).cast("long").alias("n_shingles"),
-        F.size(F.array_distinct(F.expr(sh_raw)))
+        F.size("sh_arr").cast("long").alias("n_shingles"),
+        F.size(F.array_distinct("sh_arr"))
         .cast("long")
         .alias("n_distinct_shingles"),
     )
