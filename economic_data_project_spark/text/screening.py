@@ -38,6 +38,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import query
+from .analysis import _QUALITY_ORACLE, text_quality_scores
 
 # ---------------------------------------------------------------- PII scan
 
@@ -376,6 +377,63 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 (dup > DUP_SHINGLE_MAX) | (ttr > TOP_TOKEN_MAX)
             ).alias("repetition_flag"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ------------------------------------------------- composite verdict
+
+def _verdict_oracle() -> str:
+    """Compose the four screening oracles as subqueries — the same
+    composition the Spark side does with DataFrames."""
+    return f"""
+SELECT q.doc_id, q.quality_bucket, r.repetition_flag, p.pii_flag,
+       c.contaminated,
+       (q.quality_bucket = 'keep' AND NOT r.repetition_flag
+        AND NOT p.pii_flag AND NOT c.contaminated) AS keep
+FROM ({_QUALITY_ORACLE}) q
+JOIN ({_REPETITION_ORACLE}) r ON q.doc_id = r.doc_id
+JOIN ({_pii_oracle()}) p ON q.doc_id = p.doc_id
+JOIN ({_contamination_oracle()}) c ON q.doc_id = c.doc_id
+ORDER BY q.doc_id
+"""
+
+
+@query("corpus_filter_verdict", oracle=_verdict_oracle())
+def corpus_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end pre-training filter: one keep/drop verdict per
+    document from quality, repetition, PII, and contamination screens —
+    operators composed as DataFrames (each is one scan; Catalyst plans
+    the four-way doc_id join as hash joins on the uniform key, and at
+    100 TB each screen is a map-only stage feeding one co-partitioned
+    join)."""
+    q = text_quality_scores(spark, sf_dir).select(
+        "doc_id", "quality_bucket"
+    )
+    r = text_repetition_scores(spark, sf_dir).select(
+        "doc_id", "repetition_flag"
+    )
+    p = text_pii_scan(spark, sf_dir).select("doc_id", "pii_flag")
+    c = benchmark_contamination(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    return (
+        q.join(r, "doc_id")
+        .join(p, "doc_id")
+        .join(c, "doc_id")
+        .select(
+            "doc_id",
+            "quality_bucket",
+            "repetition_flag",
+            "pii_flag",
+            "contaminated",
+            (
+                (F.col("quality_bucket") == "keep")
+                & ~F.col("repetition_flag")
+                & ~F.col("pii_flag")
+                & ~F.col("contaminated")
+            ).alias("keep"),
         )
         .orderBy("doc_id")
     )

@@ -174,3 +174,26 @@ def test_repetition_scores_extremes(spark):
     # tokenless doc keeps a row with a clean default verdict
     assert got[2].top_token_ratio == 0.0
     assert not got[2].repetition_flag
+
+
+def test_corpus_filter_verdict_consistency(spark):
+    """The composite keep verdict must equal the AND of its four
+    component screens, row for row."""
+    qs = all_queries()
+    verdict = {r.doc_id: r for r in qs["corpus_filter_verdict"](spark, SF_DIR).collect()}
+    quality = {r.doc_id: r.quality_bucket for r in qs["text_quality_scores"](spark, SF_DIR).collect()}
+    rep = {r.doc_id: r.repetition_flag for r in qs["text_repetition_scores"](spark, SF_DIR).collect()}
+    pii = {r.doc_id: r.pii_flag for r in qs["text_pii_scan"](spark, SF_DIR).collect()}
+    con = {r.doc_id: r.contaminated for r in qs["benchmark_contamination"](spark, SF_DIR).collect()}
+    assert set(verdict) == set(quality)
+    for d, v in verdict.items():
+        expect = (
+            quality[d] == "keep"
+            and not rep[d]
+            and not pii[d]
+            and not con[d]
+        )
+        assert v.keep == expect, d
+    # both outcomes occur on the synthetic corpus
+    keeps = {v.keep for v in verdict.values()}
+    assert keeps == {True, False}
