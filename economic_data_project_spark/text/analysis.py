@@ -266,9 +266,13 @@ def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
 # chunk IDs, sec_document_chunks.yml:13-17).
 # --------------------------------------------------------------------------
 
-_SHINGLES = (
-    f"transform(sequence(1, greatest(size({_TOKENS}) - 2, 1)),"
-    f" i -> concat_ws(' ', slice({_TOKENS}, i, 3)))"
+# Built from a BOUND `toks` column: inlining the token regexp into the
+# transform lambda would re-run it per shingle index (quadratic in
+# document length) — Catalyst does not hoist expressions out of lambda
+# bodies, so the caller must project `toks` in a prior select.
+_SHINGLES_FROM_TOKS = (
+    "transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat_ws(' ', slice(toks, i, 3)))"
 )
 _SHINGLES_DUCK = (
     f"list_transform(range(1, greatest(len({_TOKENS_DUCK}) - 1, 2)),"
@@ -290,11 +294,24 @@ ORDER BY doc_id
 @query("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        F.md5("text").alias("content_hash"),
-        F.expr(
-            f"array_min(transform({_SHINGLES}, s -> md5(s)))"
-        ).alias("shingle_fingerprint"),
-        F.expr(f"size({_SHINGLES})").cast("long").alias("n_shingles"),
-    ).orderBy("doc_id")
+    return (
+        d.select(
+            "doc_id",
+            F.md5("text").alias("content_hash"),
+            F.expr(_TOKENS).alias("toks"),
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.expr(_SHINGLES_FROM_TOKS).alias("sh_arr"),
+        )
+        .select(
+            "doc_id",
+            "content_hash",
+            F.expr(
+                "array_min(transform(sh_arr, s -> md5(s)))"
+            ).alias("shingle_fingerprint"),
+            F.size("sh_arr").cast("long").alias("n_shingles"),
+        )
+        .orderBy("doc_id")
+    )

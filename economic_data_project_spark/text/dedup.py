@@ -39,10 +39,17 @@ from ..registry import query
 _TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
 _TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
 
-# Distinct 3-word shingles (the unit of near-dup comparison).
-_SHINGLES = (
-    f"array_distinct(transform(sequence(1, greatest(size({_TOKENS}) - 2, 1)),"
-    f" i -> concat_ws(' ', slice({_TOKENS}, i, 3))))"
+# Distinct 3-word shingles (the unit of near-dup comparison), built from
+# a BOUND `toks` column — never inline the token regexp here: Catalyst
+# does not hoist expressions out of HOF lambda bodies, so an inlined
+# `slice(regexp_extract_all(...), i, 3)` re-runs the regexp once per
+# shingle index (O(tokens^2) per document; measured ~138x slower on
+# 2000-token docs). Projecting `toks` first makes the lambda reference an
+# attribute, and CollapseProject will not merge the projections because
+# the non-cheap producer is referenced more than once.
+_SHINGLES_FROM_TOKS = (
+    "array_distinct(transform(sequence(1, greatest(size(toks) - 2, 1)),"
+    " i -> concat_ws(' ', slice(toks, i, 3))))"
 )
 _SHINGLES_DUCK = (
     f"list_distinct(list_transform(range(1, greatest(len({_TOKENS_DUCK})"
@@ -132,7 +139,8 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = max(spark.sparkContext.defaultParallelism, 8)
     return (
         d.repartition(n, "doc_id")
-        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        .select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
         .cache()
     )
 

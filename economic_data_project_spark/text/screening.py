@@ -252,16 +252,17 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape."""
     d = load_table(spark, sf_dir, "documents")
     canary_arr = F.array(*[F.lit(c) for c in CANARY_SHINGLES])
+    # materialize `toks` before shingling: inlining the token regexp into
+    # the transform lambda re-runs it per shingle index (quadratic in
+    # document length) because Catalyst never hoists out of lambda bodies
     sh = d.select(
         "doc_id",
-        F.array_distinct(
-            F.expr(
-                _SHINGLES_EXPR.replace(
-                    "toks",
-                    "regexp_extract_all(lower(text), '[a-z]+', 0)",
-                )
-            )
-        ).alias("shingles"),
+        F.expr(
+            "regexp_extract_all(lower(text), '[a-z]+', 0)"
+        ).alias("toks"),
+    ).select(
+        "doc_id",
+        F.array_distinct(F.expr(_SHINGLES_EXPR)).alias("shingles"),
     )
     hits = sh.select(
         "doc_id",
@@ -330,12 +331,15 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     one shuffle on a uniform key; shingle stats are per-row HOFs."""
     d = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
-    sh_raw = _SHINGLES_EXPR.replace("toks", toks)
-    # materialize the shingle array once per row: the regexp+transform
-    # chain is the expensive part and Catalyst does not CSE it across
-    # two expressions in the same projection
+    # materialize `toks`, then the shingle array, each once per row: the
+    # regexp+transform chain is the expensive part; Catalyst neither CSEs
+    # it across expressions in one projection nor hoists it out of the
+    # transform lambda (an inlined regexp re-runs per shingle index —
+    # quadratic in document length)
     sh = d.select(
-        "doc_id", F.expr(sh_raw).alias("sh_arr")
+        "doc_id", F.expr(toks).alias("toks")
+    ).select(
+        "doc_id", F.expr(_SHINGLES_EXPR).alias("sh_arr")
     ).select(
         "doc_id",
         F.size("sh_arr").cast("long").alias("n_shingles"),
