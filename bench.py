@@ -48,6 +48,8 @@ HEADLINE = [
     "doc_token_packing",        # sharded sequence packing
     "benchmark_contamination",  # canary-shingle decontamination screen
     "text_repetition_scores",   # dup-ngram/top-token repetition filter
+    # round 5 additions
+    "corpus_filter_verdict",    # fused single-scan 4-screen verdict
 ]
 
 

@@ -38,7 +38,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import query
-from .analysis import _QUALITY_ORACLE, text_quality_scores
+from .analysis import _QUALITY_ORACLE, LANG_PROFILES
 
 # ---------------------------------------------------------------- PII scan
 
@@ -389,8 +389,8 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ------------------------------------------------- composite verdict
 
 def _verdict_oracle() -> str:
-    """Compose the four screening oracles as subqueries — the same
-    composition the Spark side does with DataFrames."""
+    """Compose the four screening oracles as subqueries — value-identical
+    to the Spark side's fused single-scan projection."""
     return f"""
 SELECT q.doc_id, q.quality_bucket, r.repetition_flag, p.pii_flag,
        c.contaminated,
@@ -404,40 +404,120 @@ ORDER BY q.doc_id
 """
 
 
+# Longest run of equal elements in the sorted token array == the max
+# per-document token count (what the repetition screen's explode +
+# groupBy computes) — but evaluable per row, which is what lets the
+# composite verdict run as ONE map-only scan with zero shuffles.
+_TOP_RUN_FOLD = (
+    "aggregate(array_sort(toks),"
+    " struct(cast(null as string) as prev, cast(0 as bigint) as run,"
+    "        cast(0 as bigint) as best),"
+    " (acc, t) -> struct(t as prev,"
+    "   CASE WHEN acc.prev IS NOT NULL AND t = acc.prev"
+    "        THEN acc.run + 1 ELSE cast(1 as bigint) END as run,"
+    "   greatest(acc.best,"
+    "     CASE WHEN acc.prev IS NOT NULL AND t = acc.prev"
+    "          THEN acc.run + 1 ELSE cast(1 as bigint) END) as best),"
+    " acc -> acc.best)"
+)
+
+
 @query("corpus_filter_verdict", oracle=_verdict_oracle())
 def corpus_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end pre-training filter: one keep/drop verdict per
-    document from quality, repetition, PII, and contamination screens —
-    operators composed as DataFrames (each is one scan; Catalyst plans
-    the four-way doc_id join as hash joins on the uniform key, and at
-    100 TB each screen is a map-only stage feeding one co-partitioned
-    join)."""
-    q = text_quality_scores(spark, sf_dir).select(
-        "doc_id", "quality_bucket"
-    )
-    r = text_repetition_scores(spark, sf_dir).select(
-        "doc_id", "repetition_flag"
-    )
-    p = text_pii_scan(spark, sf_dir).select("doc_id", "pii_flag")
-    c = benchmark_contamination(spark, sf_dir).select(
-        "doc_id", "contaminated"
-    )
-    return (
-        q.join(r, "doc_id")
-        .join(p, "doc_id")
-        .join(c, "doc_id")
+    document from quality, repetition, PII, and contamination screens.
+
+    FUSED single-scan plan: every screen column is computed per row from
+    one shared projection chain (lower(text) -> toks -> shingles), so
+    the whole verdict is one map-only pass over ``documents`` — no
+    joins, no shuffles (the standalone screens each re-scan; composing
+    them as DataFrames cost ~5 scans + 5 tokenizations at 100 TB). The
+    repetition screen's only non-per-row piece, top-token frequency,
+    becomes the longest equal-run in the sorted token array (an
+    ``aggregate`` fold), which is exactly max(count) per document.
+    Plan-gated in tests/test_plans.py: exactly one parquet scan, no
+    hash-partition exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
+    canaries = ", ".join(f"'{c}'" for c in CANARY_SHINGLES)
+    base = (
+        d.select("doc_id", F.lower("text").alias("lt"))
         .select(
             "doc_id",
-            "quality_bucket",
-            "repetition_flag",
-            "pii_flag",
-            "contaminated",
-            (
-                (F.col("quality_bucket") == "keep")
-                & ~F.col("repetition_flag")
-                & ~F.col("pii_flag")
-                & ~F.col("contaminated")
-            ).alias("keep"),
+            "lt",
+            F.expr("regexp_extract_all(lt, '[a-z]+', 0)").alias("toks"),
         )
-        .orderBy("doc_id")
+        .select(
+            "doc_id", "lt", "toks", F.expr(_SHINGLES_EXPR).alias("sh_arr")
+        )
+        .select(
+            "doc_id",
+            "lt",
+            "toks",
+            "sh_arr",
+            F.array_distinct("sh_arr").alias("sh_dist"),
+        )
     )
+    feats = base.select(
+        "doc_id",
+        # quality features (text_quality_scores' shape, per row)
+        F.expr("size(toks)").alias("n_tok"),
+        F.expr("size(array_distinct(toks))").alias("n_uniq"),
+        F.expr(f"size(filter(toks, t -> t IN ({stops})))").alias("n_stop"),
+        # repetition features
+        F.size("sh_arr").cast("long").alias("n_shingles"),
+        F.size("sh_dist").cast("long").alias("n_distinct_shingles"),
+        F.expr(_TOP_RUN_FOLD).alias("top_run"),
+        # PII counts
+        *[
+            F.size(
+                F.regexp_extract_all("lt", F.lit(pat), F.lit(0))
+            ).alias(f"n_{name}")
+            for name, pat in PII_PATTERNS.items()
+        ],
+        # contamination
+        F.expr(
+            f"size(array_intersect(sh_dist, array({canaries})))"
+        ).alias("n_canary"),
+    )
+    n_tok = F.col("n_tok")
+    ttr = F.when(n_tok > 0, F.col("n_uniq").cast("double") / n_tok).otherwise(
+        0.0
+    )
+    stop_ratio = F.when(
+        n_tok > 0, F.col("n_stop").cast("double") / n_tok
+    ).otherwise(0.0)
+    score = (
+        F.when(n_tok.between(20, 100000), 0.4).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+        + F.when(ttr > 0.2, 0.3).otherwise(0.0)
+    )
+    quality_bucket = (
+        F.when(score >= 0.7, "keep").when(score >= 0.4, "review").otherwise("drop")
+    )
+    dup = F.when(
+        F.col("n_shingles") > 0,
+        1.0
+        - F.col("n_distinct_shingles").cast("double") / F.col("n_shingles"),
+    ).otherwise(0.0)
+    top_ratio = F.when(
+        n_tok > 0, F.col("top_run").cast("double") / n_tok
+    ).otherwise(0.0)
+    repetition_flag = (dup > DUP_SHINGLE_MAX) | (top_ratio > TOP_TOKEN_MAX)
+    pii_flag = (
+        sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)) > 0
+    )
+    contaminated = F.col("n_canary") > 0
+    return feats.select(
+        "doc_id",
+        quality_bucket.alias("quality_bucket"),
+        repetition_flag.alias("repetition_flag"),
+        pii_flag.alias("pii_flag"),
+        contaminated.alias("contaminated"),
+        (
+            (quality_bucket == "keep")
+            & ~repetition_flag
+            & ~pii_flag
+            & ~contaminated
+        ).alias("keep"),
+    ).orderBy("doc_id")

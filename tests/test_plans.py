@@ -142,6 +142,18 @@ def test_screening_ops_shuffle_budget(spark):
     assert _plan(df).count("Exchange") <= 2
 
 
+def test_corpus_verdict_single_scan(spark):
+    # the fused verdict computes all four screens per row from one
+    # shared projection: exactly one parquet scan of documents, and no
+    # hash-partition exchange anywhere (the only exchange is the display
+    # ORDER BY's range partitioning)
+    df = all_queries()["corpus_filter_verdict"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("Scan parquet") == 1
+    assert "hashpartitioning" not in plan
+    assert plan.count("Exchange") <= 1
+
+
 def test_text_quality_shuffle_free(spark):
     df = all_queries()["text_quality_scores"](spark, SF_DIR)
     plan = _plan(df)
