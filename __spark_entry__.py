@@ -15,6 +15,7 @@ import ast
 import glob
 import json
 import os
+import re
 import subprocess
 import sys
 from collections.abc import Callable
@@ -56,13 +57,23 @@ def _deps_of(mod_name: str) -> set[str]:
     static AST scan rather than runtime ``vars()`` introspection, so
     plain-data imports (string constants like ``functions/vectors.py``'s
     SQL fragments, lexicon dicts, …) register as dependencies too; those
-    have no ``__module__`` and are invisible to a runtime scan."""
+    have no ``__module__`` and are invisible to a runtime scan.
+
+    Direct imports only — callers needing the full reachable set go
+    through :func:`_transitive_deps` (a one-hop scan misses helpers
+    imported by helpers, e.g. a dialect function re-exported through a
+    package ``__init__``)."""
     deps = {mod_name}
-    path = os.path.join(_HERE, mod_name.replace(".", "/") + ".py")
-    try:
-        with open(path) as fh:
-            tree = ast.parse(fh.read())
-    except (OSError, SyntaxError):
+    base = os.path.join(_HERE, mod_name.replace(".", "/"))
+    tree = None
+    for path in (base + ".py", os.path.join(base, "__init__.py")):
+        try:
+            with open(path) as fh:
+                tree = ast.parse(fh.read())
+            break
+        except (OSError, SyntaxError):
+            continue
+    if tree is None:
         return deps
     pkg_parts = mod_name.split(".")[:-1]
     for node in ast.walk(tree):
@@ -89,53 +100,119 @@ def _deps_of(mod_name: str) -> set[str]:
     return deps
 
 
-def _changed_queries() -> list[str]:
-    """Queries whose Spark code or oracle changed since the last
-    driver-recorded CORRECTNESS file — derived from ``git diff`` so the
-    force-first list can never go stale (a hand-edited list silently
-    skipped re-verification of changed code). A query counts as changed
-    when its defining module, or any package module that module's source
-    imports (e.g. ``functions/ta.py`` helpers shared by many oracles),
-    differs from the tree at the commit that last touched the newest
-    ``CORRECTNESS_r*.json``."""
-    recs = sorted(glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")))
-    if not recs:
-        return []
-    ref = _git(
-        "log", "-n", "1", "--format=%H", "--", os.path.basename(recs[-1])
-    ).strip()
-    if not ref:
-        return []
-    changed = {
-        f
-        for f in _git("diff", "--name-only", ref).splitlines()
-        if f.endswith(".py")
-    }
-    # registry.py is pure registration plumbing imported by every query
-    # module; counting it as a semantic dependency would flag the whole
-    # registry on any new-query addition and push genuinely-new queries
-    # out of the driver's bounded verification prefix.
-    changed.discard(f"{_PKG}/registry.py")
-    if not changed:
-        return []
+def _transitive_deps(mod_name: str, cache: dict[str, set[str]]) -> set[str]:
+    """Full reachable-module closure of :func:`_deps_of` (memoized BFS):
+    a change to a module reached indirectly must still flag the queries
+    whose modules import it one or more hops removed. Non-module names
+    that ``from x import y`` drags in resolve to no file and contribute
+    nothing, so the walk terminates on them.
+
+    ``registry`` is a traversal BARRIER: every query module imports it
+    for the ``@query`` decorator, but its own imports (``load_all()``)
+    point the OTHER way — at every operator module. Expanding through it
+    would make every module's closure the whole package and flag the
+    entire registry on any edit."""
+    barrier = f"{_PKG}.registry"
+    seen: set[str] = set()
+    stack = [mod_name]
+    while stack:
+        m = stack.pop()
+        if m in seen:
+            continue
+        seen.add(m)
+        if m == barrier or m.startswith(barrier + "."):
+            continue
+        direct = cache.get(m)
+        if direct is None:
+            direct = cache[m] = _deps_of(m)
+        stack.extend(direct - seen)
+    return seen
+
+
+def _record_rounds() -> list[tuple[int, str]]:
+    """(round, path) of every driver CORRECTNESS record, ascending."""
+    out: list[tuple[int, str]] = []
+    for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m:
+            out.append((int(m.group(1)), path))
+    return sorted(out)
+
+
+def _record_ref(rnd: int) -> str:
+    """Commit hash whose tree is closest to (at or before) the state the
+    driver verified in round ``rnd`` — the last commit touching that
+    round's CORRECTNESS file, falling back to the nearest OLDER tracked
+    record when the file is untracked (the driver writes each record
+    before the round's commit). An older fallback over-approximates the
+    diff, which only makes staleness detection more conservative."""
+    for rr, path in reversed(_record_rounds()):
+        if rr > rnd:
+            continue
+        ref = _git(
+            "log", "-n", "1", "--format=%H", "--", os.path.basename(path)
+        ).strip()
+        if ref:
+            return ref
+    return ""
+
+
+def _stale_queries() -> list[str]:
+    """Queries whose Spark code or oracle changed SINCE THEIR OWN last
+    green driver row — derived from ``git diff`` against the commit
+    recording that round, so the force-first list can never go stale (a
+    hand-edited list silently skipped re-verification of changed code).
+    A query counts as stale when its defining module, or any package
+    module reachable from that module's imports (e.g. ``functions/ta.py``
+    helpers shared by many oracles), differs from the tree at the commit
+    that recorded the query's newest green row. Diffing per last-green
+    round (not just against the newest record) catches code that changed
+    mid-round and was committed together with the record — the newest
+    record's commit already contains those edits, so a single-ref diff
+    would never flag them."""
+    last = _last_pass_round()
+    diffs: dict[int, set[str] | None] = {}
+    for rnd in set(last.values()):
+        ref = _record_ref(rnd)
+        if not ref:
+            diffs[rnd] = None  # unknown tree -> treat as stale
+            continue
+        changed = {
+            f
+            for f in _git("diff", "--name-only", ref).splitlines()
+            if f.endswith(".py")
+        }
+        # registry.py is pure registration plumbing imported by every
+        # query module; counting it as a semantic dependency would flag
+        # the whole registry on any new-query addition and push
+        # genuinely-new queries out of the driver's bounded prefix.
+        changed.discard(f"{_PKG}/registry.py")
+        diffs[rnd] = changed
     out: list[str] = []
-    dep_cache: dict[str, set[str]] = {}
+    direct_cache: dict[str, set[str]] = {}
+    files_cache: dict[str, set[str]] = {}
     for name, fn in registry.all_queries().items():
+        if name not in last:
+            continue  # never green -> already in the fresh bucket
+        changed = diffs[last[name]]
         mod = fn.__module__
-        if mod not in dep_cache:
+        if mod not in files_cache:
             files: set[str] = set()
-            for d in _deps_of(mod):
+            for d in _transitive_deps(mod, direct_cache):
                 files |= _module_files(d)
-            dep_cache[mod] = files
-        if dep_cache[mod] & changed:
+            files_cache[mod] = files
+        if changed is None or files_cache[mod] & changed:
             out.append(name)
     return out
 
 
-def _ever_passed() -> set[str]:
-    """Names that passed all three driver checks in any prior round."""
-    passed: set[str] = set()
+def _last_pass_round() -> dict[str, int]:
+    """Newest round number in which each query passed all three driver
+    checks (rows+schema+hash)."""
+    last: dict[str, int] = {}
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as fh:
                 rows = json.load(fh)
@@ -148,22 +225,27 @@ def _ever_passed() -> set[str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             ):
-                passed.add(name)
-    return passed
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Never-driver-verified first, then changed-this-round, then the
-    stable tail — so a driver that checks a bounded prefix always spends
-    its budget on the queries with no green row yet before re-verifying
-    changed-but-previously-green ones (a broad shared-helper edit can
-    flag most of the registry; new queries must not be crowded out)."""
-    force = set(_changed_queries())
-    passed = _ever_passed()
+    """Never-driver-verified first, then stale (code changed since the
+    query's own last green row) ordered by green-row AGE (oldest last
+    driver pass first), then the stable tail — so a driver that checks a
+    bounded prefix always spends its budget on queries with no green row
+    yet, and a broad shared-helper edit that flags most of the registry
+    still re-verifies the longest-stale queries within
+    ceil(stale/prefix) rounds instead of starving late-registering
+    modules forever."""
+    force = set(_stale_queries())
+    last = _last_pass_round()
+    passed = set(last)
     fresh = [n for n in names if n not in passed]
-    changed = [n for n in names if n in passed and n in force]
+    stale = [n for n in names if n in passed and n in force]
+    stale.sort(key=lambda n: last[n])  # stable: registry order within a round
     stable = [n for n in names if n in passed and n not in force]
-    return fresh + changed + stable
+    return fresh + stale + stable
 
 
 def entry(spark: SparkSession) -> DataFrame:
