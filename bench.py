@@ -53,6 +53,60 @@ HEADLINE = [
 ]
 
 
+# Long-document stress lane: the sf0.1 corpus averages ~50 tokens/doc,
+# which hides quadratic-in-doc-length expression regressions (a
+# re-inlined token regexp inside a shingle lambda shows up as a cliff
+# here long before it would time out a real pre-training corpus).
+# Timed per-op as longdoc_<name>, excluded from the headline total.
+LONGDOC = [
+    "text_repetition_scores",
+    "benchmark_contamination",
+    "corpus_filter_verdict",
+    "doc_fingerprint",
+    "dedup_minhash_lsh",
+]
+_LONGDOC_DOCS = 1000
+_LONGDOC_TOKENS = 2000
+
+
+def _gen_longdoc_dir(spark) -> str:
+    """Write a deterministic synthetic corpus of ~2000-token documents:
+    10% highly repetitive (period-7 token cycle -> repetition screen
+    positives), consecutive pairs near-duplicated (docs 2k/2k+1 share a
+    seed, ~2% of tokens differ -> shingle-Jaccard ~0.9, LSH verify
+    positives), the rest pseudo-random over a 499-word vocabulary."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    out = tempfile.mkdtemp(prefix="spark_graft_longdoc_")
+    tok = (
+        "CASE WHEN id % 10 = 0 THEN concat('w', cast(i % 7 as string))"
+        " ELSE concat('w', cast(pmod(cast(id / 2 as bigint) * 7919"
+        " + i * 104729 + CASE WHEN i % 50 = 0 THEN id % 2 ELSE 0 END,"
+        " 499) as string)) END"
+    )
+    df = (
+        spark.range(_LONGDOC_DOCS)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.expr(
+                    f"transform(sequence(1, {_LONGDOC_TOKENS}), i -> {tok})"
+                ),
+            ).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+        )
+        .withColumn("n_chars", F.length("text").cast("long"))
+    )
+    df.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+    return out
+
+
 def _skew_join(spark, sf_dir: str, salted: bool):
     """Skew-stress workload: 90% of lineitem rows map to one join key,
     joined to a 100-row dim with broadcast disabled (the salting
@@ -121,7 +175,31 @@ def main() -> None:
         )
     timings.update(skew)
 
-    total = round(sum(t for n, t in timings.items() if n not in skew), 3)
+    # Long-document stress lane (generation excluded from timings; ops
+    # keyed longdoc_<name> and excluded from the headline total).
+    longdoc: dict[str, float] = {}
+    longdoc_dir = _gen_longdoc_dir(spark)
+    try:
+        for name in LONGDOC:
+            if name not in qs:
+                continue
+            t0 = time.perf_counter()
+            qs[name](spark, longdoc_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            longdoc[f"longdoc_{name}"] = round(
+                time.perf_counter() - t0, 3
+            )
+    finally:
+        import shutil
+
+        shutil.rmtree(longdoc_dir, ignore_errors=True)
+    timings.update(longdoc)
+
+    excluded = set(skew) | set(longdoc)
+    total = round(
+        sum(t for n, t in timings.items() if n not in excluded), 3
+    )
     print(
         json.dumps(
             {
