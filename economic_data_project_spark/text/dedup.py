@@ -278,13 +278,21 @@ def ngram_jaccard_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df cap: hot shingles (df > max(20, 10% of corpus)) leave candidate
     # generation via a BROADCAST anti-join — the hot set is tiny by
     # construction (only stop-phrases exceed the cap), so the postings
-    # frame itself never reshuffles for the filter.
-    n_docs = sh.count()
-    cap = max(_DF_CAP_MIN, _DF_CAP_FRAC * n_docs)
+    # frame itself never reshuffles for the filter. The corpus size that
+    # parameterizes the cap is a 1-row broadcast aggregate folded into
+    # the SAME job (not an eager .count() action) so the whole query
+    # stays single-job.
+    n_docs = sh.agg(F.count("*").alias("n_docs"))
     hot = (
         postings.groupBy("shingle")
         .agg(F.count("*").alias("df"))
-        .where(F.col("df") > cap)
+        .crossJoin(F.broadcast(n_docs))
+        .where(
+            F.col("df")
+            > F.greatest(
+                F.lit(_DF_CAP_MIN), F.lit(_DF_CAP_FRAC) * F.col("n_docs")
+            )
+        )
         .select("shingle")
     )
     capped = postings.join(F.broadcast(hot), "shingle", "left_anti")
@@ -502,8 +510,15 @@ _BLOCK = 1024
 # Above this corpus size the all-pairs block-matrix layout (each vector
 # replicated into O(n/_BLOCK) blocks) stops scaling; candidates then come
 # from sign-LSH band collisions instead, verified with the same exact
-# cosine. ~10^6 vectors is where the replication factor (~1000 blocks)
-# overtakes the LSH path's band-join fan-out.
+# cosine. At the 200k cutover each vector already replicates into ~200
+# blocks (n/_BLOCK) — the cutover is set conservatively, well before the
+# ~10^6-vector regime where replication cost is hopeless, so the exact
+# path never runs with more than a few-hundred-fold blowup. NOTE the
+# declared all-pairs oracle is exact only BELOW this cutover (every
+# driver/test scale); above it `dedup_embedding_cosine` silently returns
+# the LSH-recall-limited pair set — the forced-LSH surface is registered
+# separately as `dedup_embedding_cosine_lsh` (rows-only) so the scale
+# path has its own first-class correctness entry.
 _EMB_LSH_MIN = 200_000
 _EMB_BANDS = 16
 _EMB_BAND_BITS = 6
@@ -608,20 +623,28 @@ def _emb_lsh_pairs(e: DataFrame, dim: int) -> DataFrame:
 
 @query("dedup_embedding_cosine", oracle=_EMB_NEAR_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine near-dup below ``_EMB_LSH_MIN`` vectors
+    (the regime the declared oracle covers — every driver/test scale);
+    above it, routes to sign-LSH candidates + exact verification, whose
+    recall near the 0.4 floor is candidates-limited (see
+    ``_emb_lsh_pairs``) — that path's own registry surface is
+    ``dedup_embedding_cosine_lsh``."""
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    if emb.count() > _EMB_LSH_MIN:
+    # single probe job: corpus size + dim in one aggregate (was a
+    # count() followed by a head() — two scans of the routing probe).
+    probe = emb.agg(
+        F.count("*").alias("n"), F.max(F.size("embedding")).alias("dim")
+    ).head()
+    if probe["n"] > _EMB_LSH_MIN and (probe["dim"] or 0) >= _EMB_BAND_BITS:
         # scale path: the all-pairs block layout would replicate each
         # vector ~n/_BLOCK times; route candidates through sign-LSH
         # bucket collisions and verify only those. Degenerate dims
         # (< one band width) would give every vector the same empty
-        # band — keep those on the exact path.
-        first = emb.select("embedding").head()
-        dim = len(first["embedding"]) if first else 0
-        if dim >= _EMB_BAND_BITS:
-            return _emb_lsh_pairs(emb, dim)
+        # band — those stay on the exact path.
+        return _emb_lsh_pairs(emb, probe["dim"])
     e = emb.select(
         "vec_id",
         "embedding",
@@ -674,6 +697,30 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(kernel, "vec_a long, vec_b long, cosine double")
         .orderBy("vec_a", "vec_b")
     )
+
+
+@query("dedup_embedding_cosine_lsh")  # rows-only: LSH recall is
+# candidates-limited near the cosine floor, so no exact SQL oracle —
+# equality with the brute path on every COLLIDING pair is pinned by
+# tests/test_kernel_golden.py (sign-LSH equality test).
+def dedup_embedding_cosine_lsh(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The 100TB-scale near-dup path, forced: sign-LSH band collisions
+    generate candidates, exact rounded cosine verifies them. This is the
+    plan `dedup_embedding_cosine` routes to above ``_EMB_LSH_MIN``
+    vectors, registered separately so the scale path is driver-visible
+    instead of hiding behind a size branch with an oracle that no longer
+    applies."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.agg(F.max(F.size("embedding")).alias("dim")).head()
+    dim = probe["dim"] or 0
+    if dim < _EMB_BAND_BITS:
+        raise ValueError(
+            f"embedding dim {dim} is below one band width"
+            f" ({_EMB_BAND_BITS}); use dedup_embedding_cosine"
+        )
+    return _emb_lsh_pairs(emb, dim)
 
 
 # --------------------------------------------------------------------------
