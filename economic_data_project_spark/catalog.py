@@ -69,7 +69,12 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
         # integer `div`, NOT `/1000`: epoch nanos (~1.7e18) exceed 2^53,
         # so a double-precision quotient rounds at a 256ns ulp and can
         # land on the wrong microsecond before the cast truncates —
-        # DuckDB truncates in exact integer arithmetic.
+        # DuckDB truncates in exact integer arithmetic. `div` truncates
+        # TOWARD ZERO, and so does DuckDB's ns->us parquet conversion
+        # for pre-1970 values (verified on DuckDB 1.0.0: -1500 ns reads
+        # back as -1 us, not floor's -2), so parity holds on negative
+        # epochs too — do not "fix" this to floor division
+        # (tests/test_catalog_ts.py pins the negative-epoch case).
         return df.withColumn(
             col, F.timestamp_micros(F.expr(f"{col} div 1000"))
         )

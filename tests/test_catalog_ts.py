@@ -1,0 +1,61 @@
+"""normalize_ts parity with DuckDB's ns->us parquet conversion.
+
+The events table ships TIMESTAMP(NANOS); Spark reads nanos-as-long and
+normalize_ts converts to microseconds with integer `div 1000`, which
+truncates TOWARD ZERO. DuckDB's parquet reader does the same (verified
+on DuckDB 1.0.0: -1500 ns reads back as -1 us — floor semantics would
+give -2), so truncation is the parity-correct choice even for pre-1970
+timestamps. This test pins that: a floor-division "fix" would break the
+negative-epoch rows below.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+# nanos spanning the epoch: exact-us, sub-us positive, sub-us negative,
+# and a just-before-epoch value where truncate (0) and floor (-1) differ.
+_NANOS = [-1, -1500, -999_999_999, -2_000, 0, 1, 999, 1500, 1_000_000_001]
+
+
+@pytest.mark.parametrize("nanos", [_NANOS])
+def test_normalize_ts_matches_duckdb_on_negative_epochs(
+    spark, tmp_path, nanos
+):
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark.catalog import normalize_ts
+
+    path = str(tmp_path / "ns.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns"))}), path
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = normalize_ts(spark.read.parquet(path))
+    s_us = [
+        r[0]
+        for r in sdf.select(
+            F.unix_micros(F.col("ts")).alias("us")
+        ).collect()
+    ]
+
+    con = duckdb.connect()
+    d_us = [
+        r[0]
+        for r in con.execute(
+            f"SELECT epoch_us(ts) FROM read_parquet('{path}')"
+        ).fetchall()
+    ]
+    con.close()
+
+    assert s_us == d_us
+    # the truncate-vs-floor distinguishing rows, pinned explicitly
+    by_ns = dict(zip(nanos, s_us))
+    assert by_ns[-1] == 0  # floor would say -1
+    assert by_ns[-1500] == -1  # floor would say -2
+    assert by_ns[-999_999_999] == -999_999  # floor: -1_000_000
