@@ -300,6 +300,60 @@ def test_lda_runs_on_corpus(spark):
     assert all(0.0 < r.topic_strength <= 1.0 for r in rows)
 
 
+def test_lda_golden_invariants(spark, ml_sf_dir):
+    """Value-level invariants for the one rows-only query without golden
+    values: on the orthogonal fixture the LDA output must satisfy the
+    model-theoretic contracts (topic-word simplex, finite perplexity)
+    and be bitwise stable under the fixed seed."""
+    import math
+
+    rows = all_queries()["doc_topics_lda"](spark, ml_sf_dir).collect()
+    assert len(rows) == 40
+    # perplexity analogue finite (and one value for the whole corpus)
+    errs = {r.reconstruction_error for r in rows}
+    assert len(errs) == 1
+    assert math.isfinite(errs.pop())
+    assert all(0.0 < r.topic_strength <= 1.0 for r in rows)
+    # identical docs => identical topicDistribution => identical topic
+    by_group: dict[int, set] = {}
+    for r in rows:
+        by_group.setdefault(r.doc_id // 5, set()).add(
+            (r.topic, round(r.topic_strength, 9))
+        )
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+    # seed-fixed stability: a second run reproduces every assignment
+    again = all_queries()["doc_topics_lda"](spark, ml_sf_dir).collect()
+    assert [(r.doc_id, r.topic, r.topic_strength) for r in rows] == [
+        (r.doc_id, r.topic, r.topic_strength) for r in again
+    ]
+    # topic-word rows live on the probability simplex: refit the same
+    # model (same featurizer, params, seed) and check topicsMatrix
+    # columns each sum to 1
+    from pyspark.ml.clustering import LDA
+
+    from economic_data_project_spark.catalog import load_table
+    from economic_data_project_spark.text.ml import (
+        K_CLUSTERS,
+        SEED,
+        tfidf_features,
+    )
+
+    docs = load_table(spark, ml_sf_dir, "documents")
+    feats, vocab = tfidf_features(docs)
+    model = LDA(
+        k=K_CLUSTERS, seed=SEED, maxIter=20, featuresCol="tf"
+    ).fit(feats)
+    # topicsMatrix holds the raw (unnormalized, nonnegative) Dirichlet
+    # weights; describeTopics emits the NORMALIZED topic-word
+    # distribution — over the full vocab each topic must sum to 1
+    m = model.topicsMatrix().toArray()  # vocab x k, raw weights
+    assert (m >= 0).all()
+    for row in model.describeTopics(len(vocab)).collect():
+        ws = np.asarray(row.termWeights)
+        assert (ws >= 0).all()
+        assert ws.sum() == pytest.approx(1.0, abs=1e-6)
+
+
 # ------------------------------------------- embedding-LSH scale path
 
 
