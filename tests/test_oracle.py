@@ -9,24 +9,18 @@ from __future__ import annotations
 
 import pytest
 
-from economic_data_project_spark.registry import all_oracles, all_queries
+from economic_data_project_spark.registry import all_queries
 
-from .conftest import SF_DIR, compare_with_oracle
+from .conftest import oracle_results
 
 QUERIES = all_queries()
-ORACLES = all_oracles()
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, name):
-    fn = QUERIES[name]
-    oracle = ORACLES.get(name)
-    if oracle is None:
-        df = fn(spark, SF_DIR)
-        n = df.count()
-        assert n >= 0
-        return
-    ok, msg = compare_with_oracle(spark, fn, oracle, SF_DIR)
+    # the full sweep runs ONCE, thread-parallel, on first access
+    # (conftest.oracle_results); each test just asserts its row
+    ok, msg = oracle_results(spark)[name]
     assert ok, f"{name}: {msg}"
 
 
