@@ -343,7 +343,58 @@ def test_stateful_running_totals_matches_batch(spark, tmp_path):
         assert got[uid].finalized == "open"
 
 
+def test_stateful_timeout_branch_finalizes():
+    """The hasTimedOut branch emits the final totals and removes state.
+    Driven directly with a fake GroupState: the streaming drain above
+    stops at data-complete and never waits out the 60s processing-time
+    timeout, so this branch needs its own deterministic exercise."""
+    from economic_data_project_spark.streaming.stateful import _update
+
+    class FakeState:
+        def __init__(self, value):
+            self._v = value
+            self.removed = False
+            self.hasTimedOut = True
+            self.exists = True
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+    st = FakeState((7, 12.5, 9.0, "click"))
+    rows = list(_update((41,), iter([]), st))
+    assert st.removed
+    assert len(rows) == 1
+    out = rows[0].iloc[0]
+    assert (
+        out["user_id"],
+        out["n_events"],
+        out["total_value"],
+        out["max_value"],
+        out["last_event_type"],
+        out["finalized"],
+    ) == (41, 7, 12.5, 9.0, "click", "timeout")
+
+
 def run_available_now_update(stream_df, checkpoint, name):
+    """Drain an UPDATE-mode stateful stream and return once the data is
+    fully in the sink.
+
+    ``awaitTermination`` is the wrong wait here: with
+    ProcessingTimeTimeout state, the AvailableNow trigger never
+    self-terminates — Spark keeps scheduling empty "no new data but
+    cleaning up state" micro-batches (~1s each, forever) so future
+    timeouts can fire, and the old awaitTermination(300) burned its
+    full 300s on every run. Data-complete IS observable: the file
+    source's offsets are fixed up front, so the first COMMITTED batch
+    with numInputRows == 0 proves every input row's update has reached
+    the sink. Poll for that and hand the still-active query back for
+    the caller to stop."""
+    import time
+
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
@@ -352,5 +403,10 @@ def run_available_now_update(stream_df, checkpoint, name):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    deadline = time.time() + 300
+    while time.time() < deadline and q.isActive:
+        lp = q.lastProgress
+        if lp and lp["batchId"] >= 1 and lp["numInputRows"] == 0:
+            break
+        time.sleep(0.5)
     return q
