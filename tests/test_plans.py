@@ -131,6 +131,32 @@ def test_ngram_nn_df_cap_below_candidate_join(spark):
     assert min(anti) > min(inner)
 
 
+def test_ngram_nn_constructs_without_jobs(spark):
+    # The df cap is parameterized by a 1-row broadcast aggregate FOLDED
+    # INTO the query plan; building the DataFrame must therefore launch
+    # zero Spark jobs (an eager sh.count() here used to scan documents
+    # once per invocation before the real job even started).
+    sc = spark.sparkContext
+    group = "ngram-nn-construct-gate"
+    sc.setJobGroup(group, "plan-construction only")
+    try:
+        df = all_queries()["ngram_jaccard_nn"](spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    for jid in tracker.getJobIdsForGroup(group):
+        # spark.read.parquet's footer/schema listing is a 1-stage,
+        # shuffle-free job and is fine; the old eager sh.count()
+        # materialized the repartition exchange — a MULTI-stage job.
+        info = tracker.getJobInfo(jid)
+        assert info is not None and len(info.stageIds) == 1, (
+            f"construction launched a shuffling job: {jid}"
+        )
+    # and the cap comparison reads the aggregate, not a baked-in python
+    # literal: greatest(min_cap, frac * n_docs) survives into the plan
+    assert "greatest" in _plan(df)
+
+
 def test_screening_ops_shuffle_budget(spark):
     # pii scan and contamination are per-document HOF work: one global
     # sort for the display ORDER BY is the only allowed exchange.
