@@ -161,18 +161,31 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
     )
-    stats = tok.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.count()  # scalar; one job, broadcast into the plan
+    # corpus size rides along as a 1-row broadcast aggregate folded
+    # into the same job (not an eager docs.count() action): the
+    # broadcast term-stats frame carries n_docs to every scored row.
+    n = docs.agg(F.count("*").alias("n_docs"))
+    stats = (
+        tok.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(n))
+    )
     scored = (
         tok.join(F.broadcast(stats), "term")
         .where(
-            (F.col("df") >= _MIN_DF) & (F.col("df") <= _MAX_DF_FRAC * n_docs)
+            (F.col("df") >= _MIN_DF)
+            & (F.col("df") <= _MAX_DF_FRAC * F.col("n_docs"))
         )
         .withColumn(
             "tfidf",
             F.round(
                 F.col("tf")
-                * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                * (
+                    F.log(
+                        (F.col("n_docs") + 1.0) / (F.col("df") + 1.0)
+                    )
+                    + 1.0
+                ),
                 6,
             ),
         )
