@@ -145,21 +145,57 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Universal-hash permutation constants for the minhash signature:
+# h_i(x) = (a_i * x + b_i) mod P over x = md5(shingle) reduced mod P.
+# Deterministic (seeded) so signatures are stable across runs/engines;
+# 30-bit a/b against the 31-bit prime keep every intermediate under
+# 2^62 — NO bigint overflow, which matters because Spark wraps silently
+# while DuckDB would raise, so any overflow would be an engine-parity
+# trap for a future oracle. One md5 per shingle (hashed ONCE, then 24
+# integer mixes) replaces the old md5-per-(permutation, shingle) scheme
+# that did 24x the string hashing — the dominant minhash cost on long
+# documents.
+import random as _random
+
+_MH_P = 2_147_483_647  # 2^31 - 1 (prime)
+_mh_rng = _random.Random(0x5EED)
+_MH_A = [_mh_rng.randrange(1, 1 << 30) | 1 for _ in range(_N_MINHASH)]
+_MH_B = [_mh_rng.randrange(0, 1 << 30) for _ in range(_N_MINHASH)]
+
+
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingled(spark, sf_dir)
-    sig = sh.select(
+    a_arr = "array(" + ", ".join(map(str, _MH_A)) + ")"
+    b_arr = "array(" + ", ".join(map(str, _MH_B)) + ")"
+    hashed = sh.select(
+        "doc_id",
+        "shingles",
+        # 60-bit prefix of md5 (15 hex chars), reduced mod P once
+        F.expr(
+            "transform(shingles, s -> pmod(cast(conv(substr(md5(s),"
+            f" 1, 15), 16, 10) as bigint), {_MH_P}))"
+        ).alias("hs"),
+    )
+    sig = hashed.select(
         "doc_id",
         "shingles",
         F.expr(
             f"transform(sequence(0, {_N_MINHASH - 1}), i ->"
-            " array_min(transform(shingles,"
-            " s -> md5(concat(cast(i as string), '|', s)))))"
+            f" array_min(transform(hs, h -> pmod("
+            f"element_at({a_arr}, i + 1) * h"
+            f" + element_at({b_arr}, i + 1), {_MH_P}))))"
         ).alias("sig"),
     )
+    # '|' separators disambiguate variable-width integer concatenation
+    # ("12|34" vs "1|234"); the old fixed-width md5 strings didn't need
+    # them.
     band_expr = (
         f"transform(sequence(0, {_N_BANDS - 1}), b -> md5(concat("
-        + ", ".join(f"element_at(sig, b * {_BAND_R} + {r + 1})" for r in range(_BAND_R))
+        + ", '|', ".join(
+            f"cast(element_at(sig, b * {_BAND_R} + {r + 1}) as string)"
+            for r in range(_BAND_R)
+        )
         + ")))"
     )
     bands = sig.select(
