@@ -354,6 +354,55 @@ def test_lda_golden_invariants(spark, ml_sf_dir):
         assert ws.sum() == pytest.approx(1.0, abs=1e-6)
 
 
+# ----------------------------------------------- minhash-LSH recall
+
+
+def test_minhash_lsh_full_recall_on_planted_neardups(spark, tmp_path):
+    """LSH banding must find EVERY planted near-dup pair: 100 doc pairs
+    (2k, 2k+1) sharing a seed with ~2% token edits (shingle-Jaccard
+    ~0.9), plus pseudo-random non-pairs sharing essentially nothing.
+    Compared against the declared brute-force DuckDB oracle on the same
+    corpus — this is the recall regression gate for the signature
+    scheme (a hash-mixing change that silently drops band collisions
+    fails here, not in production)."""
+    import pandas as pd
+
+    rows = []
+    for d in range(200):
+        seed = d // 2
+        toks = [
+            "w%d"
+            % (
+                (seed * 7919 + i * 104729 + (d % 2 if i % 50 == 0 else 0))
+                % 499
+            )
+            for i in range(500)
+        ]
+        text = " ".join(toks)
+        rows.append((d, text, "en", "fixture", len(text)))
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in all_queries()["dedup_minhash_lsh"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    from economic_data_project_spark.registry import all_oracles
+
+    con = duckdb_connect(str(tmp_path))
+    want = {
+        (a, b)
+        for a, b, _ in con.execute(
+            all_oracles()["dedup_minhash_lsh"]
+        ).fetchall()
+    }
+    assert len(want) >= 100  # the planted pairs actually exist
+    assert got == want  # full recall AND no false positives
+
+
 # ------------------------------------------- embedding-LSH scale path
 
 

@@ -131,6 +131,18 @@ def test_ngram_nn_df_cap_below_candidate_join(spark):
     assert min(anti) > min(inner)
 
 
+def test_minhash_signature_hashes_each_shingle_once(spark):
+    # The signature must be built from ONE md5 per shingle plus integer
+    # permutation mixes — the per-(permutation, shingle) md5 scheme did
+    # 24x the string hashing and dominated minhash cost on long docs.
+    # In the plan: the hash->int conv appears, and md5 occurrences stay
+    # bounded (shingle hash + band keys), far below one per permutation.
+    df = all_queries()["dedup_minhash_lsh"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "conv(" in plan
+    assert plan.count("md5") < 24, plan.count("md5")
+
+
 def test_ngram_nn_constructs_without_jobs(spark):
     # The df cap is parameterized by a 1-row broadcast aggregate FOLDED
     # INTO the query plan; building the DataFrame must therefore launch
