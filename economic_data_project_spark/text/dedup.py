@@ -163,8 +163,10 @@ _MH_A = [_mh_rng.randrange(1, 1 << 30) | 1 for _ in range(_N_MINHASH)]
 _MH_B = [_mh_rng.randrange(0, 1 << 30) for _ in range(_N_MINHASH)]
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold),
+    UNSORTED — the reusable building block (`corpus_keep_list` consumes
+    it mid-plan, where the display sort would be a wasted exchange)."""
     sh = _shingled(spark, sf_dir)
     a_arr = "array(" + ", ".join(map(str, _MH_A)) + ")"
     b_arr = "array(" + ", ".join(map(str, _MH_B)) + ")"
@@ -233,9 +235,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
-    return verified.select("doc_a", "doc_b", "jaccard").orderBy(
-        "doc_a", "doc_b"
-    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 # --------------------------------------------------------------------------

@@ -422,10 +422,10 @@ _TOP_RUN_FOLD = (
 )
 
 
-@query("corpus_filter_verdict", oracle=_verdict_oracle())
-def corpus_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end pre-training filter: one keep/drop verdict per
-    document from quality, repetition, PII, and contamination screens.
+def verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One keep/drop verdict per document from quality, repetition, PII,
+    and contamination screens — UNSORTED (the reusable building block;
+    `corpus_keep_list` consumes it mid-plan).
 
     FUSED single-scan plan: every screen column is computed per row from
     one shared projection chain (lower(text) -> toks -> shingles), so
@@ -520,4 +520,93 @@ def corpus_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~pii_flag
             & ~contaminated
         ).alias("keep"),
-    ).orderBy("doc_id")
+    )
+
+
+@query("corpus_filter_verdict", oracle=_verdict_oracle())
+def corpus_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end screening verdict, sorted for display — see
+    ``verdict_frame`` for the fused single-scan plan notes."""
+    return verdict_frame(spark, sf_dir).orderBy("doc_id")
+
+
+# ------------------------------------------------- corpus keep-list
+
+def _keep_list_oracle() -> str:
+    """Compose the verdict, exact-dup, and near-dup oracles: the full
+    preprocessing decision per document."""
+    from .dedup import _MINHASH_ORACLE
+
+    return f"""
+WITH verdict AS ({_verdict_oracle()}),
+nd AS ({_MINHASH_ORACLE}),
+exact AS (
+  SELECT doc_id,
+         (doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)))
+           AS exact_duplicate
+  FROM documents
+)
+SELECT v.doc_id,
+       v.keep AS screen_keep,
+       e.exact_duplicate,
+       (nd2.doc_id IS NOT NULL) AS neardup_duplicate,
+       (v.keep AND NOT e.exact_duplicate AND nd2.doc_id IS NULL) AS keep
+FROM verdict v
+JOIN exact e ON v.doc_id = e.doc_id
+LEFT JOIN (SELECT DISTINCT doc_b AS doc_id FROM nd) nd2
+  ON v.doc_id = nd2.doc_id
+ORDER BY v.doc_id
+"""
+
+
+@query("corpus_keep_list", oracle=_keep_list_oracle())
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data preprocessing decision: a document
+    survives iff it passes every screen (fused verdict), is the
+    canonical copy of its exact-hash cluster, and is not the
+    higher-id member of any verified near-dup pair (greedy keep-lowest,
+    the standard corpus-dedup policy).
+
+    Three passes over `documents`, each the cheapest shape for its job —
+    the fused map-only screen scan, a hash+window exact pass, and the
+    LSH candidate pipeline (which must re-tokenize anyway). The two
+    dedup verdicts join back on doc_id; the near-dup side arrives as a
+    broadcast-sized distinct drop-list, not the full pair set."""
+    from .dedup import minhash_pairs
+
+    v = verdict_frame(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("screen_keep")
+    )
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("content_hash")
+    exact = d.select(
+        "doc_id", F.md5("text").alias("content_hash")
+    ).select(
+        "doc_id",
+        (F.col("doc_id") != F.min("doc_id").over(w)).alias(
+            "exact_duplicate"
+        ),
+    )
+    nd = (
+        minhash_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("neardup_duplicate", F.lit(True))
+    )
+    nd_flag = F.coalesce("neardup_duplicate", F.lit(False))
+    return (
+        v.join(exact, "doc_id")
+        .join(nd, "doc_id", "left")
+        .select(
+            "doc_id",
+            "screen_keep",
+            "exact_duplicate",
+            nd_flag.alias("neardup_duplicate"),
+            (
+                F.col("screen_keep")
+                & ~F.col("exact_duplicate")
+                & ~nd_flag
+            ).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
