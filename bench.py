@@ -50,6 +50,7 @@ HEADLINE = [
     "text_repetition_scores",   # dup-ngram/top-token repetition filter
     # round 5 additions
     "corpus_filter_verdict",    # fused single-scan 4-screen verdict
+    "corpus_keep_list",         # screens + exact + near-dup, one decision
 ]
 
 
