@@ -180,7 +180,7 @@ def _stale_queries() -> list[str]:
         changed = {
             f
             for f in _git("diff", "--name-only", ref).splitlines()
-            if f.endswith(".py")
+            if f.endswith(".py") and _ast_changed(f, ref)
         }
         # registry.py is pure registration plumbing imported by every
         # query module; counting it as a semantic dependency would flag
@@ -204,6 +204,28 @@ def _stale_queries() -> list[str]:
         if changed is None or files_cache[mod] & changed:
             out.append(name)
     return out
+
+
+def _ast_changed(path: str, ref: str) -> bool:
+    """True when a file's ABSTRACT SYNTAX differs from the tree at
+    ``ref`` — comment/whitespace-only edits (which git diff flags) parse
+    to identical ASTs and re-verify nothing, so they must not consume
+    the driver's bounded prefix. One comment touch-up in a hub module
+    like catalog.py would otherwise flag all 130+ queries and push the
+    round's genuinely-changed queries out of the verified window.
+    Fail-stale on any read/parse trouble (deleted file, syntax error in
+    an old tree): over-verifying is safe, under-verifying is not."""
+    import ast
+
+    try:
+        old = _git("show", f"{ref}:{path}")
+        with open(os.path.join(_HERE, path)) as fh:
+            new = fh.read()
+        if old == new:  # rename/mode-only diff entries
+            return False
+        return ast.dump(ast.parse(old)) != ast.dump(ast.parse(new))
+    except (OSError, SyntaxError, ValueError):
+        return True
 
 
 def _last_pass_round() -> dict[str, int]:
