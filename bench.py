@@ -65,6 +65,10 @@ LONGDOC = [
     "corpus_filter_verdict",
     "doc_fingerprint",
     "dedup_minhash_lsh",
+    # round 5 additions: the remaining shingle/token-heavy dedup ops
+    "ngram_jaccard_nn",
+    "dedup_simhash",
+    "corpus_keep_list",
 ]
 _LONGDOC_DOCS = 1000
 _LONGDOC_TOKENS = 2000
