@@ -48,3 +48,56 @@ def read_seed(
     else:
         reader = reader.option("inferSchema", True)
     return reader.csv(path)
+
+
+DOCUMENTS_JSONL_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def read_jsonl_documents(
+    spark: SparkSession,
+    glob_path: str,
+    schema: str = DOCUMENTS_JSONL_SCHEMA,
+) -> DataFrame:
+    """JSON-lines corpus reader — the interchange format most raw
+    pre-training corpora actually arrive in (one JSON object per line,
+    usually .jsonl/.jsonl.gz shards).
+
+    Contract choices for 100 TB:
+    - ALWAYS an explicit schema: schema inference re-reads every shard
+      once before the real scan — a full extra pass over the corpus.
+    - PERMISSIVE mode with a quarantine column instead of failing the
+      job on one malformed line: `_corrupt_record` holds the raw text
+      of bad lines; callers split on `_corrupt_record IS NULL` and route
+      the quarantine rows to a dead-letter sink. (Columns of a corrupt
+      line are NULL, matching the reference warehouse's drifted-type
+      tolerance.)
+    - gzip/zstd shards decompress transparently via the codec from the
+      file extension; each compressed shard is one task (not splittable)
+      — shard corpora to ~100-500 MB files upstream, never one big .gz.
+    """
+    return (
+        spark.read.schema(schema + ", _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(glob_path)
+    )
+
+
+def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) halves of a PERMISSIVE jsonl read. The clean
+    half drops the quarantine column so downstream schemas stay exact;
+    the quarantined half keeps identity + raw line for the dead-letter
+    sink. (The quarantine projection deliberately references a data
+    column too: since Spark 2.3 a json scan whose referenced columns are
+    ONLY the internal corrupt-record column is disallowed.)"""
+    clean = df.where(F.col("_corrupt_record").isNull()).drop(
+        "_corrupt_record"
+    )
+    first_data_col = df.columns[0]
+    bad = df.where(F.col("_corrupt_record").isNotNull()).select(
+        F.col(first_data_col),
+        F.col("_corrupt_record").alias("raw_line"),
+    )
+    return clean, bad

@@ -8,7 +8,9 @@ import pytest
 from economic_data_project_spark.registry import all_queries
 from economic_data_project_spark.sources.files import (
     read_binary_documents,
+    read_jsonl_documents,
     read_seed,
+    split_quarantine,
 )
 
 from .conftest import SF_DIR
@@ -24,6 +26,41 @@ def test_binary_document_source(spark, tmp_path):
     assert rows["a.htm"].n_bytes == 18
     assert bytes(rows["a.htm"].content) == b"<html>alpha</html>"
     assert len(rows["a.htm"].content_hash) == 32
+
+
+def test_jsonl_corpus_source(spark, tmp_path):
+    """Roundtrip: the parquet documents table written as gzipped jsonl
+    shards (plus one malformed line) reads back row-identical on the
+    clean side, with the bad line quarantined verbatim."""
+    import gzip
+    import json
+
+    import pandas as pd
+
+    src = pd.read_parquet(f"{SF_DIR}/documents.parquet").head(50)
+    recs = src.to_dict("records")
+    half = len(recs) // 2
+    (tmp_path / "shard-0.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs[:half]) + "\n"
+    )
+    with gzip.open(tmp_path / "shard-1.jsonl.gz", "wt") as fh:
+        fh.write("\n".join(json.dumps(r) for r in recs[half:]) + "\n")
+        fh.write('{"doc_id": 999, "text": BROKEN\n')
+
+    df = read_jsonl_documents(spark, str(tmp_path))
+    clean, bad = split_quarantine(df)
+    got = {
+        r.doc_id: r.text
+        for r in clean.select("doc_id", "text").collect()
+    }
+    want = {int(r["doc_id"]): r["text"] for r in recs}
+    assert got == want
+    quarantined = bad.collect()
+    assert len(quarantined) == 1
+    assert "BROKEN" in quarantined[0].raw_line
+    assert set(clean.columns) == {
+        "doc_id", "text", "lang", "source", "n_chars",
+    }
 
 
 def test_csv_seed_loader(spark, tmp_path):
