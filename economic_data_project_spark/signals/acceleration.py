@@ -126,19 +126,20 @@ with_stats AS (
   WINDOW zw AS (ORDER BY d ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
 )
 SELECT CAST(d AS DATE) AS date, payems,
-  ROUND(payems_mom_pct, 2) AS payems_mom_pct,
-  payems_acceleration,
+  (ROUND(payems_mom_pct, 2) + 0.0) AS payems_mom_pct,
+  (payems_acceleration + 0.0) AS payems_acceleration,
   CAST(payems_consecutive_negative AS BIGINT)
     AS payems_consecutive_negative,
-  payems_accel_zscore,
-  ROUND(cpi_mom_pct, 2) AS cpi_mom_pct,
-  cpi_acceleration, cpi_accel_zscore,
-  ROUND(gdp_qoq_pct, 2) AS gdp_qoq_pct,
-  gdp_acceleration,
-  ROUND((COALESCE(payems_accel_zscore, 0) + COALESCE(cpi_accel_zscore, 0))
+  (payems_accel_zscore + 0.0) AS payems_accel_zscore,
+  (ROUND(cpi_mom_pct, 2) + 0.0) AS cpi_mom_pct,
+  (cpi_acceleration + 0.0) AS cpi_acceleration,
+  (cpi_accel_zscore + 0.0) AS cpi_accel_zscore,
+  (ROUND(gdp_qoq_pct, 2) + 0.0) AS gdp_qoq_pct,
+  (gdp_acceleration + 0.0) AS gdp_acceleration,
+  (ROUND((COALESCE(payems_accel_zscore, 0) + COALESCE(cpi_accel_zscore, 0))
         / NULLIF((CASE WHEN payems_accel_zscore IS NOT NULL THEN 1 ELSE 0 END
                 + CASE WHEN cpi_accel_zscore IS NOT NULL THEN 1 ELSE 0 END),
-                 0), 3) AS composite_accel_zscore,
+                 0), 3) + 0.0) AS composite_accel_zscore,
   CASE WHEN payems_consecutive_negative >= 3 THEN 'high'
        WHEN payems_consecutive_negative >= 2 THEN 'medium'
        WHEN payems_acceleration < 0 THEN 'low'
@@ -273,19 +274,24 @@ def signal_acceleration(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.nullif(n_avail, F.lit(0)),
         3,
     )
+    # every emitted float gets the `+ 0.0` signed-zero collapse from
+    # ta.emit's parity rule: DuckDB's ROUND propagates -0.0 where
+    # Spark's does not, and the sf0.1 sweep caught exactly that on
+    # payems_accel_zscore (repr('-0.0') hash-mismatches repr('0.0')).
+    z = F.lit(0.0)
     return stats.select(
         F.col("d").alias("date"),
         "payems",
-        F.round("payems_mom_pct", 2).alias("payems_mom_pct"),
-        "payems_acceleration",
+        (F.round("payems_mom_pct", 2) + z).alias("payems_mom_pct"),
+        (F.col("payems_acceleration") + z).alias("payems_acceleration"),
         "payems_consecutive_negative",
-        "payems_accel_zscore",
-        F.round("cpi_mom_pct", 2).alias("cpi_mom_pct"),
-        "cpi_acceleration",
-        "cpi_accel_zscore",
-        F.round("gdp_qoq_pct", 2).alias("gdp_qoq_pct"),
-        "gdp_acceleration",
-        composite.alias("composite_accel_zscore"),
+        (F.col("payems_accel_zscore") + z).alias("payems_accel_zscore"),
+        (F.round("cpi_mom_pct", 2) + z).alias("cpi_mom_pct"),
+        (F.col("cpi_acceleration") + z).alias("cpi_acceleration"),
+        (F.col("cpi_accel_zscore") + z).alias("cpi_accel_zscore"),
+        (F.round("gdp_qoq_pct", 2) + z).alias("gdp_qoq_pct"),
+        (F.col("gdp_acceleration") + z).alias("gdp_acceleration"),
+        (composite + z).alias("composite_accel_zscore"),
         F.when(F.col("payems_consecutive_negative") >= 3, "high")
         .when(F.col("payems_consecutive_negative") >= 2, "medium")
         .when(F.col("payems_acceleration") < 0, "low")
