@@ -319,13 +319,14 @@ rolled AS (
   WINDOW w AS (ORDER BY date ROWS BETWEEN 251 PRECEDING AND CURRENT ROW)
 )
 SELECT date, gold_price, real_yield_10y,
-  ROUND(beta, 9) AS beta, ROUND(alpha, 9) AS alpha,
-  ROUND(gold_real_residual, 9) AS gold_real_residual,
-  ROUND((CASE WHEN residual_std > 0
+  (ROUND(beta, 9) + 0.0) AS beta, (ROUND(alpha, 9) + 0.0) AS alpha,
+  (ROUND(gold_real_residual, 9) + 0.0) AS gold_real_residual,
+  (ROUND((CASE WHEN residual_std > 0
         THEN (gold_real_residual - residual_avg) / residual_std END), 9)
-    AS gold_real_residual_zscore,
+    + 0.0) AS gold_real_residual_zscore,
   copper_gold_ratio, treasury_10y_yield,
-  ROUND(copper_gold_yield_corr_252d, 9) AS copper_gold_yield_corr_252d
+  (ROUND(copper_gold_yield_corr_252d, 9) + 0.0)
+    AS copper_gold_yield_corr_252d
 FROM rolled
 ORDER BY date
 """
@@ -431,20 +432,25 @@ def commodity_real_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         "date",
         "gold_price",
         "real_yield_10y",
-        F.round("beta", 9).alias("beta"),
-        F.round("alpha", 9).alias("alpha"),
-        F.round("gold_real_residual", 9).alias("gold_real_residual"),
-        F.round(
-            F.when(
-                F.col("residual_std") > 0,
-                (F.col("gold_real_residual") - F.col("residual_avg"))
-                / F.col("residual_std"),
-            ),
-            9,
+        (F.round("beta", 9) + F.lit(0.0)).alias("beta"),
+        (F.round("alpha", 9) + F.lit(0.0)).alias("alpha"),
+        (F.round("gold_real_residual", 9) + F.lit(0.0)).alias(
+            "gold_real_residual"
+        ),
+        (
+            F.round(
+                F.when(
+                    F.col("residual_std") > 0,
+                    (F.col("gold_real_residual") - F.col("residual_avg"))
+                    / F.col("residual_std"),
+                ),
+                9,
+            )
+            + F.lit(0.0)
         ).alias("gold_real_residual_zscore"),
         "copper_gold_ratio",
         "treasury_10y_yield",
-        F.round("copper_gold_yield_corr_252d", 9).alias(
+        (F.round("copper_gold_yield_corr_252d", 9) + F.lit(0.0)).alias(
             "copper_gold_yield_corr_252d"
         ),
     ).orderBy("date")
