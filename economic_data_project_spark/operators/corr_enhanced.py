@@ -205,11 +205,11 @@ stability AS (
   FROM with_signs GROUP BY symbol, series_code
 )
 SELECT oc.symbol, oc.series_code, oc.n_observations,
-  ROUND(oc.correlation, 4) AS correlation,
-  ROUND(CASE WHEN ABS(oc.correlation) < 0.9999 AND oc.n_observations > 2
+  (ROUND(oc.correlation, 4) + 0.0) AS correlation,
+  (ROUND(CASE WHEN ABS(oc.correlation) < 0.9999 AND oc.n_observations > 2
              THEN oc.correlation * SQRT(oc.n_observations - 2)
                   / SQRT(1 - oc.correlation * oc.correlation) END, 3)
-    AS t_statistic,
+    + 0.0) AS t_statistic,
   (CASE WHEN ABS({_T_RAW}) > 3.291 THEN 'p < 0.001'
         WHEN ABS({_T_RAW}) > 2.576 THEN 'p < 0.01'
         WHEN ABS({_T_RAW}) > 1.96 THEN 'p < 0.05'
@@ -220,14 +220,14 @@ SELECT oc.symbol, oc.series_code, oc.n_observations,
   oc.avg_return_indicator_down,
   (COALESCE(oc.avg_return_indicator_up, 0)
    - COALESCE(oc.avg_return_indicator_down, 0)) AS return_spread,
-  {", ".join(f"ROUND(rp.corr_{r}, 4) AS corr_{r}, rp.n_{r}" for r in REGIMES)},
-  ROUND(cs.rolling_corr_std, 4) AS correlation_volatility,
-  ROUND(cs.rolling_corr_min, 4) AS correlation_min,
-  ROUND(cs.rolling_corr_max, 4) AS correlation_max,
+  {", ".join(f"(ROUND(rp.corr_{r}, 4) + 0.0) AS corr_{r}, rp.n_{r}" for r in REGIMES)},
+  (ROUND(cs.rolling_corr_std, 4) + 0.0) AS correlation_volatility,
+  (ROUND(cs.rolling_corr_min, 4) + 0.0) AS correlation_min,
+  (ROUND(cs.rolling_corr_max, 4) + 0.0) AS correlation_max,
   cs.sign_changes AS correlation_sign_changes,
-  ROUND(CASE WHEN cs.rolling_corr_mean != 0
+  (ROUND(CASE WHEN cs.rolling_corr_mean != 0
              THEN ABS(cs.rolling_corr_std / cs.rolling_corr_mean) END, 2)
-    AS stability_score,
+    + 0.0) AS stability_score,
   (cs.rolling_corr_mean != 0
    AND ABS(cs.rolling_corr_std / cs.rolling_corr_mean) < 1) AS is_stable,
   (CASE WHEN ABS({_T_RAW}) > 1.96 AND (cs.rolling_corr_mean != 0
@@ -461,15 +461,18 @@ def correlation_analysis_enhanced(
         "symbol",
         "series_code",
         "n_observations",
-        F.round(r, 4).alias("correlation"),
-        F.round(
-            F.when(
-                (F.abs(r) < 0.9999) & (F.col("n_observations") > 2),
-                r
-                * F.sqrt(F.col("n_observations") - 2)
-                / F.sqrt(1 - r * r),
-            ),
-            3,
+        (F.round(r, 4) + F.lit(0.0)).alias("correlation"),
+        (
+            F.round(
+                F.when(
+                    (F.abs(r) < 0.9999) & (F.col("n_observations") > 2),
+                    r
+                    * F.sqrt(F.col("n_observations") - 2)
+                    / F.sqrt(1 - r * r),
+                ),
+                3,
+            )
+            + F.lit(0.0)
         ).alias("t_statistic"),
         F.when(F.abs(t_raw) > 3.291, "p < 0.001")
         .when(F.abs(t_raw) > 2.576, "p < 0.01")
@@ -487,22 +490,34 @@ def correlation_analysis_enhanced(
     ]
     for reg in REGIMES:
         out_cols += [
-            F.round(F.col(f"corr_{reg}"), 4).alias(f"corr_{reg}"),
+            (F.round(F.col(f"corr_{reg}"), 4) + F.lit(0.0)).alias(
+                f"corr_{reg}"
+            ),
             f"n_{reg}",
         ]
     out_cols += [
-        F.round("rolling_corr_std", 4).alias("correlation_volatility"),
-        F.round("rolling_corr_min", 4).alias("correlation_min"),
-        F.round("rolling_corr_max", 4).alias("correlation_max"),
+        (F.round("rolling_corr_std", 4) + F.lit(0.0)).alias(
+            "correlation_volatility"
+        ),
+        (F.round("rolling_corr_min", 4) + F.lit(0.0)).alias(
+            "correlation_min"
+        ),
+        (F.round("rolling_corr_max", 4) + F.lit(0.0)).alias(
+            "correlation_max"
+        ),
         F.col("sign_changes").alias("correlation_sign_changes"),
-        F.round(
-            F.when(
-                F.col("rolling_corr_mean") != 0,
-                F.abs(
-                    F.col("rolling_corr_std") / F.col("rolling_corr_mean")
+        (
+            F.round(
+                F.when(
+                    F.col("rolling_corr_mean") != 0,
+                    F.abs(
+                        F.col("rolling_corr_std")
+                        / F.col("rolling_corr_mean")
+                    ),
                 ),
-            ),
-            2,
+                2,
+            )
+            + F.lit(0.0)
         ).alias("stability_score"),
         cv_ok.alias("is_stable"),
         F.when(sig & cv_ok, "High")

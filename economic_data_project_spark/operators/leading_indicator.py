@@ -135,10 +135,10 @@ quintiles AS (
 )
 SELECT 'Correlation Analysis' AS analysis_type, symbol, series_name,
   observation_count,
-  ROUND(corr_econ_q1_returns, 4) AS correlation_econ_vs_q1_returns,
-  ROUND(corr_econ_q2_returns, 4) AS correlation_econ_vs_q2_returns,
-  ROUND(corr_econ_q3_returns, 4) AS correlation_econ_vs_q3_returns,
-  ROUND(corr_econ_quarterly_total_return, 4)
+  (ROUND(corr_econ_q1_returns, 4) + 0.0) AS correlation_econ_vs_q1_returns,
+  (ROUND(corr_econ_q2_returns, 4) + 0.0) AS correlation_econ_vs_q2_returns,
+  (ROUND(corr_econ_q3_returns, 4) + 0.0) AS correlation_econ_vs_q3_returns,
+  (ROUND(corr_econ_quarterly_total_return, 4) + 0.0)
     AS correlation_econ_vs_quarterly_total_return,
   avg_q1_up AS avg_q1_return_econ_up,
   avg_q1_down AS avg_q1_return_econ_down,
@@ -283,18 +283,18 @@ def leading_econ_return_indicator(
         "symbol",
         "series_name",
         "observation_count",
-        F.round("corr_econ_q1_returns", 4).alias(
+        (F.round("corr_econ_q1_returns", 4) + F.lit(0.0)).alias(
             "correlation_econ_vs_q1_returns"
         ),
-        F.round("corr_econ_q2_returns", 4).alias(
+        (F.round("corr_econ_q2_returns", 4) + F.lit(0.0)).alias(
             "correlation_econ_vs_q2_returns"
         ),
-        F.round("corr_econ_q3_returns", 4).alias(
+        (F.round("corr_econ_q3_returns", 4) + F.lit(0.0)).alias(
             "correlation_econ_vs_q3_returns"
         ),
-        F.round("corr_econ_quarterly_total_return", 4).alias(
-            "correlation_econ_vs_quarterly_total_return"
-        ),
+        (
+            F.round("corr_econ_quarterly_total_return", 4) + F.lit(0.0)
+        ).alias("correlation_econ_vs_quarterly_total_return"),
         F.col("avg_q1_up").alias("avg_q1_return_econ_up"),
         F.col("avg_q1_down").alias("avg_q1_return_econ_down"),
         F.col("avg_qt_up").alias("avg_quarterly_total_return_econ_up"),

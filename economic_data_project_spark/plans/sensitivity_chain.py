@@ -195,12 +195,15 @@ def sector_indicator_sensitivity_model(spark: SparkSession) -> DataFrame:
     for x, y, a in CORR_PAIRS:
         both = F.col(x).isNotNull() & F.col(y).isNotNull()
         corr_aggs.append(
-            F.round(
-                centered_corr(
-                    F.when(both, F.col(x) - F.col(f"mean_x_{a}")),
-                    F.when(both, F.col(y) - F.col(f"mean_y_{a}")),
-                ),
-                4,
+            (
+                F.round(
+                    centered_corr(
+                        F.when(both, F.col(x) - F.col(f"mean_x_{a}")),
+                        F.when(both, F.col(y) - F.col(f"mean_y_{a}")),
+                    ),
+                    4,
+                )
+                + F.lit(0.0)  # signed-zero collapse (ta.emit rule)
             ).alias(a)
         )
     mom = F.col("indicator_mom_pct")
@@ -500,14 +503,14 @@ def _sens_sql() -> str:
         _pair_mean_sql(x, y, a) for x, y, a in CORR_PAIRS
     )
     corr_sel = ",\n    ".join(
-        "ROUND("
+        "(ROUND("
         + sql_centered_corr(
             f"CASE WHEN p.{x} IS NOT NULL AND p.{y} IS NOT NULL"
             f" THEN p.{x} - m.mean_x_{a} END",
             f"CASE WHEN p.{x} IS NOT NULL AND p.{y} IS NOT NULL"
             f" THEN p.{y} - m.mean_y_{a} END",
         )
-        + f", 4) AS {a}"
+        + f", 4) + 0.0) AS {a}"
         for x, y, a in CORR_PAIRS
     )
 

@@ -87,31 +87,31 @@ monthly_li AS (
 ),
 cpi_yoy AS (
   SELECT date,
-    ROUND((avg_price / NULLIF(LAG(avg_price, 12) OVER (ORDER BY date), 0)
-           - 1) * 100, 2) AS cpi_yoy_pct
+    (ROUND((avg_price / NULLIF(LAG(avg_price, 12) OVER (ORDER BY date), 0)
+           - 1) * 100, 2) + 0.0) AS cpi_yoy_pct
   FROM monthly_orders
   QUALIFY LAG(avg_price, 12) OVER (ORDER BY date) IS NOT NULL
 ),
 t10y2y AS (
-  SELECT date, ROUND(spread_raw, 3) AS t10y2y_spread
+  SELECT date, (ROUND(spread_raw, 3) + 0.0) AS t10y2y_spread
   FROM monthly_li WHERE spread_raw IS NOT NULL
 ),
 unrate_delta AS (
   SELECT date,
-    ROUND(unrate_level - LAG(unrate_level, 3) OVER (ORDER BY date), 2)
-      AS unrate_change_3mo
+    (ROUND(unrate_level - LAG(unrate_level, 3) OVER (ORDER BY date), 2)
+      + 0.0) AS unrate_change_3mo
   FROM monthly_orders
   QUALIFY LAG(unrate_level, 3) OVER (ORDER BY date) IS NOT NULL
 ),
 fedfunds_delta AS (
   SELECT date,
-    ROUND(ABS(fedfunds_level - LAG(fedfunds_level) OVER (ORDER BY date)),
-          3) AS fedfunds_change_1mo
+    (ROUND(ABS(fedfunds_level - LAG(fedfunds_level) OVER (ORDER BY date)),
+          3) + 0.0) AS fedfunds_change_1mo
   FROM monthly_orders
   QUALIFY LAG(fedfunds_level) OVER (ORDER BY date) IS NOT NULL
 ),
 hy_oas AS (
-  SELECT date, ROUND(hy_oas_raw, 3) AS hy_oas_pct FROM monthly_li
+  SELECT date, (ROUND(hy_oas_raw, 3) + 0.0) AS hy_oas_pct FROM monthly_li
 ),
 all_dates AS (
   SELECT date FROM cpi_yoy
@@ -192,14 +192,19 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     cpi = (
         mo.select(
             "date",
-            F.round(
-                (
-                    F.col("avg_price")
-                    / F.nullif(F.lag("avg_price", 12).over(wd), F.lit(0))
-                    - 1
+            (
+                F.round(
+                    (
+                        F.col("avg_price")
+                        / F.nullif(
+                            F.lag("avg_price", 12).over(wd), F.lit(0)
+                        )
+                        - 1
+                    )
+                    * 100,
+                    2,
                 )
-                * 100,
-                2,
+                + F.lit(0.0)
             ).alias("cpi_yoy_pct"),
             F.lag("avg_price", 12).over(wd).alias("_prev"),
         )
@@ -207,15 +212,19 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_prev")
     )
     spread = ml.where(F.col("spread_raw").isNotNull()).select(
-        "date", F.round("spread_raw", 3).alias("t10y2y_spread")
+        "date",
+        (F.round("spread_raw", 3) + F.lit(0.0)).alias("t10y2y_spread"),
     )
     unrate = (
         mo.select(
             "date",
-            F.round(
-                F.col("unrate_level")
-                - F.lag("unrate_level", 3).over(wd),
-                2,
+            (
+                F.round(
+                    F.col("unrate_level")
+                    - F.lag("unrate_level", 3).over(wd),
+                    2,
+                )
+                + F.lit(0.0)
             ).alias("unrate_change_3mo"),
             F.lag("unrate_level", 3).over(wd).alias("_prev"),
         )
@@ -225,19 +234,24 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     fedfunds = (
         mo.select(
             "date",
-            F.round(
-                F.abs(
-                    F.col("fedfunds_level")
-                    - F.lag("fedfunds_level").over(wd)
-                ),
-                3,
+            (
+                F.round(
+                    F.abs(
+                        F.col("fedfunds_level")
+                        - F.lag("fedfunds_level").over(wd)
+                    ),
+                    3,
+                )
+                + F.lit(0.0)
             ).alias("fedfunds_change_1mo"),
             F.lag("fedfunds_level").over(wd).alias("_prev"),
         )
         .where(F.col("_prev").isNotNull())
         .drop("_prev")
     )
-    hy = ml.select("date", F.round("hy_oas_raw", 3).alias("hy_oas_pct"))
+    hy = ml.select(
+        "date", (F.round("hy_oas_raw", 3) + F.lit(0.0)).alias("hy_oas_pct")
+    )
 
     parts = [cpi, spread, unrate, fedfunds, hy]
     spine = parts[0].select("date")

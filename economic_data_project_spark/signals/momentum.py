@@ -100,11 +100,11 @@ faber AS (
   GROUP BY date
 )
 SELECT spy.date,
-  ROUND(spy.pct_1yr - spy.pct_1mo, 4) AS tsmom_return,
+  (ROUND(spy.pct_1yr - spy.pct_1mo, 4) + 0.0) AS tsmom_return,
   CAST(SIGN(spy.pct_1yr - spy.pct_1mo) AS BIGINT) AS tsmom_signal,
-  spy.pct_1yr AS spy_12m_return,
-  intl.pct_1yr AS acwi_12m_return,
-  bond.pct_1yr AS govt_12m_return,
+  (spy.pct_1yr + 0.0) AS spy_12m_return,
+  (intl.pct_1yr + 0.0) AS acwi_12m_return,
+  (bond.pct_1yr + 0.0) AS govt_12m_return,
   (CASE
      WHEN spy.pct_1yr >= intl.pct_1yr AND spy.pct_1yr > 0
        THEN 'equities'
@@ -114,7 +114,7 @@ SELECT spy.date,
           AND bond.pct_1yr > 0 THEN 'bonds'
      ELSE 'cash' END) AS dual_momentum_position,
   f.invested_count AS faber_invested_count,
-  ROUND(ss.dispersion * 100, 3) AS sector_dispersion,
+  (ROUND(ss.dispersion * 100, 3) + 0.0) AS sector_dispersion,
   ss.top_sector, ss.bottom_sector,
   CAST(({signs}) AS BIGINT) AS trend_score,
   (CASE WHEN SIGN(spy.pct_1yr - spy.pct_1mo) = -1 THEN 'high'
@@ -268,11 +268,11 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     disp100 = F.col("dispersion") * 100
     return joined.select(
         F.col("spy_date").alias("date"),
-        F.round(tsmom, 4).alias("tsmom_return"),
+        (F.round(tsmom, 4) + F.lit(0.0)).alias("tsmom_return"),
         F.signum(tsmom).cast("long").alias("tsmom_signal"),
-        F.col("spy_pct_1yr").alias("spy_12m_return"),
-        F.col("intl_pct_1yr").alias("acwi_12m_return"),
-        F.col("bond_pct_1yr").alias("govt_12m_return"),
+        (F.col("spy_pct_1yr") + F.lit(0.0)).alias("spy_12m_return"),
+        (F.col("intl_pct_1yr") + F.lit(0.0)).alias("acwi_12m_return"),
+        (F.col("bond_pct_1yr") + F.lit(0.0)).alias("govt_12m_return"),
         F.when(
             (F.col("spy_pct_1yr") >= F.col("intl_pct_1yr"))
             & (F.col("spy_pct_1yr") > 0),
@@ -293,7 +293,7 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("cash")
         .alias("dual_momentum_position"),
         F.col("invested_count").alias("faber_invested_count"),
-        F.round(disp100, 3).alias("sector_dispersion"),
+        (F.round(disp100, 3) + F.lit(0.0)).alias("sector_dispersion"),
         "top_sector",
         "bottom_sector",
         signs.cast("long").alias("trend_score"),
