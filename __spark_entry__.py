@@ -66,16 +66,28 @@ def _deps_of(mod_name: str) -> set[str]:
     deps = {mod_name}
     base = os.path.join(_HERE, mod_name.replace(".", "/"))
     tree = None
-    for path in (base + ".py", os.path.join(base, "__init__.py")):
+    is_pkg_init = False
+    for path, pkg in (
+        (base + ".py", False),
+        (os.path.join(base, "__init__.py"), True),
+    ):
         try:
             with open(path) as fh:
                 tree = ast.parse(fh.read())
+            is_pkg_init = pkg
             break
         except (OSError, SyntaxError):
             continue
     if tree is None:
         return deps
-    pkg_parts = mod_name.split(".")[:-1]
+    # relative-import anchor: a PACKAGE __init__ resolves level-1
+    # imports against the package ITSELF ('from .dialect import x' in
+    # functions/__init__.py -> ...functions.dialect), a plain module
+    # against its parent — stripping the last part unconditionally sent
+    # package re-exports one level too high, to nonexistent modules that
+    # never matched the staleness file set.
+    parts = mod_name.split(".")
+    pkg_parts = parts if is_pkg_init else parts[:-1]
     for node in ast.walk(tree):
         if isinstance(node, ast.Import):
             for a in node.names:
@@ -177,10 +189,34 @@ def _stale_queries() -> list[str]:
         if not ref:
             diffs[rnd] = None  # unknown tree -> treat as stale
             continue
-        changed = {
+        # only package modules can ever intersect a query's file set —
+        # pre-filtering spares a git-show + two AST parses per changed
+        # test/tool file.
+        pkg_py = lambda f: f.endswith(".py") and f.startswith(_PKG + "/")
+        diffed = {
             f
             for f in _git("diff", "--name-only", ref).splitlines()
-            if f.endswith(".py") and _ast_changed(f, ref)
+            if pkg_py(f)
+        }
+        # the record's own commit closes the same-round-edit hole: the
+        # driver verifies BEFORE the round's edits are committed, and
+        # record + edits land in ONE commit — so a package file that
+        # commit touched was NOT the verified code even though it no
+        # longer differs from the ref tree. Compare such files against
+        # the ref's PARENT (the newest tree that could have been
+        # verified); comment-only touch-ups still pass the AST check.
+        in_commit = {
+            f
+            for f in _git(
+                "show", "--name-only", "--format=", ref
+            ).splitlines()
+            if pkg_py(f)
+        }
+        changed = {
+            f
+            for f in diffed | in_commit
+            if _ast_changed(f, ref)
+            or (f in in_commit and _ast_changed(f, ref + "^"))
         }
         # registry.py is pure registration plumbing imported by every
         # query module; counting it as a semantic dependency would flag

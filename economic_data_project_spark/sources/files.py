@@ -89,15 +89,24 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) halves of a PERMISSIVE jsonl read. The clean
     half drops the quarantine column so downstream schemas stay exact;
     the quarantined half keeps identity + raw line for the dead-letter
-    sink. (The quarantine projection deliberately references a data
-    column too: since Spark 2.3 a json scan whose referenced columns are
-    ONLY the internal corrupt-record column is disallowed.)"""
+    sink.
+
+    The parsed frame is CACHED first — required for correctness, not
+    just speed: corrupt-record detection depends on which columns the
+    scan parses, so an uncached quarantine query (which prunes to few
+    columns) disagrees with the clean side about *partially* corrupt
+    rows (e.g. one ill-typed field) — Spark refuses such queries
+    outright since 2.3 and documents exactly this cache as the
+    supported pattern. The cache holds only until both halves are
+    consumed; a 100 TB ingest would instead run the split as ONE pass
+    writing two sinks (foreachBatch / partitioned write) over the
+    cached batch of each shard group."""
+    df = df.cache()
     clean = df.where(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
     )
-    first_data_col = df.columns[0]
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
-        F.col(first_data_col),
+        df.columns[0],
         F.col("_corrupt_record").alias("raw_line"),
     )
     return clean, bad

@@ -133,6 +133,31 @@ ORDER BY doc_id
 """
 
 
+def quality_exprs(n_tok, n_uniq, n_stop):
+    """The quality-scoring formula as reusable column expressions:
+    (ttr, stop_ratio, score, bucket) from token-count columns. Shared by
+    `text_quality_scores` and the fused `corpus_filter_verdict`
+    (text/screening.py) so the thresholds/weights cannot drift between
+    the standalone screen and the composite — a tweak here changes both
+    AND both DuckDB oracles must follow (_QUALITY_ORACLE and the
+    composed verdict oracle reuse the same SQL text)."""
+    ttr = F.when(n_tok > 0, n_uniq.cast("double") / n_tok).otherwise(0.0)
+    stop_ratio = F.when(
+        n_tok > 0, n_stop.cast("double") / n_tok
+    ).otherwise(0.0)
+    score = (
+        F.when(n_tok.between(20, 100000), 0.4).otherwise(0.0)
+        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
+        + F.when(ttr > 0.2, 0.3).otherwise(0.0)
+    )
+    bucket = (
+        F.when(score >= 0.7, "keep")
+        .when(score >= 0.4, "review")
+        .otherwise("drop")
+    )
+    return ttr, stop_ratio, score, bucket
+
+
 @query("text_quality_scores", oracle=_QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
@@ -147,16 +172,8 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     n_tok = F.col("n_tok")
-    ttr = F.when(n_tok > 0, F.col("n_uniq").cast("double") / n_tok).otherwise(
-        0.0
-    )
-    stop_ratio = F.when(
-        n_tok > 0, F.col("n_stop").cast("double") / n_tok
-    ).otherwise(0.0)
-    score = (
-        F.when(n_tok.between(20, 100000), 0.4).otherwise(0.0)
-        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
-        + F.when(ttr > 0.2, 0.3).otherwise(0.0)
+    ttr, stop_ratio, score, bucket = quality_exprs(
+        n_tok, F.col("n_uniq"), F.col("n_stop")
     )
     return feats.select(
         "doc_id",
@@ -164,10 +181,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         stop_ratio.alias("stop_ratio"),
         F.when(n_tok.between(20, 100000), 1).otherwise(0).alias("len_ok"),
         score.alias("quality_score"),
-        F.when(score >= 0.7, "keep")
-        .when(score >= 0.4, "review")
-        .otherwise("drop")
-        .alias("quality_bucket"),
+        bucket.alias("quality_bucket"),
     ).orderBy("doc_id")
 
 

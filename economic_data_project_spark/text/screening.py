@@ -38,7 +38,7 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..registry import query
-from .analysis import _QUALITY_ORACLE, LANG_PROFILES
+from .analysis import _QUALITY_ORACLE, LANG_PROFILES, quality_exprs
 
 # ---------------------------------------------------------------- PII scan
 
@@ -481,19 +481,11 @@ def verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_canary"),
     )
     n_tok = F.col("n_tok")
-    ttr = F.when(n_tok > 0, F.col("n_uniq").cast("double") / n_tok).otherwise(
-        0.0
-    )
-    stop_ratio = F.when(
-        n_tok > 0, F.col("n_stop").cast("double") / n_tok
-    ).otherwise(0.0)
-    score = (
-        F.when(n_tok.between(20, 100000), 0.4).otherwise(0.0)
-        + F.when(stop_ratio > 0.01, 0.3).otherwise(0.0)
-        + F.when(ttr > 0.2, 0.3).otherwise(0.0)
-    )
-    quality_bucket = (
-        F.when(score >= 0.7, "keep").when(score >= 0.4, "review").otherwise("drop")
+    # the scoring formula is SHARED with text_quality_scores — one
+    # definition, so the standalone screen and this fused verdict (and
+    # their composed oracles) cannot drift.
+    _ttr, _stop_ratio, score, quality_bucket = quality_exprs(
+        n_tok, F.col("n_uniq"), F.col("n_stop")
     )
     dup = F.when(
         F.col("n_shingles") > 0,

@@ -35,11 +35,19 @@ _SLOW_MODULES = {
 _ORACLE_MODULES = {"test_oracle"}
 
 
+#: names selected for this session's oracle tests — lets oracle_results
+#: run ONLY the requested queries when the user selects a handful
+#: (single-query debug loops must not pay the full 130-query sweep).
+_ORACLE_SELECTED: set[str] = set()
+
+
 def pytest_collection_modifyitems(config, items):
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in _ORACLE_MODULES:
             item.add_marker(pytest.mark.oracle)
+            if "[" in item.name:  # test_query_matches_oracle[<name>]
+                _ORACLE_SELECTED.add(item.name.split("[", 1)[1][:-1])
         elif mod in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
         else:
@@ -173,6 +181,12 @@ def oracle_results(spark) -> dict[str, tuple[bool, str]]:
         )
 
         queries, oracles = all_queries(), all_oracles()
+        # selective runs (a debug loop on a few queries) compare only
+        # the selected names; the full-session sweep threshold keeps
+        # `pytest tests/` on the one-pass pooled path.
+        names = sorted(queries)
+        if _ORACLE_SELECTED and len(_ORACLE_SELECTED) <= 10:
+            names = sorted(_ORACLE_SELECTED & set(names))
         con = duckdb_cached(SF_DIR)
 
         def run(name: str) -> tuple[str, tuple[bool, str]]:
@@ -193,5 +207,5 @@ def oracle_results(spark) -> dict[str, tuple[bool, str]]:
         # the sweet spot, not "more".
         workers = int(os.environ.get("SPARK_GRAFT_ORACLE_WORKERS", "2"))
         with ThreadPoolExecutor(max_workers=workers) as ex:
-            _ORACLE_RESULTS = dict(ex.map(run, sorted(queries)))
+            _ORACLE_RESULTS = dict(ex.map(run, names))
         return _ORACLE_RESULTS

@@ -46,6 +46,13 @@ def test_jsonl_corpus_source(spark, tmp_path):
     with gzip.open(tmp_path / "shard-1.jsonl.gz", "wt") as fh:
         fh.write("\n".join(json.dumps(r) for r in recs[half:]) + "\n")
         fh.write('{"doc_id": 999, "text": BROKEN\n')
+        # PARTIALLY corrupt: valid JSON, one ill-typed field. Must land
+        # in quarantine, not vanish — detection depends on which columns
+        # the scan parses, which is why split_quarantine caches.
+        fh.write(
+            '{"doc_id": 998, "text": "x", "lang": "en",'
+            ' "source": "s", "n_chars": "oops"}\n'
+        )
 
     df = read_jsonl_documents(spark, str(tmp_path))
     clean, bad = split_quarantine(df)
@@ -56,8 +63,9 @@ def test_jsonl_corpus_source(spark, tmp_path):
     want = {int(r["doc_id"]): r["text"] for r in recs}
     assert got == want
     quarantined = bad.collect()
-    assert len(quarantined) == 1
-    assert "BROKEN" in quarantined[0].raw_line
+    assert len(quarantined) == 2
+    raws = " | ".join(r.raw_line for r in quarantined)
+    assert "BROKEN" in raws and "oops" in raws
     assert set(clean.columns) == {
         "doc_id", "text", "lang", "source", "n_chars",
     }
