@@ -24,8 +24,11 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -198,3 +201,91 @@ def extract_features(decoded: DataFrame) -> DataFrame:
         .alias("size_bucket"),
         "mean_luma",
     )
+
+
+# --------------------------------------------------------------------------
+# Driver-contract surface: the full pipeline (attach -> mapInPandas decode
+# -> JVM feature stage) as registered queries with DuckDB oracles.
+#
+# The fake payloads are utf-8 text bytes (ASCII in the testdata), so the
+# deterministic fake decode is pure byte math DuckDB can replicate:
+# md5(payload) == md5(text) for ASCII, and ord(char) == byte value. The
+# oracle therefore checks the REAL Arrow/mapInPandas plumbing end-to-end
+# — batch iteration, schema, fallback routing — not a parallel stub.
+# Output is identical whether or not Pillow is importable on the workers:
+# fake payloads are not decodable images, so the real branch raises and
+# every row takes the deterministic fake path (decoder column aside,
+# which extract_features drops).
+# --------------------------------------------------------------------------
+
+_DECODE_FEATURES_ORACLE = """
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+              WHEN doc_id % 3 = 1 THEN 'audio/wav'
+              ELSE 'video/mp4' END AS media_type,
+         text,
+         md5(text) AS dg
+  FROM documents
+),
+d AS (
+  SELECT media_id, media_type,
+         64 + ('0x' || substr(dg, 1, 2))::INT % 192 AS width,
+         64 + ('0x' || substr(dg, 3, 2))::INT % 192 AS height,
+         CASE WHEN length(text) = 0 THEN 0
+              ELSE CAST(FLOOR(
+                list_aggregate(list_transform(range(1, length(text) + 1),
+                  i -> ord(substr(text, i, 1))), 'sum')
+                / CAST(length(text) AS DOUBLE)) AS INT)
+         END AS mean_luma
+  FROM m
+)
+SELECT media_id, media_type,
+       CAST(width AS DOUBLE) / height AS aspect_ratio,
+       CASE WHEN width * height >= 40000 THEN 'large' ELSE 'small' END
+         AS size_bucket,
+       mean_luma
+FROM d
+ORDER BY media_id
+"""
+
+
+@query("multimodal_decode_features", oracle=_DECODE_FEATURES_ORACLE)
+def multimodal_decode_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """attach -> decode (Arrow-batched mapInPandas) -> feature extract.
+
+    Reference capability: the binary document pipeline
+    (document_extraction/sources/sec_filings.yml:1-22 — opaque GCS
+    payloads with typed metadata, decoded downstream)."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return extract_features(decode_media(media)).orderBy("media_id")
+
+
+_FRAME_SAMPLE_ORACLE = """
+WITH v AS (
+  SELECT doc_id AS media_id, length(text) AS n_bytes
+  FROM documents WHERE doc_id % 3 = 2
+),
+f AS (
+  SELECT media_id,
+         unnest(range(0, GREATEST(
+           CAST(FLOOR(n_bytes / 97.0) AS BIGINT), 1))) AS frame_no
+  FROM v
+)
+SELECT media_id, frame_no,
+       md5(CAST(media_id AS VARCHAR) || ':' || CAST(frame_no AS VARCHAR))
+         AS frame_hash
+FROM f
+ORDER BY media_id, frame_no
+"""
+
+
+@query("multimodal_frame_sample", oracle=_FRAME_SAMPLE_ORACLE)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling: 1 row -> N frames via a JVM-side explode
+    over a computed frame count (the real 100 TB shape — payloads never
+    shuffle, only the per-frame keys/hashes fan out)."""
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    return frame_sample(media).orderBy("media_id", "frame_no")
