@@ -80,6 +80,7 @@ def load_all() -> None:
         volatility,
     )
     from .similarity import ann  # noqa: F401
+    from .sources import files  # noqa: F401
     from .text import (  # noqa: F401
         analysis,
         dedup,

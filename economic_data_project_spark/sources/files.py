@@ -15,8 +15,15 @@
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import query
 
 
 def read_binary_documents(
@@ -77,6 +84,11 @@ def read_jsonl_documents(
       file extension; each compressed shard is one task (not splittable)
       — shard corpora to ~100-500 MB files upstream, never one big .gz.
     """
+    if "_corrupt_record" in schema:
+        raise ValueError(
+            "schema already declares _corrupt_record; pass the payload"
+            " schema only — the quarantine column is appended here"
+        )
     return (
         spark.read.schema(schema + ", _corrupt_record string")
         .option("mode", "PERMISSIVE")
@@ -85,11 +97,13 @@ def read_jsonl_documents(
     )
 
 
-def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+def split_quarantine(
+    df: DataFrame, id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
     """(clean, quarantined) halves of a PERMISSIVE jsonl read. The clean
     half drops the quarantine column so downstream schemas stay exact;
-    the quarantined half keeps identity + raw line for the dead-letter
-    sink.
+    the quarantined half keeps identity (``id_col`` — NULL for fully
+    malformed lines) + raw line for the dead-letter sink.
 
     The parsed frame is CACHED first — required for correctness, not
     just speed: corrupt-record detection depends on which columns the
@@ -101,12 +115,71 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     consumed; a 100 TB ingest would instead run the split as ONE pass
     writing two sinks (foreachBatch / partitioned write) over the
     cached batch of each shard group."""
+    if id_col not in df.columns:
+        raise ValueError(
+            f"id column {id_col!r} not in frame columns {df.columns}"
+        )
     df = df.cache()
     clean = df.where(F.col("_corrupt_record").isNull()).drop(
         "_corrupt_record"
     )
     bad = df.where(F.col("_corrupt_record").isNotNull()).select(
-        df.columns[0],
+        id_col,
         F.col("_corrupt_record").alias("raw_line"),
     )
     return clean, bad
+
+
+# --------------------------------------------------------------------------
+# Driver-contract surface: JSONL ingestion as a registered round-trip
+# query — write gzip shards + one planted malformed shard, read back
+# PERMISSIVE, split quarantine, and aggregate both halves. The oracle is
+# the per-source census of the original table plus the planted
+# quarantine count, so a lossy write, a mis-parsed shard, or a broken
+# quarantine split all hash-mismatch.
+# --------------------------------------------------------------------------
+
+_N_PLANTED_BAD = 2
+
+_JSONL_INGEST_ORACLE = f"""
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY source
+UNION ALL
+SELECT '__quarantine__', {_N_PLANTED_BAD}, NULL
+ORDER BY source
+"""
+
+
+@query("jsonl_corpus_ingest", oracle=_JSONL_INGEST_ORACLE)
+def jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through gzip .jsonl shards plus a
+    planted malformed shard, then census the clean half per source and
+    count the dead-letter half.
+
+    The shard dir is deterministic per sf_dir (overwritten on re-run,
+    left on disk afterwards because the returned frame reads it
+    lazily — one small reused temp dir, not an accumulating leak)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_jsonl_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    docs.repartition(4).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(out)
+    with open(os.path.join(out, "planted_bad.jsonl"), "w") as fh:
+        fh.write('{"doc_id": 900001, "text": "truncated\n')
+        fh.write("not json at all\n")
+    clean, bad = split_quarantine(read_jsonl_documents(spark, out))
+    summary = clean.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    quarantine = bad.agg(F.count("*").alias("n_docs")).select(
+        F.lit("__quarantine__").alias("source"),
+        "n_docs",
+        F.lit(None).cast("long").alias("total_chars"),
+    )
+    return summary.unionByName(quarantine).orderBy("source")

@@ -71,6 +71,26 @@ def test_jsonl_corpus_source(spark, tmp_path):
     }
 
 
+def test_jsonl_source_guards(spark, tmp_path):
+    """Non-default schemas must fail loudly, not silently misbehave: a
+    caller-supplied schema already naming _corrupt_record would collide
+    with the appended quarantine column, and split_quarantine keys the
+    dead-letter half on an EXPLICIT id column, not position 0."""
+    (tmp_path / "s.jsonl").write_text('{"item_id": 1, "body": "x"}\n')
+    with pytest.raises(ValueError, match="_corrupt_record"):
+        read_jsonl_documents(
+            spark, str(tmp_path), "item_id long, _corrupt_record string"
+        )
+    df = read_jsonl_documents(
+        spark, str(tmp_path), "item_id long, body string"
+    )
+    with pytest.raises(ValueError, match="doc_id"):
+        split_quarantine(df)  # default id col absent -> loud
+    clean, bad = split_quarantine(df, id_col="item_id")
+    assert clean.collect()[0].item_id == 1
+    assert bad.columns == ["item_id", "raw_line"]
+
+
 def test_csv_seed_loader(spark, tmp_path):
     p = tmp_path / "mapping.csv"
     p.write_text("code,name,weight\nGDP,Gross,1.5\nCPI,Prices,2.0\n")
