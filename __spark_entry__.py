@@ -181,8 +181,11 @@ def _stale_queries() -> list[str]:
     round (not just against the newest record) catches code that changed
     mid-round and was committed together with the record — the newest
     record's commit already contains those edits, so a single-ref diff
-    would never flag them."""
-    last = _last_pass_round()
+    would never flag them. "Green" here means driver-verified for
+    prioritization (:func:`_last_checked_round`): rows-only queries
+    count their recorded driver runs, so their code changes re-flag
+    them like everything else."""
+    last = _last_checked_round()
     diffs: dict[int, set[str] | None] = {}
     for rnd in set(last.values()):
         ref = _record_ref(rnd)
@@ -264,10 +267,8 @@ def _ast_changed(path: str, ref: str) -> bool:
         return True
 
 
-def _last_pass_round() -> dict[str, int]:
-    """Newest round number in which each query passed all three driver
-    checks (rows+schema+hash)."""
-    last: dict[str, int] = {}
+def _iter_records():
+    """Yield (round, {name: row}) for every parseable driver record."""
     for path in glob.glob(os.path.join(_HERE, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -276,12 +277,45 @@ def _last_pass_round() -> dict[str, int]:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        yield rnd, rows
+
+
+def _last_pass_round() -> dict[str, int]:
+    """Newest round number in which each query passed all three driver
+    checks (rows+schema+hash)."""
+    last: dict[str, int] = {}
+    for rnd, rows in _iter_records():
         for name, row in rows.items():
             if (
                 isinstance(row, dict)
                 and row.get("rows_match")
                 and row.get("schema_match")
                 and row.get("hash_match")
+            ):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def _last_checked_round() -> dict[str, int]:
+    """Newest round whose record counts as driver-verified for
+    PRIORITIZATION: the full rows+schema+hash green for oracle-backed
+    queries, plus — for queries that have no oracle TODAY — any recorded
+    rows-only run (``err == "no_oracle"`` with a row count). A rows-only
+    query can never satisfy the three-way green, so without this it
+    sorts into the "fresh" bucket forever and consumes a prefix slot
+    every round (7 slots/round across r3-r5) while genuinely stale
+    queries wait for rotation. The no-oracle gate is evaluated against
+    the CURRENT registry so a query that since GAINED an oracle doesn't
+    coast on old rows-only records."""
+    last = _last_pass_round()
+    no_oracle = set(registry.all_queries()) - set(registry.all_oracles())
+    for rnd, rows in _iter_records():
+        for name, row in rows.items():
+            if (
+                name in no_oracle
+                and isinstance(row, dict)
+                and row.get("err") == "no_oracle"
+                and row.get("spark_rows") is not None
             ):
                 last[name] = max(last.get(name, 0), rnd)
     return last
@@ -295,9 +329,11 @@ def _priority_order(names: list[str]) -> list[str]:
     yet, and a broad shared-helper edit that flags most of the registry
     still re-verifies the longest-stale queries within
     ceil(stale/prefix) rounds instead of starving late-registering
-    modules forever."""
+    modules forever. Rows-only queries age by their recorded driver
+    runs (:func:`_last_checked_round`) — they must not sit in the
+    fresh bucket permanently."""
     force = set(_stale_queries())
-    last = _last_pass_round()
+    last = _last_checked_round()
     passed = set(last)
     fresh = [n for n in names if n not in passed]
     stale = [n for n in names if n in passed and n in force]

@@ -52,7 +52,7 @@ def test_priority_order_fresh_then_oldest_stale(monkeypatch):
     se = _load_entry()
     monkeypatch.setattr(se, "_stale_queries", lambda: ["b", "c"])
     monkeypatch.setattr(
-        se, "_last_pass_round", lambda: {"a": 2, "b": 3, "c": 1}
+        se, "_last_checked_round", lambda: {"a": 2, "b": 3, "c": 1}
     )
     # d never passed -> fresh bucket first; stale ordered oldest green
     # first (c r1 before b r3); stable tail last
@@ -62,3 +62,102 @@ def test_priority_order_fresh_then_oldest_stale(monkeypatch):
         "b",
         "a",
     ]
+
+
+def test_rows_only_records_age_out_of_fresh(tmp_path, monkeypatch):
+    """A rows-only query with a recorded driver run must NOT sit in the
+    'fresh' bucket forever: it sorts with the stale queries by record
+    age (VERDICT r5 'What's wrong' #1 — 7 permanently-fresh queries
+    consumed prefix slots every round while 54 stale queries waited)."""
+    import json
+
+    se = _load_entry()
+    monkeypatch.setattr(se, "_HERE", str(tmp_path))
+
+    class _Reg:
+        @staticmethod
+        def all_queries():
+            return {"green_q": None, "rows_only_q": None, "new_q": None}
+
+        @staticmethod
+        def all_oracles():
+            return {"green_q": "SELECT 1", "new_q": "SELECT 1"}
+
+    monkeypatch.setattr(se, "registry", _Reg)
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "rows_only_q": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": 37,
+                    "oracle_rows": None,
+                    "err": "no_oracle",
+                }
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps(
+            {
+                "green_q": {
+                    "rows_match": True,
+                    "schema_match": True,
+                    "hash_match": True,
+                    "spark_rows": 9,
+                    "oracle_rows": 9,
+                    "err": None,
+                }
+            }
+        )
+    )
+    checked = se._last_checked_round()
+    assert checked == {"green_q": 4, "rows_only_q": 3}
+    names = ["green_q", "rows_only_q", "new_q"]
+    # both recorded queries stale -> never-verified first, then the
+    # rows-only record (r3) BEFORE the newer green row (r4)
+    monkeypatch.setattr(
+        se, "_stale_queries", lambda: ["green_q", "rows_only_q"]
+    )
+    assert se._priority_order(names) == ["new_q", "rows_only_q", "green_q"]
+    # nothing stale -> recorded rows-only query sits in the stable tail,
+    # not the fresh bucket
+    monkeypatch.setattr(se, "_stale_queries", lambda: [])
+    assert se._priority_order(names) == ["new_q", "green_q", "rows_only_q"]
+
+
+def test_rows_only_failed_record_stays_fresh(tmp_path, monkeypatch):
+    """A rows-only query whose recorded run ERRORED (no row count, or a
+    non-no_oracle error) has never been driver-checked — it must keep
+    its fresh-bucket priority."""
+    import json
+
+    se = _load_entry()
+    monkeypatch.setattr(se, "_HERE", str(tmp_path))
+
+    class _Reg:
+        @staticmethod
+        def all_queries():
+            return {"rows_only_q": None}
+
+        @staticmethod
+        def all_oracles():
+            return {}
+
+    monkeypatch.setattr(se, "registry", _Reg)
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "rows_only_q": {
+                    "rows_match": None,
+                    "schema_match": None,
+                    "hash_match": None,
+                    "spark_rows": None,
+                    "oracle_rows": None,
+                    "err": "exception: boom",
+                }
+            }
+        )
+    )
+    assert se._last_checked_round() == {}
