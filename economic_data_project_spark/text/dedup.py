@@ -96,7 +96,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs.
-# Signature_i(doc) = min over shingles s of md5(i || '|' || s); the 24
+# Signature_i(doc) = min over shingles s of h_i(x_s), where x_s is the
+# 60-bit md5 prefix of s reduced mod P and h_i(x) = (a_i*x + b_i) mod P
+# is a seeded universal-hash permutation (P = 2^31-1; constants below —
+# each shingle is md5-hashed ONCE, then mixed by 24 integer h_i). The 24
 # signature values form 8 bands of 3 rows — a band collides with
 # probability j^3, so weak pairs (the j~0.05 background between unrelated
 # docs sharing a vocabulary) almost never become candidates while true
@@ -134,7 +137,15 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached: the documents table arrives as few parquet splits, but
     shingling + hashing is CPU-bound per row, so we repartition by doc_id
     before the expensive expressions (at 100 TB this frame would be a
-    materialized signature table, written once and joined many times)."""
+    materialized signature table, written once and joined many times).
+
+    Cache lifetime (here and at the band caches below): the frames stay
+    cached after the query returns — they CANNOT be unpersisted inside
+    the builder because the returned DataFrame reads them lazily. This
+    is bounded, not a leak: Spark's CacheManager dedups by analyzed
+    plan, so repeated invocations on the same sf_dir reuse one entry
+    (one per distinct sf_dir total), and entries are MEMORY_AND_DISK
+    with LRU eviction under pressure."""
     d = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     return (
@@ -816,18 +827,28 @@ ORDER BY c.component_id, c.doc_id
 
 
 def connected_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
-    """Min-label propagation over an undirected edge list -> (id, component_id)."""
+    """Min-label propagation over an undirected edge list -> (id, component_id).
+
+    Cache discipline: edges and the current label generation are
+    persisted (each round reads both more than once); every superseded
+    label generation is unpersisted as soon as its successor is
+    materialized by the convergence count, and edges are released on
+    exit — deep chains hold at most two label generations at once
+    instead of one per round. Only the FINAL generation stays cached
+    (the caller consumes it lazily; an evicted partition just
+    recomputes through lineage)."""
     edges = pairs.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionByName(
         pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
     ).persist()
-    labels = (
+    cached = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .persist()
     )
+    labels = cached
     while True:
         nb = (
             edges.join(labels, edges.v == labels.id)
@@ -850,9 +871,12 @@ def connected_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
             .persist()
         )
         n_changed = new_labels.where(F.col("changed")).count()
+        cached.unpersist()  # superseded generation; successor is cached
+        cached = new_labels
         labels = new_labels.drop("changed")
         if n_changed == 0:
             break
+    edges.unpersist()
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )
@@ -865,8 +889,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = comp.groupBy("component_id").agg(
         F.count("*").cast("long").alias("component_size")
     )
+    # sized is NOT broadcast: one row per component is unbounded at
+    # corpus scale, and the plain join is co-partitioned for free (the
+    # aggregate's output partitioning is the join key).
     return (
-        comp.join(F.broadcast(sized), on="component_id")
+        comp.join(sized, on="component_id")
         .select(
             "doc_id",
             "component_id",
