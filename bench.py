@@ -51,6 +51,9 @@ HEADLINE = [
     # round 5 additions
     "corpus_filter_verdict",    # fused single-scan 4-screen verdict
     "corpus_keep_list",         # screens + exact + near-dup, one decision
+    # round 6 additions
+    "multimodal_decode_features",  # Arrow mapInPandas decode + features
+    "jsonl_corpus_ingest",      # gzip-shard roundtrip + quarantine split
 ]
 
 
@@ -77,19 +80,41 @@ _LONGDOC_TOKENS = 2000
 def _gen_longdoc_dir(spark) -> str:
     """Write a deterministic synthetic corpus of ~2000-token documents:
     10% highly repetitive (period-7 token cycle -> repetition screen
-    positives), consecutive pairs near-duplicated (docs 2k/2k+1 share a
-    seed, ~2% of tokens differ -> shingle-Jaccard ~0.9, LSH verify
-    positives), the rest pseudo-random over a 499-word vocabulary."""
+    positives + one mutual near-dup cluster), consecutive pairs
+    near-duplicated (docs 2k/2k+1 share a seed, ~2% of tokens differ
+    -> shingle-Jaccard ~0.8, LSH verify positives), the rest sharing
+    essentially no shingles across seeds."""
     import tempfile
 
     from pyspark.sql import functions as F
 
     out = tempfile.mkdtemp(prefix="spark_graft_longdoc_")
+    # Tokens are LETTERS-ONLY ('w' + digits mapped a-j): the dedup
+    # tokenizer is [a-z]+, so digit-suffixed tokens like 'w123' would
+    # all collapse to 'w' and every doc would degenerate to a single
+    # shingle — the lane would stress tokenization but measure a
+    # vacuous all-pairs collision workload instead of realistic
+    # near-dup LSH (ADVICE r5; longdoc_* rows from r4/r5 are therefore
+    # not comparable to r6+). The 37*i*i term makes the token sequence
+    # QUADRATIC in position: a linear formula degenerates to the same
+    # 499-cycle for every seed (seeds differ by a constant offset, so
+    # all background docs share ~every shingle and the lane measures an
+    # unrealistic all-pairs blowup); with the quadratic term the
+    # consecutive-shingle differences are injective in position, so
+    # distinct seeds share zero shingles.
+    digit_tok = (
+        "translate(cast({n} as string), '0123456789', 'abcdefghij')"
+    )
     tok = (
-        "CASE WHEN id % 10 = 0 THEN concat('w', cast(i % 7 as string))"
-        " ELSE concat('w', cast(pmod(cast(id / 2 as bigint) * 7919"
-        " + i * 104729 + CASE WHEN i % 50 = 0 THEN id % 2 ELSE 0 END,"
-        " 499) as string)) END"
+        "CASE WHEN id % 10 = 0 THEN concat('w', "
+        + digit_tok.format(n="i % 7")
+        + ") ELSE concat('w', "
+        + digit_tok.format(
+            n="pmod(cast(id / 2 as bigint) * 7919 + i * 104729"
+            " + 37 * i * i"
+            " + CASE WHEN i % 50 = 0 THEN id % 2 ELSE 0 END, 499)"
+        )
+        + ") END"
     )
     df = (
         spark.range(_LONGDOC_DOCS)
@@ -144,6 +169,18 @@ def _skew_join(spark, sf_dir: str, salted: bool):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Stamp machine state into the artifact: a loaded box inflates every
+    # query a uniform 1.1-1.6x (measured in r5 — the recorded file read
+    # as a phantom regression until rerun quiet), so the JSON line must
+    # carry the evidence that disambiguates contention from code.
+    load_start = os.getloadavg()
+    if load_start[0] > 1.0:
+        print(
+            f"WARNING: 1-min load {load_start[0]:.2f} > 1 at bench start"
+            " — timings will be contention-inflated; rerun quiet before"
+            " comparing rounds.",
+            file=sys.stderr,
+        )
     spark = get_spark(app_name="econ-spark-bench")
     qs = registry.all_queries()
 
@@ -213,6 +250,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "load_start": [round(x, 2) for x in load_start],
+                "load_end": [round(x, 2) for x in os.getloadavg()],
+                "cpus": os.cpu_count(),
             }
         )
     )

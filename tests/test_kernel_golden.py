@@ -360,22 +360,31 @@ def test_lda_golden_invariants(spark, ml_sf_dir):
 def test_minhash_lsh_full_recall_on_planted_neardups(spark, tmp_path):
     """LSH banding must find EVERY planted near-dup pair: 60 doc pairs
     (2k, 2k+1) sharing a seed with ~2% token edits (shingle-Jaccard
-    ~0.9), plus pseudo-random non-pairs sharing essentially nothing.
+    ~0.85), plus background non-pairs sharing essentially nothing.
     Compared against the declared brute-force DuckDB oracle on the same
     corpus — this is the recall regression gate for the signature
     scheme (a hash-mixing change that silently drops band collisions
-    fails here, not in production)."""
+    fails here, not in production).
+
+    Fixture discipline (ADVICE r5 — the old fixture was vacuous):
+    tokens are LETTERS-ONLY so the [a-z]+ tokenizer keeps them distinct
+    ('w123'-style tokens all collapsed to 'w', reducing every doc to
+    one shingle and passing for any signature scheme), and the token
+    formula is QUADRATIC in position so distinct seeds share zero
+    shingles (a linear formula makes every doc the same 499-cycle
+    offset by a constant — background Jaccard ~1, not ~0). Both
+    properties are ASSERTED below before the recall check."""
     import pandas as pd
+
+    def token(seed: int, i: int, edit: int) -> str:
+        n = (seed * 7919 + i * 104729 + 37 * i * i + edit) % 499
+        return "w" + "".join("abcdefghij"[int(c)] for c in str(n))
 
     rows = []
     for d in range(120):
         seed = d // 2
         toks = [
-            "w%d"
-            % (
-                (seed * 7919 + i * 104729 + (d % 2 if i % 50 == 0 else 0))
-                % 499
-            )
+            token(seed, i, d % 2 if i % 50 == 0 else 0)
             for i in range(400)
         ]
         text = " ".join(toks)
@@ -391,15 +400,33 @@ def test_minhash_lsh_full_recall_on_planted_neardups(spark, tmp_path):
         ).collect()
     }
     from economic_data_project_spark.registry import all_oracles
+    from economic_data_project_spark.text.dedup import _SHINGLES_DUCK
 
     con = duckdb_connect(str(tmp_path))
-    want = {
-        (a, b)
-        for a, b, _ in con.execute(
-            all_oracles()["dedup_minhash_lsh"]
-        ).fetchall()
-    }
-    assert len(want) >= 60  # the planted pairs actually exist
+    want_rows = con.execute(
+        all_oracles()["dedup_minhash_lsh"]
+    ).fetchall()
+    want = {(a, b) for a, b, _ in want_rows}
+    planted = {(2 * k, 2 * k + 1) for k in range(60)}
+    # fixture sanity BEFORE the recall assert: the brute-force truth is
+    # exactly the planted pairs (background stays below threshold), and
+    # the planted similarity is genuinely near-dup grade, so got==want
+    # is a real recall statement, not vacuously true.
+    assert want == planted
+    assert min(j for _, _, j in want_rows) >= 0.75
+    bg = con.execute(
+        f"""
+        WITH sh AS (SELECT doc_id,
+          {_SHINGLES_DUCK} AS shingles FROM documents)
+        SELECT MAX(CAST(len(list_intersect(a.shingles, b.shingles))
+                 AS DOUBLE)
+               / (len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles))))
+        FROM sh a JOIN sh b
+          ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id > 1
+        """
+    ).fetchone()[0]
+    assert bg is not None and bg <= 0.1, f"background jaccard {bg}"
     assert got == want  # full recall AND no false positives
 
 
