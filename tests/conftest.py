@@ -41,17 +41,29 @@ _ORACLE_MODULES = {"test_oracle"}
 _ORACLE_SELECTED: set[str] = set()
 
 
+@pytest.hookimpl(hookwrapper=True)
 def pytest_collection_modifyitems(config, items):
+    # Markers BEFORE the yield: pytest's own -m/-k deselection runs
+    # inside the wrapped chain and must see them for `-m fast` to work.
     for item in items:
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in _ORACLE_MODULES:
             item.add_marker(pytest.mark.oracle)
-            if "[" in item.name:  # test_query_matches_oracle[<name>]
-                _ORACLE_SELECTED.add(item.name.split("[", 1)[1][:-1])
         elif mod in _SLOW_MODULES:
             item.add_marker(pytest.mark.slow)
         else:
             item.add_marker(pytest.mark.fast)
+    yield
+    # Selection AFTER the yield: `items` has been filtered in place by
+    # pytest's -k/-m deselection by now, so a `-k <name>` debug loop
+    # narrows the pooled sweep exactly like node-id selection (a plain
+    # hookimpl here ran BEFORE the builtin deselection and collected
+    # all ~135 names, making -k runs pay the full sweep — ADVICE r5).
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _ORACLE_MODULES and "[" in item.name:
+            # test_query_matches_oracle[<name>]
+            _ORACLE_SELECTED.add(item.name.split("[", 1)[1][:-1])
 
 
 @pytest.fixture(scope="session")
