@@ -282,6 +282,25 @@ def test_ivf_centroids_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_frame_sample_fanout_stays_map_side(spark):
+    """The video frame fan-out is an explode over a computed count —
+    payload bytes must never cross a shuffle; the display sort's range
+    exchange (over the small per-frame keys) is the only one allowed,
+    and the filter on media_type must reach the scan region (above the
+    explode), not run post-fan-out."""
+    df = all_queries()["multimodal_frame_sample"](spark, SF_DIR)
+    plan = _plan(df)
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("Exchange") <= 1
+    lines = phys.splitlines()
+    gen = [i for i, l in enumerate(lines) if "Generate explode" in l]
+    filt = [i for i, l in enumerate(lines) if "Filter" in l]
+    assert gen and filt
+    # formatted tree: children print below parents — the filter must be
+    # DEEPER than the explode (i.e. applied before the fan-out)
+    assert max(filt) > min(gen)
+
+
 def test_components_size_join_not_broadcast(spark):
     """The per-component size table must NOT carry a broadcast hint:
     component count is unbounded at corpus scale (one row per near-dup
