@@ -175,6 +175,22 @@ def test_decode_media_real_decoder_path(spark):
     assert feats[1].mean_luma == 25
 
 
+def test_registered_decode_query_decoder_invariant(spark, media):
+    """The multimodal_decode_features ORACLE assumes fake text payloads
+    never decode as real images: with a working image decoder injected,
+    attach -> decode -> features must produce IDENTICAL rows (every
+    fake payload raises inside the decoder and falls back), so the
+    driver oracle stays valid on any cluster that ships Pillow."""
+    small = media.orderBy("media_id").limit(30)
+    base = extract_features(decode_media(small)).orderBy(
+        "media_id"
+    ).collect()
+    injected = extract_features(
+        decode_media(small, image_decoder=_mini_png_decode)
+    ).orderBy("media_id").collect()
+    assert base == injected
+
+
 def test_default_decoder_polarity():
     """default_image_decoder returns the Pillow path iff Pillow imports —
     never raises. In this container (no Pillow) it must be None."""
