@@ -128,7 +128,7 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
             F.col("anc").alias("h_anc"),
             F.col("d").alias("h_d"),
         )
-        ptr = (
+        nxt = (
             ptr.join(hop, ptr.anc == hop.h_id)
             .select(
                 "id",
@@ -137,6 +137,16 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
             )
             .persist()
         )
+        # Materialize the new round, then free the superseded one: the
+        # per-round persist exists because each round SELF-joins (two
+        # reads of one frame), but without the release every round's
+        # cache lingered for the session — log2(depth) frames of
+        # event-scale data (same discipline as
+        # text/dedup.connected_components). The count also pins the
+        # cache before `ptr`'s data vanishes from under the lazy plan.
+        nxt.count()
+        ptr.unpersist()
+        ptr = nxt
     return ptr.select(
         F.col("id").alias("event_id"),
         F.col("anc").alias("root_id"),

@@ -163,19 +163,26 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # corpus size rides along as a 1-row broadcast aggregate folded
     # into the same job (not an eager docs.count() action): the
-    # broadcast term-stats frame carries n_docs to every scored row.
+    # term-stats frame carries n_docs to every scored row.
     n = docs.agg(F.count("*").alias("n_docs"))
     stats = (
         tok.groupBy("term")
         .agg(F.count("*").alias("df"))
         .crossJoin(F.broadcast(n))
-    )
-    scored = (
-        tok.join(F.broadcast(stats), "term")
+        # df bounds applied HERE, pruning the join input — and the
+        # stats frame carries NO broadcast hint: it is per-TERM, i.e.
+        # vocabulary-sized and corpus-unbounded (the n_docs scalar
+        # above is the only forced broadcast). AQE still broadcasts it
+        # at small scale; at corpus scale the term-keyed shuffle join
+        # is the standard TF-IDF shape and the hint would OOM the
+        # driver.
         .where(
             (F.col("df") >= _MIN_DF)
             & (F.col("df") <= _MAX_DF_FRAC * F.col("n_docs"))
         )
+    )
+    scored = (
+        tok.join(stats, "term")
         .withColumn(
             "tfidf",
             F.round(

@@ -343,6 +343,39 @@ def test_connected_components_cache_hygiene(spark):
     )
 
 
+def test_hierarchy_rounds_release_superseded_caches(spark):
+    """Pointer doubling persists each round (the round SELF-joins its
+    frame); superseded rounds must be freed as soon as the successor is
+    materialized — at most ONE new persistent RDD (the final pointer
+    table) may remain, same discipline as connected_components."""
+    from economic_data_project_spark.operators.hierarchy import (
+        resolve_hierarchy,
+    )
+
+    linked = spark.createDataFrame(
+        [(1, None, "u"), (2, 1, "u"), (3, 2, "u"), (4, 3, "u"),
+         (5, 4, "u"), (10, None, "v")],
+        "event_id long, parent_id long, user_id string",
+    )
+    before = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    rows = {
+        r.event_id: (r.root_id, r.depth)
+        for r in resolve_hierarchy(linked).collect()
+    }
+    assert rows == {
+        1: (1, 0), 2: (1, 1), 3: (1, 2), 4: (1, 3), 5: (1, 4),
+        10: (10, 0),
+    }
+    after = set(
+        spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+    )
+    assert len(after - before) <= 1, (
+        "pointer-doubling left superseded rounds cached"
+    )
+
+
 def test_schema_tests_single_scan_rowlevel(spark):
     """All row-level column tests for one table compile into ONE
     aggregate pass: the orders scan appears once for the row-level
