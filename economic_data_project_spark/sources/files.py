@@ -172,6 +172,12 @@ def jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(os.path.join(out, "planted_bad.jsonl"), "w") as fh:
         fh.write('{"doc_id": 900001, "text": "truncated\n')
         fh.write("not json at all\n")
+    # The overwrite-write above already refreshed this path — BEFORE
+    # planted_bad.jsonl existed. On repeat invocations the previous
+    # run's cached relation over the same path would otherwise be
+    # refreshed to a file listing WITHOUT the planted shard (quarantine
+    # silently reads 0). Refresh again now that the dir is complete.
+    spark.catalog.refreshByPath(out)
     clean, bad = split_quarantine(read_jsonl_documents(spark, out))
     summary = clean.groupBy("source").agg(
         F.count("*").alias("n_docs"),

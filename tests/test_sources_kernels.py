@@ -91,6 +91,19 @@ def test_jsonl_source_guards(spark, tmp_path):
     assert bad.columns == ["item_id", "raw_line"]
 
 
+def test_jsonl_ingest_repeat_invocation_stable(spark):
+    """Same-session re-invocation overwrites the same shard dir; the
+    cached relation over that path must see the planted dead-letter
+    shard every time. (Without the explicit refreshByPath, the
+    overwrite-write's own refresh re-listed the dir BEFORE the planted
+    file existed, and the second run's quarantine silently read 0.)"""
+    q = all_queries()["jsonl_corpus_ingest"]
+    a = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+    b = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
+    assert a == b
+    assert ("__quarantine__", 2, None) in b
+
+
 def test_csv_seed_loader(spark, tmp_path):
     p = tmp_path / "mapping.csv"
     p.write_text("code,name,weight\nGDP,Gross,1.5\nCPI,Prices,2.0\n")
