@@ -169,7 +169,7 @@ def _record_ref(rnd: int) -> str:
     return ""
 
 
-def _stale_queries() -> list[str]:
+def _stale_queries(checked=None) -> list[str]:
     """Queries whose Spark code or oracle changed SINCE THEIR OWN last
     green driver row — derived from ``git diff`` against the commit
     recording that round, so the force-first list can never go stale (a
@@ -184,8 +184,9 @@ def _stale_queries() -> list[str]:
     would never flag them. "Green" here means driver-verified for
     prioritization (:func:`_last_checked_round`): rows-only queries
     count their recorded driver runs, so their code changes re-flag
-    them like everything else."""
-    last = _last_checked_round()
+    them like everything else. ``checked``: optional pre-computed
+    :func:`_last_checked_round` map."""
+    last = _last_checked_round() if checked is None else checked
     diffs: dict[int, set[str] | None] = {}
     for rnd in set(last.values()):
         ref = _record_ref(rnd)
@@ -280,11 +281,13 @@ def _iter_records():
         yield rnd, rows
 
 
-def _last_pass_round() -> dict[str, int]:
+def _last_pass_round(records=None) -> dict[str, int]:
     """Newest round number in which each query passed all three driver
-    checks (rows+schema+hash)."""
+    checks (rows+schema+hash). ``records``: optional pre-materialized
+    ``_iter_records()`` output so one prioritization pass parses the
+    record files once instead of once per helper."""
     last: dict[str, int] = {}
-    for rnd, rows in _iter_records():
+    for rnd, rows in _iter_records() if records is None else records:
         for name, row in rows.items():
             if (
                 isinstance(row, dict)
@@ -296,7 +299,7 @@ def _last_pass_round() -> dict[str, int]:
     return last
 
 
-def _last_checked_round() -> dict[str, int]:
+def _last_checked_round(records=None) -> dict[str, int]:
     """Newest round whose record counts as driver-verified for
     PRIORITIZATION: the full rows+schema+hash green for oracle-backed
     queries, plus — for queries that have no oracle TODAY — any recorded
@@ -307,9 +310,10 @@ def _last_checked_round() -> dict[str, int]:
     queries wait for rotation. The no-oracle gate is evaluated against
     the CURRENT registry so a query that since GAINED an oracle doesn't
     coast on old rows-only records."""
-    last = _last_pass_round()
+    records = list(_iter_records()) if records is None else records
+    last = _last_pass_round(records)
     no_oracle = set(registry.all_queries()) - set(registry.all_oracles())
-    for rnd, rows in _iter_records():
+    for rnd, rows in records:
         for name, row in rows.items():
             if (
                 name in no_oracle
@@ -332,8 +336,8 @@ def _priority_order(names: list[str]) -> list[str]:
     modules forever. Rows-only queries age by their recorded driver
     runs (:func:`_last_checked_round`) — they must not sit in the
     fresh bucket permanently."""
-    force = set(_stale_queries())
-    last = _last_checked_round()
+    last = _last_checked_round(list(_iter_records()))
+    force = set(_stale_queries(last))
     passed = set(last)
     fresh = [n for n in names if n not in passed]
     stale = [n for n in names if n in passed and n in force]

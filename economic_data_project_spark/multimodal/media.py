@@ -26,9 +26,6 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
-from ..catalog import load_table
-from ..registry import query
 from pyspark.sql.types import (
     BinaryType,
     IntegerType,
@@ -37,6 +34,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+
+from ..catalog import load_table
+from ..registry import query
 
 MEDIA_SCHEMA = StructType(
     [
@@ -134,7 +134,9 @@ def decode_media(media: DataFrame, image_decoder=None) -> DataFrame:
             for media_id, mtype, payload in zip(
                 pdf["media_id"], pdf["media_type"], pdf["payload"]
             ):
-                raw = bytes(payload)
+                # NULL payload (e.g. NULL source text upstream) decodes
+                # as empty rather than crashing the whole stage
+                raw = b"" if payload is None else bytes(payload)
                 decoded = None
                 if image_decoder is not None and mtype.startswith("image/"):
                     try:

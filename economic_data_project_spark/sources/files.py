@@ -84,7 +84,19 @@ def read_jsonl_documents(
       file extension; each compressed shard is one task (not splittable)
       — shard corpora to ~100-500 MB files upstream, never one big .gz.
     """
-    if "_corrupt_record" in schema:
+    try:
+        from pyspark.sql.types import StructType
+
+        names = set(StructType.fromDDL(schema).fieldNames())
+    except Exception:
+        # fallback FIELD-NAME extraction (flat DDL): a bare substring
+        # test would reject legitimate names like raw_corrupt_record
+        names = {
+            f.strip().split()[0].strip("`")
+            for f in schema.split(",")
+            if f.strip()
+        }
+    if "_corrupt_record" in names:
         raise ValueError(
             "schema already declares _corrupt_record; pass the payload"
             " schema only — the quarantine column is appended here"
@@ -170,8 +182,13 @@ def jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "compression", "gzip"
     ).json(out)
     with open(os.path.join(out, "planted_bad.jsonl"), "w") as fh:
-        fh.write('{"doc_id": 900001, "text": "truncated\n')
-        fh.write("not json at all\n")
+        # derived from _N_PLANTED_BAD so the oracle's quarantine count
+        # and the planted lines can never drift apart
+        for k in range(_N_PLANTED_BAD):
+            if k % 2:
+                fh.write(f"not json at all ({k})\n")
+            else:
+                fh.write(f'{{"doc_id": {900001 + k}, "text": "truncated\n')
     # The overwrite-write above already refreshed this path — BEFORE
     # planted_bad.jsonl existed. On repeat invocations the previous
     # run's cached relation over the same path would otherwise be

@@ -50,9 +50,9 @@ def test_ast_changed_fails_stale(tmp_path, monkeypatch):
 
 def test_priority_order_fresh_then_oldest_stale(monkeypatch):
     se = _load_entry()
-    monkeypatch.setattr(se, "_stale_queries", lambda: ["b", "c"])
+    monkeypatch.setattr(se, "_stale_queries", lambda *a: ["b", "c"])
     monkeypatch.setattr(
-        se, "_last_checked_round", lambda: {"a": 2, "b": 3, "c": 1}
+        se, "_last_checked_round", lambda *a: {"a": 2, "b": 3, "c": 1}
     )
     # d never passed -> fresh bucket first; stale ordered oldest green
     # first (c r1 before b r3); stable tail last
@@ -118,12 +118,12 @@ def test_rows_only_records_age_out_of_fresh(tmp_path, monkeypatch):
     # both recorded queries stale -> never-verified first, then the
     # rows-only record (r3) BEFORE the newer green row (r4)
     monkeypatch.setattr(
-        se, "_stale_queries", lambda: ["green_q", "rows_only_q"]
+        se, "_stale_queries", lambda *a: ["green_q", "rows_only_q"]
     )
     assert se._priority_order(names) == ["new_q", "rows_only_q", "green_q"]
     # nothing stale -> recorded rows-only query sits in the stable tail,
     # not the fresh bucket
-    monkeypatch.setattr(se, "_stale_queries", lambda: [])
+    monkeypatch.setattr(se, "_stale_queries", lambda *a: [])
     assert se._priority_order(names) == ["new_q", "green_q", "rows_only_q"]
 
 

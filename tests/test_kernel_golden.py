@@ -423,7 +423,8 @@ def test_minhash_lsh_full_recall_on_planted_neardups(spark, tmp_path):
                / (len(a.shingles) + len(b.shingles)
                   - len(list_intersect(a.shingles, b.shingles))))
         FROM sh a JOIN sh b
-          ON a.doc_id < b.doc_id AND b.doc_id - a.doc_id > 1
+          ON a.doc_id < b.doc_id
+          AND NOT (a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1)
         """
     ).fetchone()[0]
     assert bg is not None and bg <= 0.1, f"background jaccard {bg}"

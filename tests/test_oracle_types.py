@@ -66,3 +66,36 @@ def test_spark_output_types(spark, name):
         f"{name}: Spark query emits driver-hostile types {bad}; "
         "cast to bigint/double/date/string before returning"
     )
+
+
+def test_documents_oracle_byte_contract():
+    """The multimodal fake-decode oracles equate DuckDB codepoint math
+    (length/ord over VARCHAR) with Spark utf-8 BYTE math, and the
+    attach/jsonl queries assume non-NULL text/source — valid only while
+    documents.text is ASCII and text/source are non-NULL. Pin that
+    testdata contract so a regenerated corpus fails HERE with a
+    readable message instead of as an opaque driver hash mismatch."""
+    import duckdb
+
+    from .conftest import SF_DIR_ORACLE
+
+    con = duckdb.connect()
+    for sf in (SF_DIR, SF_DIR_ORACLE):
+        n_nonascii, n_null = con.execute(
+            f"""
+            SELECT
+              SUM(CASE WHEN octet_length(encode(text)) <> length(text)
+                       THEN 1 ELSE 0 END),
+              SUM(CASE WHEN text IS NULL OR source IS NULL
+                       THEN 1 ELSE 0 END)
+            FROM read_parquet('{sf}/documents.parquet')
+            """
+        ).fetchone()
+        assert n_nonascii == 0, (
+            f"{sf}: {n_nonascii} non-ASCII documents — the multimodal "
+            "oracles' ord/length byte math no longer matches Spark"
+        )
+        assert n_null == 0, (
+            f"{sf}: {n_null} NULL text/source rows — multimodal/jsonl "
+            "oracle assumptions broken"
+        )

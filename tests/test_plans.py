@@ -294,11 +294,18 @@ def test_frame_sample_fanout_stays_map_side(spark):
     assert phys.count("Exchange") <= 1
     lines = phys.splitlines()
     gen = [i for i, l in enumerate(lines) if "Generate explode" in l]
-    filt = [i for i, l in enumerate(lines) if "Filter" in l]
+    # target the MEDIA-TYPE predicate specifically (it compiles to a
+    # doc_id CASE/equality at the scan) — any unrelated residual Filter
+    # below the explode must not satisfy this gate
+    filt = [
+        i
+        for i, l in enumerate(lines)
+        if "Filter" in l and ("media_type" in l or "doc_id" in l)
+    ]
     assert gen and filt
     # formatted tree: children print below parents — the filter must be
     # DEEPER than the explode (i.e. applied before the fan-out)
-    assert max(filt) > min(gen)
+    assert min(filt) > min(gen)
 
 
 def test_components_size_join_not_broadcast(spark):

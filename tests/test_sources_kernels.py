@@ -97,11 +97,13 @@ def test_jsonl_ingest_repeat_invocation_stable(spark):
     shard every time. (Without the explicit refreshByPath, the
     overwrite-write's own refresh re-listed the dir BEFORE the planted
     file existed, and the second run's quarantine silently read 0.)"""
+    from economic_data_project_spark.sources.files import _N_PLANTED_BAD
+
     q = all_queries()["jsonl_corpus_ingest"]
     a = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
     b = sorted(tuple(r) for r in q(spark, SF_DIR).collect())
     assert a == b
-    assert ("__quarantine__", 2, None) in b
+    assert ("__quarantine__", _N_PLANTED_BAD, None) in b
 
 
 def test_csv_seed_loader(spark, tmp_path):
