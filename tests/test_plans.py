@@ -321,6 +321,25 @@ def test_components_size_join_not_broadcast(spark):
     assert "UnresolvedHint" not in analyzed
 
 
+def test_tfidf_term_stats_not_broadcast(spark):
+    """The per-term df stats frame is vocabulary-sized and
+    corpus-unbounded — the only broadcast hint allowed in the TF-IDF
+    plan is the 1-row n_docs aggregate; a hint on the stats frame
+    itself would OOM the driver at corpus scale. (AQE may still
+    broadcast at small scale — the gate targets the forced hint.)"""
+    df = all_queries()["doc_tfidf_topterms"](spark, SF_DIR)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    # exactly the n_docs hint: one ResolvedHint, directly over the
+    # 1-row count aggregate, never over the term-keyed stats
+    hints = [
+        l for l in analyzed.splitlines() if "ResolvedHint" in l
+    ]
+    assert len(hints) == 1, analyzed[:2000]
+    nxt = analyzed.splitlines()
+    i = next(j for j, l in enumerate(nxt) if "ResolvedHint" in l)
+    assert "count(1) AS n_docs" in nxt[i + 1] or "n_docs" in nxt[i + 1]
+
+
 def test_connected_components_cache_hygiene(spark):
     """The label-propagation loop must free superseded generations: a
     multi-round chain graph may leave at most ONE new persistent RDD
