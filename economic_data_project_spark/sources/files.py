@@ -206,3 +206,47 @@ def jsonl_corpus_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("total_chars"),
     )
     return summary.unionByName(quarantine).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# ORC interchange: the other first-class columnar format Spark ships.
+# DuckDB cannot read ORC, so the oracle is the PARQUET truth — a lossy
+# write, a read-back type drift, or dropped rows hash-mismatch the
+# census.
+# --------------------------------------------------------------------------
+
+_ORC_ROUNDTRIP_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("orc_corpus_roundtrip", oracle=_ORC_ROUNDTRIP_ORACLE)
+def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through ORC shards and census the
+    read-back per language against the parquet truth.
+
+    Same deterministic reused temp dir discipline as the jsonl
+    round-trip (no hand-planted files here, so the write's own path
+    refresh suffices)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_orc_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    docs.repartition(4).write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("lang")
+    )
