@@ -298,6 +298,73 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_jsonl_ingest_quarantine_and_incremental(
+    spark, tmp_path
+):
+    """The Auto-Loader-shaped corpus ingest: jsonl shards drain through
+    micro-batches (maxFilesPerTrigger=1 forces several) into a clean
+    parquet sink + a dead-letter sink; then a NEW shard arrives and a
+    re-drain on the same checkpoint processes ONLY it — no reprocessing
+    duplicates, the streaming twin of is_incremental()."""
+    import json
+
+    import pandas as pd
+
+    from economic_data_project_spark.streaming.ingest import (
+        read_jsonl_stream,
+        stream_ingest_with_quarantine,
+    )
+
+    recs = (
+        pd.read_parquet(f"{SF_DIR}/documents.parquet")
+        .head(60)
+        .to_dict("records")
+    )
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    for k in range(3):
+        lines = [json.dumps(r) for r in recs[k * 20 : (k + 1) * 20]]
+        if k == 1:
+            lines.append('{"doc_id": 999, BROKEN')
+        (shards / f"shard-{k}.jsonl").write_text("\n".join(lines) + "\n")
+    clean_dir = str(tmp_path / "clean")
+    dead_dir = str(tmp_path / "dead")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = stream_ingest_with_quarantine(
+            read_jsonl_stream(
+                spark, str(shards), max_files_per_trigger=1
+            ),
+            clean_dir,
+            dead_dir,
+            ckpt,
+        )
+        q.awaitTermination(300)
+
+    drain()
+    got = {
+        r.doc_id: r.text for r in spark.read.parquet(clean_dir).collect()
+    }
+    assert got == {int(r["doc_id"]): r["text"] for r in recs}
+    bad = spark.read.parquet(dead_dir).collect()
+    assert len(bad) == 1 and "BROKEN" in bad[0].raw_line
+
+    # a late shard arrives; same checkpoint -> only the new file runs
+    (shards / "shard-3.jsonl").write_text(
+        json.dumps(
+            {"doc_id": 7777, "text": "late shard", "lang": "en",
+             "source": "late", "n_chars": 10}
+        )
+        + "\n"
+    )
+    drain()
+    clean2 = spark.read.parquet(clean_dir)
+    assert clean2.count() == len(recs) + 1  # no duplicates from re-drain
+    assert clean2.where("doc_id = 7777").count() == 1
+    assert spark.read.parquet(dead_dir).count() == 1
+
+
 def test_salted_join_equals_plain_join(spark):
     from economic_data_project_spark.functions.dialect import salted_join
 
