@@ -54,6 +54,10 @@ HEADLINE = [
     # round 6 additions
     "multimodal_decode_features",  # Arrow mapInPandas decode + features
     "jsonl_corpus_ingest",      # gzip-shard roundtrip + quarantine split
+    # round 7 additions
+    "dedup_substring_spans",    # positional k-gram span census (1 scan)
+    "corpus_budget_selection",  # bucket-decomposed global token cumsum
+    "embedding_int8_quant",     # map-only int8 quantization + audit
 ]
 
 

@@ -79,7 +79,7 @@ def load_all() -> None:
         momentum,
         volatility,
     )
-    from .similarity import ann  # noqa: F401
+    from .similarity import ann, quant  # noqa: F401
     from .sources import files  # noqa: F401
     from .streaming import ingest  # noqa: F401
     from .text import (  # noqa: F401
@@ -91,6 +91,7 @@ def load_all() -> None:
         ml,
         sampling,
         screening,
+        selection,
         trends,
     )
 

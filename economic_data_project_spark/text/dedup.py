@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..catalog import load_table
+from ..functions.ta import emit, sql_emit
 from ..registry import query
 
 _TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
@@ -903,4 +904,156 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("component_id", "doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Normalization-robust exact dedup: documents that differ only in case,
+# punctuation, or whitespace are the SAME document to a trainer, but
+# md5(text) misses them. Normalize first (lowercase, collapse every
+# non-alphanumeric run to one space, trim), then content-hash — the
+# standard "fuzzy-exact" tier between byte-exact and MinHash near-dup.
+# Same 100 TB shape as dedup_exact: map-only normalize + hash, one
+# shuffle keyed by the (uniform) hash.
+# --------------------------------------------------------------------------
+
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+
+_NORM_EXACT_ORACLE = f"""
+WITH n AS (
+  SELECT doc_id, md5({_NORM_SQL}) AS norm_hash
+  FROM documents
+)
+SELECT doc_id, norm_hash,
+       MIN(doc_id) OVER (PARTITION BY norm_hash) AS canonical_doc_id,
+       (doc_id <> MIN(doc_id) OVER (PARTITION BY norm_hash))
+         AS is_duplicate
+FROM n
+ORDER BY doc_id
+"""
+
+
+@query("dedup_normalized_exact", oracle=_NORM_EXACT_ORACLE)
+def dedup_normalized_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("norm_hash")
+    return (
+        d.select(
+            "doc_id",
+            F.md5(
+                F.trim(
+                    F.regexp_replace(
+                        F.lower("text"), "[^a-z0-9]+", " "
+                    )
+                )
+            ).alias("norm_hash"),
+        )
+        .withColumn("canonical_doc_id", F.min("doc_id").over(w))
+        .withColumn(
+            "is_duplicate",
+            F.col("doc_id") != F.col("canonical_doc_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Substring-span duplication census (the span-level dedup signal of
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better"): for every POSITIONAL k-token window, is that exact window
+# repeated in another document? Per doc: how many of its windows are
+# cross-document duplicates. Near-dup pair detection (MinHash above)
+# finds whole-document copies; this finds boilerplate SPANS inside
+# otherwise-unique documents — the dominant duplication mode in web
+# corpora (headers, license blocks, navigation text).
+#
+# 100 TB shape: this IS the inverted-index build — (doc, span)
+# instances pre-aggregated (one shuffle on the uniform composite key),
+# span document-frequency via a COUNT window partitioned by span (one
+# shuffle on the span hash — a window, not a self-join, so the corpus
+# is scanned and exploded exactly ONCE), per-doc rollup (third
+# shuffle on doc_id). Shuffle volume is O(corpus tokens) — the same
+# asymptotic cost the suffix-array approach pays in its global sort,
+# but in three embarrassingly uniform hash exchanges. Spans travel as
+# md5 hashes, never strings.
+# --------------------------------------------------------------------------
+
+_K_SPAN = 5  # window length in tokens
+
+_SPANS_FROM_TOKS = (
+    f"transform(sequence(1, greatest(size(toks) - {_K_SPAN - 1}, 1)),"
+    f" i -> md5(concat_ws(' ', slice(toks, i, {_K_SPAN}))))"
+)
+_SPANS_DUCK = (
+    f"list_transform(range(1, greatest(len(toks) - {_K_SPAN - 2}, 2)),"
+    f" i -> md5(array_to_string(toks[i:i+{_K_SPAN - 1}], ' ')))"
+)
+
+_SPAN_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS_DUCK} AS toks FROM documents
+),
+inst AS (
+  SELECT doc_id, unnest({_SPANS_DUCK}) AS span FROM toks
+),
+per AS (
+  SELECT doc_id, span, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM inst GROUP BY doc_id, span
+),
+g AS (
+  SELECT span, CAST(COUNT(*) AS BIGINT) AS n_docs FROM per GROUP BY span
+)
+SELECT per.doc_id,
+       CAST(SUM(per.cnt) AS BIGINT) AS n_spans,
+       CAST(SUM(CASE WHEN g.n_docs >= 2 THEN per.cnt ELSE 0 END)
+            AS BIGINT) AS n_dup_spans,
+       {sql_emit(
+           "SUM(CASE WHEN g.n_docs >= 2 THEN per.cnt ELSE 0 END)"
+           " * 1.0 / SUM(per.cnt)"
+       )} AS dup_span_ratio,
+       (SUM(CASE WHEN g.n_docs >= 2 THEN per.cnt ELSE 0 END) > 0)
+         AS has_cross_dup
+FROM per JOIN g USING (span)
+GROUP BY per.doc_id
+ORDER BY per.doc_id
+"""
+
+
+@query("dedup_substring_spans", oracle=_SPAN_ORACLE)
+def dedup_substring_spans(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # toks bound BEFORE the span transform (never inline the regexp in
+    # the lambda — Catalyst re-runs it per span index, O(tokens^2))
+    inst = (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(F.expr(_SPANS_FROM_TOKS)).alias("span"),
+        )
+        .groupBy("doc_id", "span")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    # document frequency per span as a window, not a self-join: the
+    # exploded corpus is computed once and shuffled once more (by span)
+    flagged = inst.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("span"))
+    )
+    dup_cnt = F.when(F.col("n_docs") >= 2, F.col("cnt")).otherwise(
+        F.lit(0)
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_spans"),
+            F.sum(dup_cnt).alias("n_dup_spans"),
+            emit(F.sum(dup_cnt) * 1.0 / F.sum("cnt")).alias(
+                "dup_span_ratio"
+            ),
+            (F.sum(dup_cnt) > 0).alias("has_cross_dup"),
+        )
+        .orderBy("doc_id")
     )

@@ -1,0 +1,238 @@
+"""Training-data selection operators: source-mixture reweighting and
+quality-ordered token-budget selection.
+
+A pre-training pipeline does not feed the raw corpus to the trainer; it
+picks a *mixture* (how many tokens from each source, usually
+temperature-flattened so giant crawl sources don't drown curated ones)
+and a *budget cut* (keep the highest-quality documents until the token
+budget is spent). The reference's analogue is its per-source ingestion
+weighting and curated release tables
+(macro_agents/.../defs/releases.py release selection; dbt marts choosing
+which staging rows survive to the mart layer); these two operators are
+the corpus-scale generalization.
+
+Scale design:
+- ``corpus_mixture_weights`` aggregates the corpus once by ``source``
+  (one shuffle on a low-cardinality uniform key); the normalization
+  window runs over the per-source table, whose row count is the number
+  of *sources* (thousands at most), so the single-partition window
+  exchange moves a dimension-sized table, never corpus rows.
+- ``corpus_budget_selection`` needs a GLOBAL running token total in
+  quality order — the naive plan (one window over the whole corpus
+  ordered by score) serializes 100 TB through one task. Instead the
+  score is quantized to 6 decimals, which bounds the distinct-score
+  table at ~10^6 rows REGARDLESS of corpus size, and the cumulative sum
+  decomposes into (a) a cumulative over the tiny bucket table and (b) a
+  per-bucket window partitioned by score — fully parallel. The DuckDB
+  oracle states the naive global-window semantics; the bucket
+  decomposition reproduces it exactly because ordering by
+  (quantized score DESC, doc_id) is the same total order.
+
+Determinism: token counts are integers; the temperature weight uses
+sqrt (alpha = 0.5), which IEEE-754 defines as correctly rounded in both
+engines (unlike pow, whose libm implementations may drift); the only
+order-dependent float reduction is the sum of per-source sqrt values
+over the sources table, absorbed by the 6-decimal emission rounding.
+The budget is integer arithmetic end-to-end (``total * 3 div 5``), so
+no float ever decides a row's membership at the budget boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..catalog import load_table
+from ..functions.ta import emit, series_window, sql_emit
+from ..registry import query
+
+_TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
+_TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
+
+# Temperature alpha = 0.5 (weight ~ tokens^0.5): implemented as sqrt so
+# both engines produce the correctly-rounded IEEE result (pow(x, 0.5)
+# is NOT guaranteed correctly rounded by either libm).
+_BUDGET_NUM = 3  # budget = 3/5 of total corpus tokens, in integers
+_BUDGET_DEN = 5
+
+
+# --------------------------------------------------------------------------
+# Source-mixture reweighting (temperature sampling weights).
+# --------------------------------------------------------------------------
+
+_MIXTURE_ORACLE = f"""
+WITH per_doc AS (
+  SELECT source, len({_TOKENS_DUCK}) AS n_tokens FROM documents
+),
+per_src AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tokens) AS BIGINT) AS src_tokens
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, src_tokens,
+  {sql_emit("src_tokens * 1.0 / SUM(src_tokens) OVER ()")} AS token_share,
+  {sql_emit("sqrt(src_tokens) / SUM(sqrt(src_tokens)) OVER ()")}
+    AS mixture_weight,
+  {sql_emit(
+      "(sqrt(src_tokens) / SUM(sqrt(src_tokens)) OVER ())"
+      " / (src_tokens * 1.0 / SUM(src_tokens) OVER ())"
+  )} AS sampling_factor,
+  {sql_emit(
+      "(sqrt(src_tokens) / SUM(sqrt(src_tokens)) OVER ())"
+      " * SUM(src_tokens) OVER ()", 3
+  )} AS expected_tokens
+FROM per_src
+ORDER BY source
+"""
+
+
+@query("corpus_mixture_weights", oracle=_MIXTURE_ORACLE)
+def corpus_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source temperature-sampling weights: weight_s ~ sqrt(tokens_s),
+    normalized; ``sampling_factor`` is the up/down-sampling multiplier vs
+    natural frequency; ``expected_tokens`` the per-source token draw for
+    one epoch of the reweighted mixture. One corpus shuffle (groupBy
+    source); the normalization window moves only the per-source table."""
+    d = load_table(spark, sf_dir, "documents")
+    per_src = d.select(
+        "source", F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens")
+    ).groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("src_tokens"),
+    )
+    # Explicit single-partition spec (series_window): the per-source
+    # table is dimension-sized, so the exchange is cheap at any corpus
+    # scale (cardinality(source) rows, not corpus rows).
+    w = series_window("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    tot = F.sum("src_tokens").over(w)
+    tot_sqrt = F.sum(F.sqrt("src_tokens")).over(w)
+    share = F.col("src_tokens") / tot
+    weight = F.sqrt("src_tokens") / tot_sqrt
+    return per_src.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        emit(share).alias("token_share"),
+        emit(weight).alias("mixture_weight"),
+        emit(weight / share).alias("sampling_factor"),
+        emit(weight * tot, 3).alias("expected_tokens"),
+    ).orderBy("source")
+
+
+# --------------------------------------------------------------------------
+# Quality-ordered token-budget selection.
+# --------------------------------------------------------------------------
+
+_SCORE_DUCK = (
+    f"(CASE WHEN len({_TOKENS_DUCK}) > 0 THEN "
+    + sql_emit(
+        f"len(list_distinct({_TOKENS_DUCK})) * 1.0 / len({_TOKENS_DUCK})"
+    )
+    + " ELSE 0.0 END)"
+)
+
+_BUDGET_ORACLE = f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens,
+         {_SCORE_DUCK} AS score
+  FROM documents
+),
+tot AS (
+  SELECT (SUM(n_tokens) * {_BUDGET_NUM}) // {_BUDGET_DEN} AS token_budget
+  FROM s
+),
+c AS (
+  SELECT doc_id, score, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY score DESC, doc_id ROWS UNBOUNDED PRECEDING
+         ) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT c.doc_id, c.score, c.n_tokens, c.cum_tokens,
+       CAST(tot.token_budget AS BIGINT) AS token_budget
+FROM c, tot
+WHERE c.cum_tokens <= tot.token_budget
+ORDER BY c.score DESC, c.doc_id
+"""
+
+
+@query("corpus_budget_selection", oracle=_BUDGET_ORACLE)
+def corpus_budget_selection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep the highest-quality documents until 3/5 of the corpus token
+    total is spent (quality = distinct-token ratio, the standard cheap
+    lexical-diversity score). The global running total decomposes into
+    a cumulative over the quantized-score bucket table (bounded at ~1e6
+    rows by the 6-decimal quantization, never corpus-sized) plus a
+    per-bucket parallel window — no corpus-wide single-task sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.expr(_TOKENS).alias("toks")
+    )
+    scored = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.when(
+            F.size("toks") > 0,
+            emit(
+                F.size(F.array_distinct("toks"))
+                * F.lit(1.0)
+                / F.size("toks")
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("score"),
+    )
+    # Bucket table: one row per distinct quantized score (<= 1e6 + 1
+    # rows by construction — scores live on the 6-decimal grid in
+    # [0, 1]). The constant partition spec makes the single-partition
+    # exchange explicit; it moves the bucket table, never the corpus.
+    buckets = scored.groupBy("score").agg(
+        F.sum("n_tokens").alias("bucket_tokens")
+    )
+    wb = series_window(F.desc("score")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = series_window("score").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = buckets.select(
+        "score",
+        (
+            F.sum("bucket_tokens").over(wb) - F.col("bucket_tokens")
+        ).alias("tokens_before_bucket"),
+        (F.sum("bucket_tokens").over(wall) * _BUDGET_NUM).alias("_tot3"),
+    ).select(
+        "score",
+        "tokens_before_bucket",
+        # integer division end-to-end: no float ever decides membership
+        # at the budget boundary (total*3 stays in bigint range — 100 TB
+        # of text is ~2.5e13 tokens, 3x that is far below 2^63)
+        F.expr(f"_tot3 div {_BUDGET_DEN}").alias("token_budget"),
+    )
+    ww = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    joined = scored.join(F.broadcast(offsets), "score")
+    return (
+        joined.select(
+            "doc_id",
+            "score",
+            "n_tokens",
+            (
+                F.col("tokens_before_bucket")
+                + F.sum("n_tokens").over(ww)
+            ).alias("cum_tokens"),
+            "token_budget",
+        )
+        .where(F.col("cum_tokens") <= F.col("token_budget"))
+        .orderBy(F.desc("score"), "doc_id")
+    )

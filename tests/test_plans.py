@@ -416,3 +416,77 @@ def test_schema_tests_single_scan_rowlevel(spark):
         f"{n_orders_scans} orders scans for {n_orders_tests} row-level "
         "tests — the one-scan battery regressed to scan-per-test"
     )
+
+
+# ---------------------------------------------------- round 7 additions
+
+
+def test_quant_map_only_single_scan(spark):
+    """int8 quantization is strictly per-row HOF work: one parquet scan,
+    no hash exchange anywhere — the only Exchange is the display sort's
+    range partitioning."""
+    df = all_queries()["embedding_int8_quant"](spark, SF_DIR)
+    plan = _plan(df)
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert "hashpartitioning" not in phys
+    assert phys.count("Exchange") <= 1
+
+
+def test_mixture_weights_one_corpus_shuffle(spark):
+    """Mixture weighting shuffles the corpus exactly once (groupBy
+    source); the normalization window exchanges only the per-source
+    table. One scan; <= 3 exchanges total (agg + tiny window + sort)."""
+    df = all_queries()["corpus_mixture_weights"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert phys.count("Exchange") <= 3
+
+
+def test_budget_selection_never_windows_the_corpus_globally(spark):
+    """The global running token total must decompose into the bucket
+    table cumulative + a per-bucket window: every windowspecdefinition
+    in the plan carries a partition key (the naive plan — one window
+    over the whole corpus ordered by score — serializes the corpus
+    through a single task), and the bucket-offset table joins back via
+    broadcast (bounded at ~1e6 rows by the 6-decimal quantization)."""
+    import re
+
+    df = all_queries()["corpus_budget_selection"](spark, SF_DIR)
+    plan = _plan(df)
+    phys = plan.split("== Physical Plan ==", 1)[1]
+    for line in phys.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        m = re.search(r"windowspecdefinition\(([^,]+),", line)
+        if m:
+            first = m.group(1)
+            # a partition key, not a bare ordering column
+            assert "ASC" not in first and "DESC" not in first, (
+                line.strip()[:160]
+            )
+    assert "BroadcastHashJoin" in phys
+    # two corpus passes by design (histogram pass + selection pass);
+    # a third means a subtree got duplicated
+    assert phys.count("Scan parquet") <= 2
+
+
+def test_substring_spans_single_scan_no_self_join(spark):
+    """The span census explodes the corpus ONCE (document frequency is
+    a window over span, never a self-join that recomputes the explode)
+    and generates no pair blowup: one scan, equi-exchanges only."""
+    df = all_queries()["dedup_substring_spans"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert phys.count("Exchange") <= 4
+    # spans travel hashed, never as raw strings
+    assert "md5" in phys
+
+
+def test_normalized_exact_single_scan(spark):
+    df = all_queries()["dedup_normalized_exact"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert phys.count("Exchange") <= 2  # hash window + display sort

@@ -1,0 +1,234 @@
+"""Semantic unit tests for the round-7 training-data operators: value
+assertions on crafted fixtures with hand-computed expectations (the
+oracle sweep proves cross-engine parity; these prove the *semantics* —
+a bug present in both the Spark query and its oracle SQL passes the
+sweep but fails here)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from economic_data_project_spark.registry import all_queries
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+# ------------------------------------------------- mixture weights
+
+
+def test_mixture_weights_sqrt_flattening(spark, tmp_path):
+    # src a: 1 doc x 4 tokens; src b: 4 docs x 4 tokens -> 1:4 token
+    # ratio. sqrt flattening: weights 1:2 -> a=1/3, b=2/3; natural
+    # shares 0.2/0.8; sampling factors 5/3 (upsample) and 5/6.
+    rows = [(0, "aa bb cc dd", "en", "a", 11)]
+    rows += [
+        (i, "aa bb cc dd", "en", "b", 11) for i in range(1, 5)
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.source: r
+        for r in all_queries()["corpus_mixture_weights"](
+            spark, sf
+        ).collect()
+    }
+    assert got["a"].src_tokens == 4 and got["b"].src_tokens == 16
+    assert got["a"].token_share == pytest.approx(0.2)
+    assert got["b"].token_share == pytest.approx(0.8)
+    assert got["a"].mixture_weight == pytest.approx(1 / 3, abs=1e-6)
+    assert got["b"].mixture_weight == pytest.approx(2 / 3, abs=1e-6)
+    assert got["a"].sampling_factor == pytest.approx(5 / 3, abs=1e-5)
+    assert got["b"].sampling_factor == pytest.approx(5 / 6, abs=1e-5)
+    # expected_tokens preserves the total budget
+    assert got["a"].expected_tokens + got["b"].expected_tokens == (
+        pytest.approx(20, abs=1e-2)
+    )
+
+
+# ------------------------------------------------- budget selection
+
+
+def test_budget_selection_boundary_is_exact(spark, tmp_path):
+    # scores: doc 0 (4 distinct of 4 -> 1.0), doc 1 (2 of 4 -> 0.5),
+    # doc 2 (1 of 4 -> 0.25). Each doc = 4 tokens, total 12, budget
+    # = 12*3 div 5 = 7 -> cumulative in score order: 4, 8, 12 ->
+    # ONLY doc 0 fits (doc 1 would land exactly at 8 > 7).
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "aa bb cc dd", "en", "s", 11),
+            (1, "aa aa bb bb", "en", "s", 11),
+            (2, "aa aa aa aa", "en", "s", 11),
+        ],
+    )
+    out = all_queries()["corpus_budget_selection"](spark, sf).collect()
+    assert [r.doc_id for r in out] == [0]
+    assert out[0].cum_tokens == 4 and out[0].token_budget == 7
+
+
+def test_budget_selection_ties_break_by_doc_id(spark, tmp_path):
+    # all docs same score (1.0), 4 tokens each, total 16 ->
+    # budget 16*3 div 5 = 9 -> cumulative 4, 8, 12: docs 0 and 1 only,
+    # in doc_id order within the tied score bucket.
+    sf = _write_docs(
+        tmp_path,
+        [(i, "aa bb cc dd", "en", "s", 11) for i in range(4)],
+    )
+    out = all_queries()["corpus_budget_selection"](spark, sf).collect()
+    assert [r.doc_id for r in out] == [0, 1]
+    assert [r.cum_tokens for r in out] == [4, 8]
+
+
+# ------------------------------------------------- normalized dedup
+
+
+def test_normalized_exact_collapses_case_and_punct(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "Hello,  World!", "en", "s", 14),
+            (1, "hello world", "en", "s", 11),
+            (2, "hello there", "en", "s", 11),
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dedup_normalized_exact"](
+            spark, sf
+        ).collect()
+    }
+    assert got[0].canonical_doc_id == 0 and not got[0].is_duplicate
+    assert got[1].canonical_doc_id == 0 and got[1].is_duplicate
+    assert got[2].canonical_doc_id == 2 and not got[2].is_duplicate
+
+
+# ------------------------------------------------- substring spans
+
+
+def test_substring_spans_finds_planted_boilerplate(spark, tmp_path):
+    # 10-token docs sharing ONLY a 6-token boilerplate prefix ->
+    # each doc has 6 positional 5-gram windows; windows 1 and 2 (inside
+    # the shared prefix) are cross-doc dups, the rest are unique.
+    boiler = "aa bb cc dd ee ff"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, boiler + " gg hh ii jj", "en", "s", 1),
+            (1, boiler + " kk ll mm nn", "en", "s", 1),
+            (2, "oo pp qq rr ss tt uu vv ww xx", "en", "s", 1),
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dedup_substring_spans"](
+            spark, sf
+        ).collect()
+    }
+    for d in (0, 1):
+        assert got[d].n_spans == 6
+        assert got[d].n_dup_spans == 2  # aa..ee and bb..ff
+        assert got[d].has_cross_dup
+        assert got[d].dup_span_ratio == pytest.approx(2 / 6, abs=1e-6)
+    assert got[2].n_dup_spans == 0 and not got[2].has_cross_dup
+
+
+def test_substring_spans_counts_positional_instances(spark, tmp_path):
+    # the SAME 5-gram repeated twice inside doc 0 and once in doc 1:
+    # positional counting must report BOTH of doc 0's instances as dup.
+    span = "aa bb cc dd ee"
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, f"{span} {span}", "en", "s", 1),
+            (1, span, "en", "s", 1),
+        ],
+    )
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dedup_substring_spans"](
+            spark, sf
+        ).collect()
+    }
+    # doc 0: 10 tokens -> 6 windows; windows at offsets 0 and 5 are the
+    # planted span (cross-doc dup); the 4 straddling windows are unique
+    # to doc 0 and appear once each -> not dups.
+    assert got[0].n_spans == 6 and got[0].n_dup_spans == 2
+    assert got[1].n_spans == 1 and got[1].n_dup_spans == 1
+
+
+# ------------------------------------------------- int8 quantization
+
+
+def test_quantization_known_vector(spark, tmp_path):
+    pd.DataFrame(
+        {
+            "vec_id": [0, 1],
+            "embedding": [
+                [1.0, -0.5, 0.25, 0.0],
+                [0.0, 0.0, 0.0, 0.0],  # zero vector: scale 0, all q=0
+            ],
+            "label": [0, 1],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    got = {
+        r.vec_id: r
+        for r in all_queries()["embedding_int8_quant"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    r0 = got[0]
+    # scale = 1/127; q = [127, -63 (floor(-63.5+0.5)), 32 (floor 32.25),
+    # 0] -> wait: -0.5/ (1/127) = -63.5, +0.5 = -63.0, floor = -63;
+    # 0.25 -> 31.75 + 0.5 = 32.25 -> 32
+    assert r0.scale == pytest.approx(1 / 127, abs=1e-9)
+    assert r0.n_sat == 1 and r0.n_zero == 1
+    assert r0.q_sum == 127 - 63 + 32
+    assert r0.q_l1 == 127 + 63 + 32
+    # reconstruction error: |1 - 127*s|=0, |-0.5 + 63s|, |0.25 - 32s|, 0
+    s = 1 / 127
+    want_err = (abs(-0.5 + 63 * s) + abs(0.25 - 32 * s)) / 4
+    assert r0.mean_abs_err == pytest.approx(want_err, abs=1e-9)
+    r1 = got[1]
+    assert r1.scale == 0.0 and r1.n_zero == 4 and r1.n_sat == 0
+    assert r1.q_sum == 0 and r1.q_l1 == 0 and r1.mean_abs_err == 0.0
+
+
+def test_quantization_preserves_cosine_direction(spark, tmp_path):
+    # property: reconstructed vectors keep cosine ~1 vs the original
+    # (the audit contract a pipeline would gate on before swapping the
+    # serving store to int8)
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    pd.DataFrame(
+        {
+            "vec_id": range(50),
+            "embedding": [v.tolist() for v in vecs],
+            "label": [0] * 50,
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    rows = all_queries()["embedding_int8_quant"](
+        spark, str(tmp_path)
+    ).collect()
+    for r in rows:
+        v = vecs[r.vec_id].astype("float64")
+        sc = max(abs(v)) / 127.0
+        q = np.clip(np.floor(v / sc + 0.5), -127, 127)
+        recon = q * sc
+        cos = (v @ recon) / (
+            math.sqrt(v @ v) * math.sqrt(recon @ recon)
+        )
+        assert cos > 0.9995
+        # and the engine's audit columns match the NumPy transcription
+        assert r.q_sum == int(q.sum()) and r.q_l1 == int(abs(q).sum())
+        assert r.mean_abs_err == pytest.approx(
+            float(abs(v - recon).mean()), abs=1e-9
+        )
