@@ -58,6 +58,8 @@ HEADLINE = [
     "dedup_substring_spans",    # positional k-gram span census (1 scan)
     "corpus_budget_selection",  # bucket-decomposed global token cumsum
     "embedding_int8_quant",     # map-only int8 quantization + audit
+    "ann_cosine_topk_int8",     # integer-dot ANN over the int8 store
+    "corpus_shuffle_order",     # deterministic sharded training order
 ]
 
 

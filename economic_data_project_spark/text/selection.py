@@ -236,3 +236,60 @@ def corpus_budget_selection(
         .where(F.col("cum_tokens") <= F.col("token_budget"))
         .orderBy(F.desc("score"), "doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic corpus shuffle order (training-order assignment).
+# A trainer must read the corpus in a shuffled order that is REPRODUCIBLE
+# across reruns and independent of file/partition layout — rand() is
+# neither. The standard idiom: order by a keyed hash. The global sort is
+# decomposed the scale-correct way: shard = first hash byte (256 uniform
+# shards), position within shard via a PARTITIONED window — the training
+# order is (shard, pos_in_shard) lexicographic, and a reader streams
+# shards in name order. One corpus shuffle (by shard), no global
+# single-task sort. Changing the epoch salt reshuffles deterministically.
+# --------------------------------------------------------------------------
+
+_SHUFFLE_SALT = "epoch0"
+
+
+_SHUFFLE_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, source,
+         md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}')
+           AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, source, shuffle_key,
+       substr(shuffle_key, 1, 2) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY substr(shuffle_key, 1, 2)
+         ORDER BY shuffle_key, doc_id
+       ) AS BIGINT) AS pos_in_shard
+FROM h
+ORDER BY shard, pos_in_shard
+"""
+
+
+@query("corpus_shuffle_order", oracle=_SHUFFLE_ORACLE)
+def corpus_shuffle_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id",
+        "source",
+        F.md5(
+            F.concat(
+                F.col("doc_id").cast("string"),
+                F.lit(f":{_SHUFFLE_SALT}"),
+            )
+        ).alias("shuffle_key"),
+    ).withColumn("shard", F.substring("shuffle_key", 1, 2))
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        hashed.withColumn(
+            "pos_in_shard", F.row_number().over(w).cast("long")
+        )
+        .orderBy("shard", "pos_in_shard")
+    )

@@ -490,3 +490,36 @@ def test_normalized_exact_single_scan(spark):
     phys = _plan(df).split("== Physical Plan ==", 1)[1]
     assert phys.count("Scan parquet") == 1
     assert phys.count("Exchange") <= 2  # hash window + display sort
+
+
+def test_int8_ann_broadcasts_probes(spark):
+    """The quantized-store ANN keeps the brute-force shape: tiny probe
+    set broadcast against the corpus scan — the corpus is never
+    exchanged for the scoring join."""
+    df = all_queries()["ann_cosine_topk_int8"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert "BroadcastNestedLoopJoin" in phys
+    assert "CartesianProduct" not in phys
+    assert phys.count("Scan parquet") <= 2  # probe side + corpus side
+
+
+def test_shuffle_order_is_shard_partitioned(spark):
+    """Training-order assignment must never global-sort through one
+    task: the position window is partitioned by shard (first hash
+    byte), so the plan has a partitioned window and <= 2 exchanges
+    (shard hash + display sort)."""
+    import re
+
+    df = all_queries()["corpus_shuffle_order"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert phys.count("Exchange") <= 2
+    for line in phys.splitlines():
+        if "windowspecdefinition" not in line:
+            continue
+        m = re.search(r"windowspecdefinition\(([^,]+),", line)
+        if m:
+            first = m.group(1)
+            assert "ASC" not in first and "DESC" not in first, (
+                line.strip()[:160]
+            )
