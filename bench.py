@@ -60,6 +60,7 @@ HEADLINE = [
     "embedding_int8_quant",     # map-only int8 quantization + audit
     "ann_cosine_topk_int8",     # integer-dot ANN over the int8 store
     "corpus_shuffle_order",     # deterministic sharded training order
+    "dedup_incremental_minhash",  # shard-vs-index near-dup probe
 ]
 
 

@@ -67,7 +67,7 @@ def load_all() -> None:
         signal_chain,
     )
     from .multimodal import media  # noqa: F401
-    from .quality import checks, coverage, schema_tests  # noqa: F401
+    from .quality import checks, coverage, profiling, schema_tests  # noqa: F401
     from .semantic import marts  # noqa: F401
     from .signals import (  # noqa: F401
         acceleration,

@@ -175,11 +175,10 @@ _MH_A = [_mh_rng.randrange(1, 1 << 30) | 1 for _ in range(_N_MINHASH)]
 _MH_B = [_mh_rng.randrange(0, 1 << 30) for _ in range(_N_MINHASH)]
 
 
-def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold),
-    UNSORTED — the reusable building block (`corpus_keep_list` consumes
-    it mid-plan, where the display sort would be a wasted exchange)."""
-    sh = _shingled(spark, sf_dir)
+def _bands_of(sh: DataFrame) -> DataFrame:
+    """LSH band keys (doc_id, band_id, band_val) for a (doc_id,
+    shingles) frame — the signature machinery shared by the full
+    self-join dedup and the incremental shard-vs-index probe."""
     a_arr = "array(" + ", ".join(map(str, _MH_A)) + ")"
     b_arr = "array(" + ", ".join(map(str, _MH_B)) + ")"
     hashed = sh.select(
@@ -212,10 +211,20 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + ")))"
     )
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.posexplode(F.expr(band_expr)).alias("band_id", "band_val"),
-    ).cache()  # tiny (8 rows/doc); self-joined below — compute hashes once
+    )
+
+
+def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup pairs (doc_a < doc_b, jaccard >= threshold),
+    UNSORTED — the reusable building block (`corpus_keep_list` consumes
+    it mid-plan, where the display sort would be a wasted exchange)."""
+    sh = _shingled(spark, sf_dir)
+    bands = _bands_of(
+        sh
+    ).cache()  # tiny (8 rows/doc); self-joined below — hash once
     cand = (
         bands.alias("a")
         .join(
@@ -1054,6 +1063,154 @@ def dedup_substring_spans(
                 "dup_span_ratio"
             ),
             (F.sum(dup_cnt) > 0).alias("has_cross_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental near-dup dedup: incoming shard vs the EXISTING corpus.
+# Production pipelines never re-dedup the full 100 TB per ingest; they
+# keep the banded signature index materialized and join each incoming
+# shard against it. This operator is that shape on the driver data:
+# the newest 20% of doc_ids play the incoming shard, the oldest 80%
+# the indexed corpus. Candidates come ONLY from the cross-side band
+# join (incoming x incoming and existing x existing pairs are never
+# generated); exact Jaccard verifies candidates; every incoming doc
+# gets a verdict row (is_new / best existing match).
+#
+# 100 TB shape: the existing side is a pre-materialized bands table
+# (one write, joined per shard); the incoming side is shard-sized, so
+# the equi-join is index-probe-like — cost scales with the shard and
+# its collision rate, never with the corpus pair space. The split
+# scalar folds into the plan as a broadcast 1-row aggregate (no eager
+# driver job, same discipline as the ngram df-cap).
+# --------------------------------------------------------------------------
+
+_INCR_NUM = 4  # existing = doc_id < (max_id + 1) * 4 div 5
+_INCR_DEN = 5
+
+# deterministic best-match pick: jaccard DESC then ex_id ASC, encoded as
+# one lexicographic key (same idiom as ann_signlsh_bucketed's oracle)
+_BEST_KEY = (
+    "lpad(cast(cast(round(jaccard * 1000000000) as bigint) as string),"
+    " 12, '0') || lpad(cast(99999999 - ex_id as string), 8, '0')"
+)
+_BEST_KEY_DUCK = (
+    "lpad(CAST(CAST(round(jaccard * 1000000000) AS BIGINT) AS VARCHAR),"
+    " 12, '0') || lpad(CAST(99999999 - ex_id AS VARCHAR), 8, '0')"
+)
+
+_INCR_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
+),
+sp AS (
+  SELECT (MAX(doc_id) + 1) * {_INCR_NUM} // {_INCR_DEN} AS split
+  FROM documents
+),
+pairs AS (
+  SELECT i.doc_id AS in_id, e.doc_id AS ex_id,
+         len(list_intersect(i.shingles, e.shingles)) AS n_common,
+         len(i.shingles) AS n_i, len(e.shingles) AS n_e
+  FROM sh i, sh e, sp
+  WHERE i.doc_id >= sp.split AND e.doc_id < sp.split
+),
+v AS (
+  SELECT in_id, ex_id,
+         n_common * 1.0 / (n_i + n_e - n_common) AS jaccard
+  FROM pairs
+  WHERE n_common * 1.0 / (n_i + n_e - n_common) >= {_JACCARD_THRESHOLD}
+),
+agg AS (
+  SELECT in_id,
+         CAST(COUNT(*) AS BIGINT) AS n_dup_matches,
+         MAX_BY(ex_id, {_BEST_KEY_DUCK}) AS best_match_id,
+         MAX(jaccard) AS best_jaccard
+  FROM v GROUP BY in_id
+),
+u AS (
+  SELECT d.doc_id FROM documents d, sp WHERE d.doc_id >= sp.split
+)
+SELECT u.doc_id,
+       COALESCE(agg.n_dup_matches, 0) AS n_dup_matches,
+       agg.best_match_id,
+       agg.best_jaccard,
+       (agg.in_id IS NULL) AS is_new
+FROM u
+LEFT JOIN agg ON agg.in_id = u.doc_id
+ORDER BY u.doc_id
+"""
+
+
+@query("dedup_incremental_minhash", oracle=_INCR_ORACLE)
+def dedup_incremental_minhash(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sh = _shingled(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    split = F.broadcast(
+        d.agg(
+            F.expr(
+                f"(max(doc_id) + 1) * {_INCR_NUM} div {_INCR_DEN}"
+            ).alias("split")
+        )
+    )
+    sh2 = sh.crossJoin(split)
+    existing = sh2.where(F.col("doc_id") < F.col("split")).drop("split")
+    incoming = sh2.where(F.col("doc_id") >= F.col("split")).drop("split")
+    ex_bands = _bands_of(existing).select(
+        F.col("doc_id").alias("ex_id"), "band_id", "band_val"
+    )
+    in_bands = _bands_of(incoming).select(
+        F.col("doc_id").alias("in_id"), "band_id", "band_val"
+    )
+    cand = (
+        in_bands.join(ex_bands, ["band_id", "band_val"])
+        .select("in_id", "ex_id")
+        .distinct()
+    )
+    sh_i = sh.select(
+        F.col("doc_id").alias("in_id"), F.col("shingles").alias("sh_i")
+    )
+    sh_e = sh.select(
+        F.col("doc_id").alias("ex_id"), F.col("shingles").alias("sh_e")
+    )
+    verified = (
+        cand.join(sh_i, "in_id")
+        .join(sh_e, "ex_id")
+        .withColumn(
+            "n_common", F.size(F.array_intersect("sh_i", "sh_e"))
+        )
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.size("sh_i") + F.size("sh_e") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    agg = verified.groupBy("in_id").agg(
+        F.count("*").cast("long").alias("n_dup_matches"),
+        F.expr(f"max_by(ex_id, {_BEST_KEY})").alias("best_match_id"),
+        F.max("jaccard").alias("best_jaccard"),
+    )
+    incoming_universe = (
+        d.select("doc_id").crossJoin(split)
+        .where(F.col("doc_id") >= F.col("split"))
+        .select("doc_id")
+    )
+    return (
+        incoming_universe.join(
+            agg, incoming_universe.doc_id == agg.in_id, "left"
+        )
+        .select(
+            "doc_id",
+            F.coalesce("n_dup_matches", F.lit(0).cast("long")).alias(
+                "n_dup_matches"
+            ),
+            "best_match_id",
+            "best_jaccard",
+            F.col("in_id").isNull().alias("is_new"),
         )
         .orderBy("doc_id")
     )

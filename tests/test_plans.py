@@ -523,3 +523,38 @@ def test_shuffle_order_is_shard_partitioned(spark):
             assert "ASC" not in first and "DESC" not in first, (
                 line.strip()[:160]
             )
+
+
+def test_incremental_dedup_probes_not_pairs(spark):
+    """The incremental path must generate candidates ONLY from the
+    cross-side band equi-join: no cartesian/nested-loop pair space, and
+    the split scalar folds in as a broadcast 1-row aggregate (no eager
+    job at construction)."""
+    sc = spark.sparkContext
+    group = "incr-dedup-construct-gate"
+    sc.setJobGroup(group, "plan-construction only")
+    try:
+        df = all_queries()["dedup_incremental_minhash"](spark, SF_DIR)
+    finally:
+        sc.setJobGroup(None, None)
+    tracker = sc.statusTracker()
+    for jid in tracker.getJobIdsForGroup(group):
+        info = tracker.getJobInfo(jid)
+        assert info is not None and len(info.stageIds) == 1, (
+            f"construction launched a shuffling job: {jid}"
+        )
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert "CartesianProduct" not in phys
+    # band-key equi-join present
+    assert "band_val" in phys and "band_id" in phys
+
+
+def test_column_profile_single_scan_single_expand(spark):
+    """The whole per-column null/distinct/min/max battery compiles into
+    ONE scan with ONE Expand feeding one aggregate — never a re-scan
+    per column."""
+    df = all_queries()["corpus_column_profile"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert phys.count("Expand") == 1
+    assert phys.count("Exchange") <= 2

@@ -293,3 +293,53 @@ def test_int8_ann_ranking_tracks_exact_ann(spark, tmp_path):
         # every retrieved neighbor is a cluster-mate of the probe
         assert r.neighbor_id % 4 == r.query_id % 4, r
         assert r.cosine_q > 0.9, r
+
+
+# ------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_only_probes_existing_index(spark, tmp_path):
+    """Planted shapes across the 80/20 doc_id split (split = 8 here):
+    - incoming doc 8 near-dups EXISTING doc 0 -> flagged, best match 0
+    - incoming doc 9 shares ~no shingles with any existing doc ->
+      is_new with no match columns (the LEFT-join branch)
+    """
+
+    def doc(seed, edit=0):
+        # QUADRATIC in position so distinct seeds share ~no shingles
+        # (a linear formula walks one cycle offset by a constant —
+        # background Jaccard ~1; same trap ADVICE r5 found in the old
+        # minhash fixture)
+        toks = [
+            "w"
+            + "".join(
+                "abcdefghij"[int(c)]
+                for c in str(
+                    (
+                        seed * 7919
+                        + i * 104729
+                        + 37 * i * i
+                        + (edit if i % 37 == 0 else 0)
+                    )
+                    % 499
+                )
+            )
+            for i in range(120)
+        ]
+        return " ".join(toks)
+
+    rows = [(i, doc(i), "en", "s", 1) for i in range(8)]  # existing
+    rows.append((8, doc(0, edit=1), "en", "s", 1))  # near-dups doc 0
+    rows.append((9, doc(99), "en", "s", 1))  # unique vs existing
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dedup_incremental_minhash"](
+            spark, sf
+        ).collect()
+    }
+    assert set(got) == {8, 9}  # exactly the incoming universe
+    assert not got[8].is_new
+    assert got[8].best_match_id == 0 and got[8].best_jaccard > 0.5
+    assert got[9].is_new and got[9].n_dup_matches == 0
+    assert got[9].best_match_id is None
