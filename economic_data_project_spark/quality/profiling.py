@@ -29,14 +29,8 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..registry import query
 
-# (column, is_numeric) — min/max rendered via CAST to string either way
-_PROFILE_COLS = [
-    ("doc_id", True),
-    ("lang", False),
-    ("n_chars", True),
-    ("source", False),
-    ("text", False),
-]
+# profiled columns; min/max are rendered via CAST to string uniformly
+_PROFILE_COLS = ["doc_id", "lang", "n_chars", "source", "text"]
 
 
 def _duck_metrics(c: str) -> str:
@@ -53,7 +47,7 @@ def _duck_metrics(c: str) -> str:
 _PROFILE_ORACLE = (
     "\nUNION ALL\n".join(
         f"SELECT '{c}' AS column_name,\n  {_duck_metrics(c)}\nFROM documents"
-        for c, _ in _PROFILE_COLS
+        for c in _PROFILE_COLS
     )
     + "\nORDER BY column_name"
 )
@@ -65,7 +59,7 @@ def corpus_column_profile(
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     aggs = [F.count("*").cast("long").alias("n_rows")]
-    for c, _ in _PROFILE_COLS:
+    for c in _PROFILE_COLS:
         aggs += [
             F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
             .cast("long")
@@ -77,7 +71,7 @@ def corpus_column_profile(
     wide = d.agg(*aggs)
     stack = ", ".join(
         f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max"
-        for c, _ in _PROFILE_COLS
+        for c in _PROFILE_COLS
     )
     return (
         wide.select(

@@ -173,7 +173,7 @@ SELECT query_id, bucket,
        (MAX_BY(neighbor_id,
                lpad(CAST(CAST(round((cosine + 1.0) * 1000000000) AS BIGINT)
                          AS VARCHAR), 12, '0')
-               || lpad(CAST(99999999 - neighbor_id AS VARCHAR), 8, '0')))
+               || lpad(CAST(999999999999999999 - neighbor_id AS VARCHAR), 18, '0')))
          AS best_neighbor_id,
        (MAX(cosine)) AS best_cosine,
        COUNT(*) AS n_candidates
@@ -216,7 +216,7 @@ def ann_signlsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (
         "lpad(CAST(CAST(round((cosine + 1.0) * 1000000000) AS BIGINT)"
         " AS STRING), 12, '0')"
-        " || lpad(CAST(99999999 - neighbor_id AS STRING), 8, '0')"
+        " || lpad(CAST(999999999999999999 - neighbor_id AS STRING), 18, '0')"
     )
     return (
         scored.groupBy("query_id", "bucket")

@@ -78,15 +78,16 @@ ORDER BY vec_id
 """
 
 
-@query("embedding_int8_quant", oracle=_QUANT_ORACLE)
-def embedding_int8_quant(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _staged_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantization definition, ONCE: (vec_id, v, max_abs, sc, qv).
+    Both the audit query (embedding_int8_quant) and the serving query
+    (ann_cosine_topk_int8) project from this frame, so a change to the
+    rounding/clamp can never silently desync them. Each stage binds as
+    a column so HOF lambdas reference attributes, not recomputed
+    subexpressions (Catalyst never hoists out of lambda bodies — the
+    same discipline as the shingle operators)."""
     e = load_table(spark, sf_dir, "embeddings")
-    # bind each stage as a column so HOF lambdas reference attributes,
-    # not recomputed subexpressions (Catalyst never hoists out of
-    # lambda bodies — the same discipline as the shingle operators)
-    staged = (
+    return (
         e.select(
             "vec_id",
             F.expr(
@@ -122,6 +123,13 @@ def embedding_int8_quant(
             ).alias("qv"),
         )
     )
+
+
+@query("embedding_int8_quant", oracle=_QUANT_ORACLE)
+def embedding_int8_quant(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    staged = _staged_quant(spark, sf_dir)
     return staged.select(
         "vec_id",
         F.size("v").cast("long").alias("n_dims"),
@@ -236,38 +244,8 @@ _QNORM_SPARK = (
 
 
 def _quantized_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "embeddings")
     return (
-        e.select(
-            "vec_id",
-            F.expr(
-                "transform(embedding, x -> cast(x as double))"
-            ).alias("v"),
-        )
-        .select(
-            "vec_id",
-            "v",
-            F.expr("array_max(transform(v, x -> abs(x)))").alias(
-                "max_abs"
-            ),
-        )
-        .select(
-            "vec_id",
-            "v",
-            F.when(
-                F.col("max_abs") > 0,
-                F.col("max_abs") / float(_Q_MAX),
-            )
-            .otherwise(F.lit(1.0))
-            .alias("sc"),
-        )
-        .select(
-            "vec_id",
-            F.expr(
-                f"transform(v, x -> greatest(-{_Q_MAX}, least({_Q_MAX},"
-                f" cast(floor(x / sc + 0.5d) as int))))"
-            ).alias("qv"),
-        )
+        _staged_quant(spark, sf_dir)
         .select(
             "vec_id",
             "qv",

@@ -281,11 +281,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _NN_KEY = (
     "lpad(CAST(CAST(round(jaccard * 1000000000) AS BIGINT) AS VARCHAR),"
-    " 12, '0') || lpad(CAST(99999999 - match_id AS VARCHAR), 8, '0')"
+    " 12, '0') || lpad(CAST(999999999999999999 - match_id AS VARCHAR), 18, '0')"
 )
 _NN_KEY_SPARK = (
     "lpad(CAST(CAST(round(jaccard * 1000000000) AS BIGINT) AS STRING),"
-    " 12, '0') || lpad(CAST(99999999 - match_id AS STRING), 8, '0')"
+    " 12, '0') || lpad(CAST(999999999999999999 - match_id AS STRING), 18, '0')"
 )
 
 _DF_CAP_FRAC = 0.1
@@ -926,7 +926,12 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle keyed by the (uniform) hash.
 # --------------------------------------------------------------------------
 
-_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
+# NB the 'g' flag: DuckDB's regexp_replace replaces only the FIRST
+# match without it, while Spark's always replaces all — omitting it
+# states different semantics for exactly the punctuated inputs this
+# operator exists for (masked on the pinned all-lowercase driver
+# corpus; caught by the punctuated-fixture oracle test).
+_NORM_SQL = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
 _NORM_EXACT_ORACLE = f"""
 WITH n AS (
@@ -995,9 +1000,14 @@ _SPANS_FROM_TOKS = (
     f"transform(sequence(1, greatest(size(toks) - {_K_SPAN - 1}, 1)),"
     f" i -> md5(concat_ws(' ', slice(toks, i, {_K_SPAN}))))"
 )
+# COALESCE matters for zero-token docs: DuckDB's array_to_string of an
+# empty slice is NULL (md5(NULL) = NULL, and a NULL span would silently
+# drop the doc at the join), while Spark's concat_ws of an empty slice
+# is '' — coalescing to '' makes both sides emit md5('').
 _SPANS_DUCK = (
     f"list_transform(range(1, greatest(len(toks) - {_K_SPAN - 2}, 2)),"
-    f" i -> md5(array_to_string(toks[i:i+{_K_SPAN - 1}], ' ')))"
+    f" i -> md5(COALESCE(array_to_string(toks[i:i+{_K_SPAN - 1}], ' '),"
+    f" '')))"
 )
 
 _SPAN_ORACLE = f"""
@@ -1085,6 +1095,14 @@ def dedup_substring_spans(
 # its collision rate, never with the corpus pair space. The split
 # scalar folds into the plan as a broadcast 1-row aggregate (no eager
 # driver job, same discipline as the ngram df-cap).
+#
+# Oracle recall caveat (same contract as _MINHASH_ORACLE above): the
+# oracle states the brute-force cross-side semantics, while the engine
+# verifies only band-colliding candidates — per-pair recall at the
+# j=0.5 boundary is ~0.66, and the comparison holds because the corpus
+# separates cleanly (no pairs between j=0.1 and j=0.9). A fixture with
+# mid-band jaccard pairs would flip the sweep; plant near-dups at
+# j>=0.8 (band collision probability > 0.999) as the recall test does.
 # --------------------------------------------------------------------------
 
 _INCR_NUM = 4  # existing = doc_id < (max_id + 1) * 4 div 5
@@ -1094,11 +1112,11 @@ _INCR_DEN = 5
 # one lexicographic key (same idiom as ann_signlsh_bucketed's oracle)
 _BEST_KEY = (
     "lpad(cast(cast(round(jaccard * 1000000000) as bigint) as string),"
-    " 12, '0') || lpad(cast(99999999 - ex_id as string), 8, '0')"
+    " 12, '0') || lpad(cast(999999999999999999 - ex_id as string), 18, '0')"
 )
 _BEST_KEY_DUCK = (
     "lpad(CAST(CAST(round(jaccard * 1000000000) AS BIGINT) AS VARCHAR),"
-    " 12, '0') || lpad(CAST(99999999 - ex_id AS VARCHAR), 8, '0')"
+    " 12, '0') || lpad(CAST(999999999999999999 - ex_id AS VARCHAR), 18, '0')"
 )
 
 _INCR_ORACLE = f"""

@@ -343,3 +343,58 @@ def test_incremental_dedup_only_probes_existing_index(spark, tmp_path):
     assert got[8].best_match_id == 0 and got[8].best_jaccard > 0.5
     assert got[9].is_new and got[9].n_dup_matches == 0
     assert got[9].best_match_id is None
+
+
+# -------------------------------- oracle parity on hostile fixtures
+# The driver corpus is pure lowercase single-space words, which masks
+# engine-divergence on punctuated/degenerate text (code-review r7):
+# DuckDB's regexp_replace replaces only the first match without 'g',
+# and its array_to_string of an empty slice is NULL where Spark's
+# concat_ws is ''. These run the REAL query-vs-oracle compare on
+# corpora that exercise exactly those branches.
+
+
+def _oracle_parity(spark, name, sf):
+    import duckdb
+
+    from economic_data_project_spark.registry import all_oracles
+
+    from .conftest import compare_with_oracle
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS"
+        f" SELECT * FROM '{sf}/documents.parquet'"
+    )
+    ok, msg = compare_with_oracle(
+        spark, all_queries()[name], all_oracles()[name], sf, con=con
+    )
+    assert ok, f"{name}: {msg}"
+
+
+def test_normalized_dedup_oracle_parity_on_punctuation(spark, tmp_path):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "Hello,  World! (again)", "en", "s", 1),
+            (1, "hello world again", "en", "s", 1),
+            (2, "UPPER.case;text", "en", "s", 1),
+            (3, "12345 !!!", "en", "s", 1),  # digits + punct only
+        ],
+    )
+    _oracle_parity(spark, "dedup_normalized_exact", sf)
+
+
+def test_substring_spans_oracle_parity_on_degenerate_docs(
+    spark, tmp_path
+):
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, "aa bb cc dd ee ff gg", "en", "s", 1),
+            (1, "12345 67890", "en", "s", 1),  # zero alpha tokens
+            (2, "", "en", "s", 1),  # empty text
+            (3, "aa bb", "en", "s", 1),  # shorter than the window
+        ],
+    )
+    _oracle_parity(spark, "dedup_substring_spans", sf)
