@@ -81,6 +81,7 @@ def load_all() -> None:
     )
     from .similarity import ann, quant  # noqa: F401
     from .sources import files  # noqa: F401
+    from .streaming import dedup as stream_dedup  # noqa: F401
     from .streaming import ingest  # noqa: F401
     from .text import (  # noqa: F401
         analysis,
