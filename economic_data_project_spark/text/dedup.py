@@ -798,7 +798,9 @@ def dedup_embedding_cosine_lsh(
 # Spark side stays O(rounds * E).
 # --------------------------------------------------------------------------
 
-_COMPONENTS_ORACLE = f"""
+# The recursive-CTE closure over verified near-dup pairs, shared by the
+# components oracle and the leakage-safe split oracle (selection.py).
+_COMPONENTS_CTE = f"""
 WITH RECURSIVE sh AS (
   SELECT doc_id, {_SHINGLES_DUCK} AS shingles FROM documents
 ),
@@ -824,7 +826,9 @@ reach(u, v) AS (
 comp AS (
   SELECT u AS doc_id, LEAST(u, MIN(v)) AS component_id
   FROM reach GROUP BY u
-),
+)"""
+
+_COMPONENTS_ORACLE = f"""{_COMPONENTS_CTE},
 sized AS (
   SELECT component_id, CAST(COUNT(*) AS BIGINT) AS component_size
   FROM comp GROUP BY component_id

@@ -293,3 +293,81 @@ def corpus_shuffle_order(
         )
         .orderBy("shard", "pos_in_shard")
     )
+
+
+# --------------------------------------------------------------------------
+# Leakage-safe train/val/test split.
+# A random per-document split leaks: near-duplicate documents land in
+# different splits and the eval set scores memorization, not
+# generalization. The safe unit of assignment is the NEAR-DUP CLUSTER —
+# every document hashes on its cluster canonical id (singletons on
+# their own id), so a whole cluster always lands in one split. The
+# gate is the same layout-independent md5-prefix threshold idiom as
+# stratified sampling (membership is a pure function of the canonical,
+# reproducible on any cluster layout).
+#
+# 100 TB shape: components come from the banded minhash pairs
+# (text/dedup.py — candidate cost scales with the dup rate), the
+# canonical joins back over the cluster-membership table (tiny relative
+# to the corpus: only docs that HAVE a near-dup), and the gate itself
+# is map-only. Split fractions: train 0.8 / val 0.1 / test 0.1.
+# --------------------------------------------------------------------------
+
+_SPLITS = [("train", 0.8), ("val", 0.9)]  # upper cumulative bounds
+_TRAIN_HI = format(int(0.8 * 65536), "04x")  # 'cccc'
+_VAL_HI = format(int(0.9 * 65536), "04x")  # 'e666'
+
+
+def _split_case(hash_expr: str) -> str:
+    return (
+        f"(CASE WHEN {hash_expr} < '{_TRAIN_HI}' THEN 'train'"
+        f" WHEN {hash_expr} < '{_VAL_HI}' THEN 'val'"
+        f" ELSE 'test' END)"
+    )
+
+
+def _leakage_oracle() -> str:
+    from .dedup import _COMPONENTS_CTE
+
+    h = (
+        "substr(md5(CAST(COALESCE(c.component_id, d.doc_id)"
+        " AS VARCHAR)), 1, 4)"
+    )
+    return f"""{_COMPONENTS_CTE}
+SELECT d.doc_id,
+       COALESCE(c.component_id, d.doc_id) AS canonical_id,
+       (c.doc_id IS NOT NULL) AS in_cluster,
+       {_split_case(h)} AS split
+FROM documents d
+LEFT JOIN comp c ON c.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("leakage_safe_split", oracle=_leakage_oracle())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import connected_components, minhash_pairs
+
+    pairs = minhash_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    joined = d.join(
+        comp.select(
+            F.col("doc_id").alias("c_doc_id"), "component_id"
+        ),
+        d.doc_id == F.col("c_doc_id"),
+        "left",
+    )
+    canonical = F.coalesce("component_id", "doc_id")
+    h = F.substring(F.md5(canonical.cast("string")), 1, 4)
+    split = (
+        F.when(h < _TRAIN_HI, "train")
+        .when(h < _VAL_HI, "val")
+        .otherwise("test")
+    )
+    return joined.select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        F.col("c_doc_id").isNotNull().alias("in_cluster"),
+        split.alias("split"),
+    ).orderBy("doc_id")

@@ -398,3 +398,35 @@ def test_substring_spans_oracle_parity_on_degenerate_docs(
         ],
     )
     _oracle_parity(spark, "dedup_substring_spans", sf)
+
+
+# ------------------------------------------------- leakage-safe split
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from collections import defaultdict
+
+    from .conftest import SF_DIR
+
+    rows = all_queries()["leakage_safe_split"](spark, SF_DIR).collect()
+    # every document assigned exactly one split
+    assert all(r.split in ("train", "val", "test") for r in rows)
+    # THE invariant: a near-dup cluster never straddles splits
+    by_canonical = defaultdict(set)
+    n_clustered = 0
+    for r in rows:
+        by_canonical[r.canonical_id].add(r.split)
+        n_clustered += bool(r.in_cluster)
+    assert all(len(s) == 1 for s in by_canonical.values())
+    # the invariant is non-vacuous on this corpus (real clusters exist)
+    assert n_clustered > 0
+    multi = [c for c, _ in by_canonical.items()
+             if sum(1 for r in rows if r.canonical_id == c) > 1]
+    assert multi, "no multi-doc cluster in fixture — test is vacuous"
+    # split fractions are in the right ballpark (hash-gate, 0.8/0.1/0.1)
+    from collections import Counter
+
+    frac = Counter(r.split for r in rows)
+    assert frac["train"] / len(rows) > 0.6
+    assert frac["val"] / len(rows) < 0.25
+    assert frac["test"] / len(rows) < 0.25
