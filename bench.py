@@ -61,6 +61,8 @@ HEADLINE = [
     "ann_cosine_topk_int8",     # integer-dot ANN over the int8 store
     "corpus_shuffle_order",     # deterministic sharded training order
     "dedup_incremental_minhash",  # shard-vs-index near-dup probe
+    "cdc_chunking",             # content-defined chunk geometry
+    "bigram_pmi_collocations",  # positional-bigram PMI census
 ]
 
 

@@ -85,6 +85,7 @@ def load_all() -> None:
     from .streaming import ingest  # noqa: F401
     from .text import (  # noqa: F401
         analysis,
+        cdc,
         dedup,
         documents,
         extraction,
@@ -93,6 +94,7 @@ def load_all() -> None:
         sampling,
         screening,
         selection,
+        vocab,
         trends,
     )
 

@@ -558,3 +558,21 @@ def test_column_profile_single_scan_single_expand(spark):
     assert phys.count("Scan parquet") == 1
     assert phys.count("Expand") == 1
     assert phys.count("Exchange") <= 2
+
+
+def test_cdc_chunking_map_only(spark):
+    """CDC chunk geometry is per-document HOF work: one scan, no hash
+    exchange — only the display sort."""
+    df = all_queries()["cdc_chunking"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") == 1
+    assert "hashpartitioning" not in phys
+    assert phys.count("Exchange") <= 1
+
+
+def test_vocab_topk_is_distributed(spark):
+    """The census top-k must plan TakeOrderedAndProject (per-partition
+    k-heaps), never sort the vocabulary through one task."""
+    df = all_queries()["vocab_top_terms"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert "TakeOrderedAndProject" in phys

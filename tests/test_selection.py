@@ -430,3 +430,55 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     assert frac["train"] / len(rows) > 0.6
     assert frac["val"] / len(rows) < 0.25
     assert frac["test"] / len(rows) < 0.25
+
+
+# ------------------------------------------------- CDC chunking
+
+
+def test_cdc_chunks_survive_a_prefix_insertion(spark, tmp_path):
+    """The CDC property: prepending text disturbs only the chunks up
+    to the first boundary after the edit; later chunks re-align to the
+    same hashes. Fixed-offset chunking shares ~nothing after a shift —
+    CDC must share most of the chunk multiset."""
+    import hashlib as h
+
+    base = " ".join(
+        "w" + h.md5(str(i).encode()).hexdigest()[:6] for i in range(120)
+    )
+    sf = _write_docs(
+        tmp_path,
+        [
+            (0, base, "en", "s", 1),
+            (1, "INSERTED PREFIX " + base, "en", "s", 1),
+        ],
+    )
+    rows = all_queries()["cdc_chunking"](spark, sf).collect()
+    chunks = {0: [], 1: []}
+    for r in rows:
+        chunks[r.doc_id].append(r.chunk_hash)
+    # sanity: real chunking happened (not one whole-doc chunk)
+    assert len(chunks[0]) > 10
+    shared = set(chunks[0]) & set(chunks[1])
+    # nearly all of doc 0's chunks re-appear in the shifted doc
+    assert len(shared) >= len(set(chunks[0])) - 2, (
+        len(shared),
+        len(set(chunks[0])),
+    )
+    # and the chunk geometry reconstructs the document: lengths sum to
+    # full text length
+    lens = sum(r.chunk_len for r in rows if r.doc_id == 0)
+    assert lens == len(base)
+
+
+def test_cdc_degenerate_docs(spark, tmp_path):
+    # shorter-than-window and empty docs are one whole-text chunk
+    sf = _write_docs(
+        tmp_path,
+        [(0, "short", "en", "s", 1), (1, "", "en", "s", 1)],
+    )
+    rows = all_queries()["cdc_chunking"](spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[0]) == 1 and by_doc[0][0].chunk_len == 5
+    assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 0
