@@ -89,6 +89,7 @@ def load_all() -> None:
         dedup,
         documents,
         extraction,
+        lm_quality,
         mentions,
         ml,
         sampling,

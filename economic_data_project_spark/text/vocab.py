@@ -186,3 +186,122 @@ def bigram_pmi_collocations(
     return scored.orderBy(F.desc("pmi"), "w1", "w2").limit(
         _TOP_BIGRAMS
     )
+
+
+# --------------------------------------------------------------------------
+# Source divergence matrix: pairwise Jensen-Shannon divergence between
+# per-source unigram distributions — the "how different are my domains"
+# input to mixture design (corpus_mixture_weights tells you how much of
+# each source; this tells you which sources are near-duplicates of each
+# other at the DISTRIBUTION level and which add diversity).
+#
+# JS needs the union of each pair's vocabularies, but an equi-join
+# yields only the intersection — the union terms are recovered in
+# closed form: for q = 0, the JS term reduces to 0.5*p*ln(2), so
+#   JS = Σ_shared 0.5*(p*ln(2p/(p+q)) + q*ln(2q/(p+q)))
+#        + 0.5*ln(2)*(1 - Σ_shared p) + 0.5*ln(2)*(1 - Σ_shared q).
+# Everything computes from the intersection join plus per-pair shared
+# masses — no outer join, no per-pair vocabulary materialization.
+#
+# Scale: term counts are one hash agg; the pair join is keyed on the
+# term (uniform); pairs = sources^2/2 rows out. Determinism: each
+# float term is quantized through DECIMAL(38,12) accumulation (sums
+# are then exact and order-free; scale 12 keeps the unit count inside
+# int128 exactness in both engines), final JS emitted at 6 dp.
+# --------------------------------------------------------------------------
+
+_DEC_JS = "decimal(38,12)"
+
+_JS_ORACLE = f"""
+WITH inst AS (
+  SELECT source, unnest({_TOKENS_DUCK}) AS term FROM documents
+),
+cnts AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM inst GROUP BY source, term
+),
+tots AS (
+  SELECT source, CAST(SUM(cnt) AS BIGINT) AS n FROM cnts GROUP BY source
+),
+probs AS (
+  SELECT c.source, c.term, c.cnt * 1.0 / t.n AS p
+  FROM cnts c JOIN tots t USING (source)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         a.p AS pa, b.p AS pb
+  FROM probs a JOIN probs b
+    ON a.term = b.term AND a.source < b.source
+),
+agg AS (
+  SELECT source_a, source_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared_terms,
+         CAST(SUM(CAST(0.5 * (pa * ln(2 * pa / (pa + pb))
+                              + pb * ln(2 * pb / (pa + pb)))
+                       AS DECIMAL(38,12))) AS DOUBLE) AS shared_js,
+         CAST(SUM(CAST(pa AS DECIMAL(38,12))) AS DOUBLE) AS mass_a,
+         CAST(SUM(CAST(pb AS DECIMAL(38,12))) AS DOUBLE) AS mass_b
+  FROM pairs GROUP BY source_a, source_b
+)
+SELECT source_a, source_b, n_shared_terms,
+       {sql_emit(
+           "shared_js + 0.5 * ln(2) * (1 - mass_a)"
+           " + 0.5 * ln(2) * (1 - mass_b)"
+       )} AS js_divergence
+FROM agg
+ORDER BY source_a, source_b
+"""
+
+
+@query("source_js_divergence", oracle=_JS_ORACLE)
+def source_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..functions.ta import emit
+
+    d = load_table(spark, sf_dir, "documents")
+    cnts = (
+        d.select("source", F.explode(F.expr(_TOKENS)).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    tots = cnts.groupBy("source").agg(F.sum("cnt").alias("n"))
+    probs = cnts.join(tots, "source").select(
+        "source", "term", (F.col("cnt") * 1.0 / F.col("n")).alias("p")
+    )
+    a = probs.select(
+        F.col("source").alias("source_a"),
+        "term",
+        F.col("p").alias("pa"),
+    )
+    b = probs.select(
+        F.col("source").alias("source_b"),
+        F.col("term").alias("term_b"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("term") == F.col("term_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    )
+    term_js = 0.5 * (
+        F.col("pa") * F.log(2 * F.col("pa") / (F.col("pa") + F.col("pb")))
+        + F.col("pb")
+        * F.log(2 * F.col("pb") / (F.col("pa") + F.col("pb")))
+    )
+    agg = pairs.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_shared_terms"),
+        F.sum(term_js.cast(_DEC_JS)).cast("double").alias("shared_js"),
+        F.sum(F.col("pa").cast(_DEC_JS)).cast("double").alias("mass_a"),
+        F.sum(F.col("pb").cast(_DEC_JS)).cast("double").alias("mass_b"),
+    )
+    return agg.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        emit(
+            F.col("shared_js")
+            + 0.5 * F.log(F.lit(2.0)) * (1 - F.col("mass_a"))
+            + 0.5 * F.log(F.lit(2.0)) * (1 - F.col("mass_b"))
+        ).alias("js_divergence"),
+    ).orderBy("source_a", "source_b")

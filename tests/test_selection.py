@@ -482,3 +482,65 @@ def test_cdc_degenerate_docs(spark, tmp_path):
         by_doc.setdefault(r.doc_id, []).append(r)
     assert len(by_doc[0]) == 1 and by_doc[0][0].chunk_len == 5
     assert len(by_doc[1]) == 1 and by_doc[1][0].chunk_len == 0
+
+
+# ------------------------------------------------- char-trigram LM
+
+
+def test_char_trigram_quality_flags_gibberish(spark, tmp_path):
+    typical = "the quick brown fox jumps over the lazy dog and runs on"
+    rows = [(i, typical, "en", "s", 1) for i in range(20)]
+    rows.append((20, "zq xv jk qz wx vq kj zx qv jz", "en", "s", 1))
+    rows.append((21, "", "en", "s", 1))  # no trigrams
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["char_trigram_quality"](
+            spark, sf
+        ).collect()
+    }
+    # gibberish is far more surprising under the corpus model than the
+    # text the model was dominated by
+    assert got[20].cross_entropy > got[0].cross_entropy + 1.0
+    # empty doc: surfaced, not dropped; no trigrams, NULL score
+    assert got[21].n_trigrams == 0 and got[21].cross_entropy is None
+
+
+# ------------------------------------------------- JS divergence
+
+
+def test_source_js_divergence_bounds(spark, tmp_path):
+    # identical distributions -> JS ~ 0; disjoint vocab -> JS = ln(2)
+    rows = []
+    for i in range(5):
+        rows.append((i, "aa bb cc dd", "en", "same1", 1))
+        rows.append((10 + i, "aa bb cc dd", "en", "same2", 1))
+        rows.append((20 + i, "xx yy zz ww", "en", "other", 1))
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        (r.source_a, r.source_b): r
+        for r in all_queries()["source_js_divergence"](
+            spark, sf
+        ).collect()
+    }
+    import math
+
+    assert got[("same1", "same2")].js_divergence == pytest.approx(
+        0.0, abs=1e-6
+    )
+    # disjoint pairs share no terms -> no intersection row survives the
+    # equi-join; the pair is absent (documented: JS would be exactly
+    # ln(2), and a pair with zero shared terms carries no signal beyond
+    # "disjoint")
+    assert ("same1", "other") not in got
+    # near-disjoint: one shared term keeps the pair with JS near ln(2)
+    rows.append((30, "xx qq rr ss", "en", "mixed", 1))
+    sf2 = _write_docs(tmp_path, rows)
+    got2 = {
+        (r.source_a, r.source_b): r
+        for r in all_queries()["source_js_divergence"](
+            spark, sf2
+        ).collect()
+    }
+    js = got2[("mixed", "other")].js_divergence
+    assert 0.5 < js <= math.log(2) + 1e-9
