@@ -27,18 +27,16 @@ batch oracle states as SELECT DISTINCT md5(text).
 
 from __future__ import annotations
 
-import hashlib
 import json
 import os
 import shutil
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..registry import query
-from .ingest import read_jsonl_stream
+from .ingest import await_drain, read_jsonl_stream, shard_documents
 
 _N_PLANTED_DUPS = 10
 
@@ -50,11 +48,14 @@ def stream_exact_dedup(
     first arrival of each hash within the horizon; later copies are
     dropped. State: one (hash, ts) entry per distinct hash in the
     horizon, evicted by the watermark."""
-    hashed = stream_df.select(
-        "doc_id",
-        F.md5("text").alias("content_hash"),
-        F.col("_metadata.file_modification_time").alias("arrival_ts"),
+    hashed = stream_df.withColumn(
+        "content_hash", F.md5("text")
+    ).withColumn(
+        "arrival_ts", F.col("_metadata.file_modification_time")
     )
+    # the full document payload rides THROUGH the dedup — survivors go
+    # straight to the ingest sink; dropping to (id, hash) here would
+    # force a re-join against the un-deduped source downstream
     return hashed.withWatermark(
         "arrival_ts", horizon
     ).dropDuplicatesWithinWatermark(["content_hash"])
@@ -72,17 +73,8 @@ def stream_dedup_census(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_sdedup_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
-    )
-    shards, sink, ckpt = (
-        os.path.join(base, d) for d in ("shards", "kept", "ckpt")
-    )
-    docs.repartition(4).write.mode("overwrite").option(
-        "compression", "gzip"
-    ).json(shards)
+    base, shards = shard_documents(spark, sf_dir, "sdedup")
+    sink, ckpt = (os.path.join(base, d) for d in ("kept", "ckpt"))
     # planted duplicate shard: the first N docs' exact texts re-sent
     # under fresh doc_ids (a re-crawl). Written as a SEPARATE shard so
     # maxFilesPerTrigger=2 puts it in a later micro-batch than (most
@@ -118,7 +110,7 @@ def stream_dedup_census(
         .trigger(availableNow=True)
         .start()
     )
-    drain.awaitTermination(300)
+    await_drain(drain)
     spark.catalog.refreshByPath(sink)
     return (
         spark.read.parquet(sink)

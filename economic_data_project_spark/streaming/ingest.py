@@ -41,6 +41,41 @@ from ..sources.files import (
 )
 
 
+def shard_documents(
+    spark: SparkSession, sf_dir: str, tag: str
+) -> tuple[str, str]:
+    """Deterministic /tmp staging area for driver-census streaming
+    queries: writes the documents table as 4 gzip JSONL shards under
+    ``/tmp/spark_graft_<tag>_<hash(sf_dir)>/shards`` (overwritten per
+    run) and returns (base_dir, shards_dir). Shared by the ingest and
+    dedup censuses so shard layout/hygiene evolves in one place."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_{tag}_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    shards = os.path.join(base, "shards")
+    docs.repartition(4).write.mode("overwrite").option(
+        "compression", "gzip"
+    ).json(shards)
+    return base, shards
+
+
+def await_drain(q, timeout: int = 300) -> None:
+    """Await an AvailableNow drain and FAIL LOUDLY on timeout: a
+    timed-out drain means the sink is partial and still being appended
+    — censusing it would surface as a spurious data mismatch that
+    looks like an engine bug. Stops the query before raising so the
+    sink stops moving."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming drain did not complete within {timeout}s;"
+            " sink is partial — not censusing it"
+        )
+
+
 def read_jsonl_stream(
     spark: SparkSession,
     glob_path: str,
@@ -107,18 +142,10 @@ def jsonl_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     Sink + checkpoint dirs are wiped per invocation (the overwrite-
     written shards get fresh file names each run, so a reused
     checkpoint would re-append every shard and double the census)."""
-    docs = load_table(spark, sf_dir, "documents")
-    base = os.path.join(
-        tempfile.gettempdir(),
-        "spark_graft_jstream_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    base, shards = shard_documents(spark, sf_dir, "jstream")
+    clean_dir, dead_dir, ckpt = (
+        os.path.join(base, d) for d in ("clean", "dead", "ckpt")
     )
-    shards, clean_dir, dead_dir, ckpt = (
-        os.path.join(base, d) for d in ("shards", "clean", "dead", "ckpt")
-    )
-    docs.repartition(4).write.mode("overwrite").option(
-        "compression", "gzip"
-    ).json(shards)
     with open(os.path.join(shards, "planted_bad.jsonl"), "w") as fh:
         for k in range(_N_PLANTED_BAD):
             if k % 2:
@@ -130,7 +157,7 @@ def jsonl_stream_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     drain = stream_ingest_with_quarantine(
         read_jsonl_stream(spark, shards), clean_dir, dead_dir, ckpt
     )
-    drain.awaitTermination(300)
+    await_drain(drain)
     summary = (
         spark.read.parquet(clean_dir)
         .groupBy("source")

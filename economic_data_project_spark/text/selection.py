@@ -46,6 +46,7 @@ from pyspark.sql.window import Window
 from ..catalog import load_table
 from ..functions.ta import emit, series_window, sql_emit
 from ..registry import query
+from .sampling import _hex_threshold
 
 _TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
 _TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
@@ -313,9 +314,12 @@ def corpus_shuffle_order(
 # is map-only. Split fractions: train 0.8 / val 0.1 / test 0.1.
 # --------------------------------------------------------------------------
 
-_SPLITS = [("train", 0.8), ("val", 0.9)]  # upper cumulative bounds
-_TRAIN_HI = format(int(0.8 * 65536), "04x")  # 'cccc'
-_VAL_HI = format(int(0.9 * 65536), "04x")  # 'e666'
+# upper cumulative bounds of each named split on the md5-prefix gate;
+# thresholds derive from the SAME helper as stratified sampling so the
+# gate resolution changes in one place
+_SPLITS = [("train", 0.8), ("val", 0.9)]
+_TRAIN_HI = _hex_threshold(_SPLITS[0][1])  # 'cccc'
+_VAL_HI = _hex_threshold(_SPLITS[1][1])  # 'e666'
 
 
 def _split_case(hash_expr: str) -> str:

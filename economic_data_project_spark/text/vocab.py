@@ -18,10 +18,10 @@ Scale design:
   frame that is already deduped per document — one extra exchange,
   no count-distinct expand over the corpus.
 - ``bigram_pmi_collocations``: positional bigrams explode → bigram
-  hash agg; unigram totals join in via TWO broadcast-sized maps? No —
-  unigram counts are vocabulary-sized, not corpus-sized, but a
-  vocabulary can be tens of millions of terms, so both unigram joins
-  stay plain shuffled equi-joins on the term key (uniform). PMI uses
+  hash agg. The unigram marginals are vocabulary-sized, not
+  corpus-sized — but a vocabulary can still be tens of millions of
+  terms, so both marginal joins stay plain shuffled equi-joins on the
+  (uniform) term key rather than assuming broadcastability. PMI uses
   ln(cf_xy * N / (cf_x * cf_y)) over INTEGER counts; ln is not
   guaranteed identically rounded across libm implementations, so the
   emitted score goes through the repo's ROUND(x, 6) + 0.0 discipline.
@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..functions.ta import sql_emit
+from ..functions.ta import emit, sql_emit
 from ..registry import query
 
 _TOKENS = "regexp_extract_all(lower(text), '[a-z]+', 0)"
@@ -141,8 +141,6 @@ LIMIT {_TOP_BIGRAMS}
 def bigram_pmi_collocations(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.ta import emit
-
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.expr(_TOKENS).alias("toks")).where(
         F.size("toks") >= 2
@@ -257,8 +255,6 @@ ORDER BY source_a, source_b
 def source_js_divergence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from ..functions.ta import emit
-
     d = load_table(spark, sf_dir, "documents")
     cnts = (
         d.select("source", F.explode(F.expr(_TOKENS)).alias("term"))
