@@ -250,3 +250,70 @@ def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------------------------------------------------
+# CSV interchange: the lowest-common-denominator corpus format. The
+# census carries a TEXT CHECKSUM (order-free bigint sum of an md5
+# prefix per document) on top of the count/char/id battery, because
+# the CSV-specific failure mode is silent content corruption through
+# quoting/escaping — a census that only counts rows would pass a file
+# whose commas and quotes scrambled the payloads. RFC-4180 discipline:
+# quote-doubling escape on write AND read (Spark's default escape is
+# backslash, which round-trips with itself but not with other
+# readers). Oracle is the parquet truth, as with ORC.
+# --------------------------------------------------------------------------
+
+_CSV_ROUNDTRIP_ORACLE = """
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id,
+       CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))
+            AS BIGINT) AS text_checksum
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+@query("csv_corpus_roundtrip", oracle=_CSV_ROUNDTRIP_ORACLE)
+def csv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "spark_graft_csv_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
+    )
+    (
+        docs.repartition(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')  # RFC 4180 quote-doubling
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(
+            "doc_id long, text string, lang string,"
+            " source string, n_chars long"
+        )
+        .option("header", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(out)
+    )
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+            F.sum(
+                F.expr(
+                    "cast(conv(substr(md5(text), 1, 8), 16, 10)"
+                    " as bigint)"
+                )
+            ).alias("text_checksum"),
+        )
+        .orderBy("lang")
+    )
