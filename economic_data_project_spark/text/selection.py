@@ -375,3 +375,119 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_doc_id").isNotNull().alias("in_cluster"),
         split.alias("split"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# Training manifest: the END PRODUCT of the whole preprocessing
+# pipeline, as one relation — for every SURVIVING document (passes all
+# screens, canonical in its exact-dup cluster, not a near-dup drop):
+# its leakage-safe split, its deterministic shuffle position, and its
+# context-window bin. This is the table a trainer's data loader
+# actually reads; every upstream operator (fused verdict, exact/LSH
+# dedup, cluster-keyed split, sharded shuffle, bin packing) feeds it.
+#
+# Bin packing here runs WITHIN (split, shuffle-shard) in shuffle
+# order — the training-time layout — so bins never mix splits and a
+# loader streams (split, shard) partitions independently. One
+# partitioned window over the kept set; the heavy lifting happened in
+# the upstream operators this composes.
+# --------------------------------------------------------------------------
+
+
+def _manifest_oracle() -> str:
+    from .dedup import _COMPONENTS_CTE
+    from .screening import BIN_CAPACITY, _keep_list_oracle
+
+    # CTE subqueries carry their own WITH blocks (incl. RECURSIVE);
+    # inner names are scoped to each subquery, so no collisions.
+    split_h = (
+        "substr(md5(CAST(COALESCE(c.component_id, d.doc_id)"
+        " AS VARCHAR)), 1, 4)"
+    )
+    return f"""
+WITH keep AS ({_keep_list_oracle()}),
+spl AS (
+  {_COMPONENTS_CTE}
+  SELECT d.doc_id,
+         {_split_case(split_h)} AS split
+  FROM documents d
+  LEFT JOIN comp c ON c.doc_id = d.doc_id
+),
+ord_k AS (
+  SELECT doc_id,
+         substr(md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}'),
+                1, 2) AS shard,
+         md5(CAST(doc_id AS VARCHAR) || ':{_SHUFFLE_SALT}')
+           AS shuffle_key
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, CAST(len({_TOKENS_DUCK}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+kept AS (
+  SELECT k.doc_id, spl.split, ord_k.shard, ord_k.shuffle_key,
+         tok.n_tokens
+  FROM keep k
+  JOIN spl ON spl.doc_id = k.doc_id
+  JOIN ord_k ON ord_k.doc_id = k.doc_id
+  JOIN tok ON tok.doc_id = k.doc_id
+  WHERE k.keep
+)
+SELECT doc_id, split, shard, n_tokens,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS pos_in_shard,
+       CAST((SUM(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING)
+             - n_tokens) AS BIGINT) AS start_offset,
+       CAST((SUM(n_tokens) OVER (w ROWS UNBOUNDED PRECEDING)
+             - n_tokens) // {BIN_CAPACITY} AS BIGINT) AS bin_id
+FROM kept
+WINDOW w AS (PARTITION BY split, shard
+             ORDER BY shuffle_key, doc_id)
+ORDER BY split, shard, pos_in_shard
+"""
+
+
+@query("corpus_training_manifest", oracle=_manifest_oracle())
+def corpus_training_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from .screening import BIN_CAPACITY, corpus_keep_list
+
+    keep = (
+        corpus_keep_list(spark, sf_dir)
+        .where(F.col("keep"))
+        .select("doc_id")
+    )
+    spl = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    order = corpus_shuffle_order(spark, sf_dir).select(
+        "doc_id", "shard", "shuffle_key"
+    )
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
+    )
+    kept = (
+        keep.join(spl, "doc_id")
+        .join(order, "doc_id")
+        .join(tok, "doc_id")
+    )
+    w = Window.partitionBy("split", "shard").orderBy(
+        "shuffle_key", "doc_id"
+    )
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    start = F.sum("n_tokens").over(wsum) - F.col("n_tokens")
+    return (
+        kept.select(
+            "doc_id",
+            "split",
+            "shard",
+            "n_tokens",
+            F.row_number().over(w).cast("long").alias("pos_in_shard"),
+            start.alias("start_offset"),
+            F.floor(start / float(BIN_CAPACITY))
+            .cast("long")
+            .alias("bin_id"),
+        )
+        .orderBy("split", "shard", "pos_in_shard")
+    )

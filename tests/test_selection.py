@@ -547,3 +547,40 @@ def test_source_js_divergence_bounds(spark, tmp_path):
     }
     js = got2[("mixed", "other")].js_divergence
     assert 0.5 < js <= math.log(2) + 1e-9
+
+
+# ------------------------------------------------- training manifest
+
+
+def test_training_manifest_composition_invariants(spark):
+    from .conftest import SF_DIR
+
+    man = all_queries()["corpus_training_manifest"](
+        spark, SF_DIR
+    ).collect()
+    keep = {
+        r.doc_id
+        for r in all_queries()["corpus_keep_list"](spark, SF_DIR)
+        .where("keep")
+        .collect()
+    }
+    # exactly the kept docs, each once
+    ids = [r.doc_id for r in man]
+    assert set(ids) == keep and len(ids) == len(keep)
+    # offsets are contiguous token runs within every (split, shard):
+    # start_offset(k) = start_offset(k-1) + n_tokens(k-1), from 0
+    from collections import defaultdict
+
+    lanes = defaultdict(list)
+    for r in man:
+        lanes[(r.split, r.shard)].append(r)
+    for lane in lanes.values():
+        lane.sort(key=lambda r: r.pos_in_shard)
+        off = 0
+        for k, r in enumerate(lane, start=1):
+            assert r.pos_in_shard == k
+            assert r.start_offset == off
+            assert r.bin_id == off // 512
+            off += r.n_tokens
+    # bins never mix splits (holds by construction of the lanes)
+    assert all(r.split in ("train", "val", "test") for r in man)
