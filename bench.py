@@ -63,6 +63,7 @@ HEADLINE = [
     "dedup_incremental_minhash",  # shard-vs-index near-dup probe
     "cdc_chunking",             # content-defined chunk geometry
     "bigram_pmi_collocations",  # positional-bigram PMI census
+    "corpus_training_manifest",  # end-to-end keep+split+shuffle+pack
 ]
 
 

@@ -256,7 +256,15 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
-    return verified.select("doc_a", "doc_b", "jaccard")
+    # cached: the verified pair list is consumed by several downstream
+    # operators (keep-list drop list, connected components, the
+    # leakage-safe split, and the training manifest composes two of
+    # those) — CacheManager dedups the identical analyzed plan, so the
+    # candidate join + exact verification runs ONCE per sf_dir instead
+    # of once per consumer subtree. Size is the near-dup pair count
+    # (dup-rate-bounded, tiny next to the corpus); same documented
+    # lifetime discipline as the shingle/band caches above.
+    return verified.select("doc_a", "doc_b", "jaccard").cache()
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -840,36 +848,104 @@ ORDER BY c.component_id, c.doc_id
 """
 
 
-def connected_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
-    """Min-label propagation over an undirected edge list -> (id, component_id).
+# Below this edge count the component graph is collected and solved
+# with driver-side union-find: the distributed loop pays ~3 shuffle
+# stages + a count action PER ROUND, which dominates wall-clock on the
+# small graphs near-dup clustering actually produces (pairs/triples),
+# while 1e5 (u, v) longs are a few MB on the driver. Above the cap the
+# label-propagation loop is the honest scale path. Same size-routing
+# discipline as brute->LSH embedding dedup and NMF->LDA topic models.
+_CC_DRIVER_MAX_EDGES = 100_000
 
-    Cache discipline: edges and the current label generation are
-    persisted (each round reads both more than once); every superseded
-    label generation is unpersisted as soon as its successor is
-    materialized by the convergence count, and edges are released on
-    exit — deep chains hold at most two label generations at once
-    instead of one per round. Only the FINAL generation stays cached
-    (the caller consumes it lazily; an evicted partition just
-    recomputes through lineage)."""
+
+def _driver_union_find(edge_rows: list) -> list[tuple[int, int]]:
+    """Union-find with min-id representatives — bit-identical output to
+    the min-label propagation loop (both assign every node the minimum
+    doc_id reachable from it)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.setdefault(root, root) != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # min id wins as the representative
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return sorted((x, find(x)) for x in parent)
+
+
+def connected_components(
+    pairs: DataFrame,
+    a: str,
+    b: str,
+    driver_max_edges: int = _CC_DRIVER_MAX_EDGES,
+) -> DataFrame:
+    """Min-label components over an undirected edge list -> (id,
+    component_id); representative = min doc_id in the component.
+
+    Small graphs (<= ``driver_max_edges`` edges) route to driver-side
+    union-find; larger graphs run distributed min-label propagation.
+
+    Loop-path lineage discipline: every label generation is
+    ``localCheckpoint``-ed, which BOTH caches the round's data AND
+    truncates the logical plan to a LogicalRDD. The truncation is
+    correctness-critical, not a nicety: each round references the
+    previous generation twice (neighbor-min join + change detection),
+    so without truncation the logical plan DOUBLES per round and the
+    per-execution plan rendering (Spark emits it for every job) goes
+    exponential — a ~10-round chain OOMs the driver on plan strings
+    alone. With truncation every round's plan is edges + one
+    LogicalRDD, constant size at any depth. Superseded generations are
+    freed deterministically through the LogicalRDD's own RDD handle
+    (DataFrame.unpersist is CacheManager-based and cannot see
+    checkpoint storage); only the FINAL generation stays cached for
+    the caller. On a real cluster prefer ``checkpoint()`` with a
+    checkpoint dir for executor-loss tolerance — localCheckpoint
+    trades that for speed, the right call in this single-JVM engine."""
+    spark = pairs.sparkSession
     edges = pairs.select(
         F.col(a).alias("u"), F.col(b).alias("v")
     ).unionByName(
         pairs.select(F.col(b).alias("u"), F.col(a).alias("v"))
     ).persist()
-    cached = (
+    # limit(cap + 1) bounds the probe: never counts the full edge list
+    # just to decide the route
+    n_probe = edges.limit(driver_max_edges + 1).count()
+    if n_probe <= driver_max_edges:
+        rows = [(r.u, r.v) for r in edges.collect()]
+        edges.unpersist()
+        labels = _driver_union_find(rows)
+        return spark.createDataFrame(
+            labels, "doc_id long, component_id long"
+        )
+
+    def _free_generation(ck_df: DataFrame) -> None:
+        # the checkpointed plan is a bare LogicalRDD; its rdd() IS the
+        # persisted checkpoint storage. Thread-safe (no global
+        # persistent-RDD diffing — the oracle sweep shares the session).
+        ck_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+
+    gen = (
         edges.select(F.col("u").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
-    labels = cached
+    labels = gen
     while True:
         nb = (
             edges.join(labels, edges.v == labels.id)
             .groupBy("u")
             .agg(F.min("label").alias("nb_label"))
         )
-        new_labels = (
+        new_gen = (
             labels.join(nb, labels.id == nb.u, "left")
             .select(
                 "id",
@@ -882,12 +958,12 @@ def connected_components(pairs: DataFrame, a: str, b: str) -> DataFrame:
                     & (F.col("nb_label") < F.col("label"))
                 ).alias("changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        n_changed = new_labels.where(F.col("changed")).count()
-        cached.unpersist()  # superseded generation; successor is cached
-        cached = new_labels
-        labels = new_labels.drop("changed")
+        n_changed = new_gen.where(F.col("changed")).count()
+        _free_generation(gen)  # superseded; successor is checkpointed
+        gen = new_gen
+        labels = new_gen.drop("changed")
         if n_changed == 0:
             break
     edges.unpersist()

@@ -356,7 +356,12 @@ def test_connected_components_cache_hygiene(spark):
     before = set(
         spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
     )
-    out = connected_components(pairs, "doc_a", "doc_b")
+    # driver_max_edges=0 forces the DISTRIBUTED loop (the default would
+    # route this tiny graph to driver union-find and skip the code
+    # under test)
+    out = connected_components(
+        pairs, "doc_a", "doc_b", driver_max_edges=0
+    )
     rows = {(r.doc_id, r.component_id) for r in out.collect()}
     assert rows == {
         (1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10),
@@ -367,6 +372,35 @@ def test_connected_components_cache_hygiene(spark):
     assert len(after - before) <= 1, (
         "label-propagation left intermediate generations cached"
     )
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver union-find fast path and the distributed
+    label-propagation loop must be bit-identical — including on a
+    deep chain (the propagation-round-count stressor) and on min-id
+    representatives arriving from either edge side."""
+    from economic_data_project_spark.text.dedup import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(20, 28)]  # 9-node chain
+    pairs = spark.createDataFrame(
+        chain + [(2, 1), (40, 39), (39, 41)],
+        "doc_a long, doc_b long",
+    )
+    fast = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(pairs, "doc_a", "doc_b").collect()
+    }
+    loop = {
+        (r.doc_id, r.component_id)
+        for r in connected_components(
+            pairs, "doc_a", "doc_b", driver_max_edges=0
+        ).collect()
+    }
+    assert fast == loop
+    # min-id representative, regardless of edge direction
+    assert (2, 1) in fast and (41, 39) in fast and (27, 20) in fast
 
 
 def test_hierarchy_rounds_release_superseded_caches(spark):
