@@ -82,6 +82,11 @@ LONGDOC = [
     "ngram_jaccard_nn",
     "dedup_simhash",
     "corpus_keep_list",
+    # round 7 additions: new per-token/per-char heavy text ops — the
+    # lane exists to catch quadratic-in-document-length regressions
+    "dedup_substring_spans",
+    "cdc_chunking",
+    "char_trigram_quality",
 ]
 _LONGDOC_DOCS = 1000
 _LONGDOC_TOKENS = 2000

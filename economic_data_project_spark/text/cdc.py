@@ -77,25 +77,40 @@ ORDER BY doc_id, chunk_idx
 
 @query("cdc_chunking", oracle=_CDC_ORACLE)
 def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All positional work runs on a BOUND char array (cs = split
+    (text, '')), never substring(text, i, k): Spark's UTF8String
+    seeks char positions by scanning from the string start, so a
+    transform-over-positions substring is O(len^2) per document (the
+    longdoc lane measured 16s before the array form — slice/
+    array_join are O(k) — brought it back to linear)."""
     d = load_table(spark, sf_dir, "documents")
-    staged = d.select(
-        "doc_id",
-        "text",
-        F.length("text").cast("long").alias("n"),
-    ).select(
-        "doc_id",
-        "text",
-        "n",
-        F.expr(
-            f"filter(sequence(1, greatest(n - {_K_WIN} + 1, 1)),"
-            f" i -> i <= n - {_K_WIN} + 1"
-            f" and substring(md5(substring(text, cast(i as int),"
-            f" {_K_WIN})), 1, 2) < '{_BOUNDARY_HI}')"
-        ).alias("bnd"),
+    staged = (
+        d.select(
+            "doc_id",
+            "text",
+            F.length("text").cast("long").alias("n"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            F.expr("split(text, '')").alias("cs"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "cs",
+            F.expr(
+                f"filter(sequence(1, greatest(n - {_K_WIN} + 1, 1)),"
+                f" i -> i <= n - {_K_WIN} + 1"
+                f" and substring(md5(array_join(slice(cs,"
+                f" cast(i as int), {_K_WIN}), '')), 1, 2)"
+                f" < '{_BOUNDARY_HI}')"
+            ).alias("bnd"),
+        )
     )
     geo = staged.select(
         "doc_id",
-        "text",
+        "cs",
         F.expr(
             "concat(array(cast(1 as bigint)),"
             " transform(bnd, x -> x + 1))"
@@ -105,7 +120,7 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         geo.select(
             "doc_id",
-            "text",
+            "cs",
             F.posexplode(
                 F.expr(
                     "zip_with(starts, ends,"
@@ -123,8 +138,8 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("chunk_len"),
             F.md5(
                 F.expr(
-                    "substring(text, cast(ch.s as int),"
-                    " cast(greatest(ch.e - ch.s + 1, 0) as int))"
+                    "array_join(slice(cs, cast(ch.s as int),"
+                    " cast(greatest(ch.e - ch.s + 1, 0) as int)), '')"
                 )
             ).alias("chunk_hash"),
         )

@@ -37,9 +37,25 @@ from ..registry import query
 _NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' '))"
 _NORM_DUCK = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 
-_TRIGRAMS = (
-    "transform(filter(sequence(1, greatest(length(ns) - 2, 1)),"
-    " i -> i <= length(ns) - 2), i -> substring(ns, cast(i as int), 3))"
+# Spark-side trigrams are INTEGER ids (c1*128^2 + c2*128 + c3 over
+# ascii codes), built by two zip_with passes over shifted slices of a
+# bound codes array. Two reasons, both measured on the longdoc lane:
+# (1) substring(ns, i, 3) per position is O(len^2) per document
+# (UTF8String seeks char positions by scanning from the start) — 64s
+# on 2k-token docs; (2) even O(1) element_at + string concat per
+# position pays string allocation on 12M interpreted lambda evals —
+# 43s. Shifted-slice zip_with over ints is pure arithmetic and the
+# downstream shuffles/joins key on a bigint. The ORACLE keeps string
+# trigrams: tg identity never reaches the output (only doc_id,
+# n_trigrams, cross_entropy), and the model probabilities depend only
+# on trigram equivalence classes, which the two keyings define
+# identically.
+_TG_IDS = (
+    "zip_with(zip_with(slice(codes, 1, greatest(size(codes) - 2, 0)),"
+    " slice(codes, 2, greatest(size(codes) - 2, 0)),"
+    " (x, y) -> x * 128 + y),"
+    " slice(codes, 3, greatest(size(codes) - 2, 0)),"
+    " (xy, z) -> xy * 128 + z)"
 )
 _TRIGRAMS_DUCK = (
     "list_transform(list_filter(range(1, greatest(len(ns) - 1, 2)),"
@@ -89,7 +105,13 @@ def char_trigram_quality(
             "doc_id",
             F.expr(_NORM).alias("ns"),
         )
-        .select("doc_id", F.explode(F.expr(_TRIGRAMS)).alias("tg"))
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(split(ns, ''), c -> ascii(c))"
+            ).alias("codes"),
+        )
+        .select("doc_id", F.explode(F.expr(_TG_IDS)).alias("tg"))
         .groupBy("doc_id", "tg")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
