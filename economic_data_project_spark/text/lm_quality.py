@@ -45,7 +45,9 @@ _NORM_DUCK = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
 # on 2k-token docs; (2) even O(1) element_at + string concat per
 # position pays string allocation on 12M interpreted lambda evals —
 # 43s. Shifted-slice zip_with over ints is pure arithmetic and the
-# downstream shuffles/joins key on a bigint. The ORACLE keeps string
+# downstream shuffles/joins key on an INT (max id ~2.01M = 127*128^2 —
+# widening the base or the gram length needs an explicit bigint cast
+# first). The ORACLE keeps string
 # trigrams: tg identity never reaches the output (only doc_id,
 # n_trigrams, cross_entropy), and the model probabilities depend only
 # on trigram equivalence classes, which the two keyings define
