@@ -610,3 +610,15 @@ def test_vocab_topk_is_distributed(spark):
     df = all_queries()["vocab_top_terms"](spark, SF_DIR)
     phys = _plan(df).split("== Physical Plan ==", 1)[1]
     assert "TakeOrderedAndProject" in phys
+
+
+def test_training_manifest_composition_shape(spark):
+    """The manifest composes five operators; the gate pins what must
+    never appear (pair-space blowups) and what must (cache reuse of
+    the shared minhash frames — without InMemory hits every consumer
+    would re-run candidate generation + verification)."""
+    df = all_queries()["corpus_training_manifest"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert "CartesianProduct" not in phys
+    assert "BroadcastNestedLoopJoin" not in phys
+    assert "InMemoryTableScan" in phys
