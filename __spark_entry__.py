@@ -326,24 +326,29 @@ def _last_checked_round(records=None) -> dict[str, int]:
 
 
 def _priority_order(names: list[str]) -> list[str]:
-    """Never-driver-verified first, then stale (code changed since the
-    query's own last green row) ordered by green-row AGE (oldest last
-    driver pass first), then the stable tail — so a driver that checks a
-    bounded prefix always spends its budget on queries with no green row
-    yet, and a broad shared-helper edit that flags most of the registry
-    still re-verifies the longest-stale queries within
-    ceil(stale/prefix) rounds instead of starving late-registering
-    modules forever. Rows-only queries age by their recorded driver
-    runs (:func:`_last_checked_round`) — they must not sit in the
-    fresh bucket permanently."""
+    """Never-driver-verified first, then every recorded query ordered by
+    green-row AGE (oldest last driver pass first), with stale (code
+    changed since the query's own last green row) ahead of unchanged
+    queries WITHIN the same round — so a driver that checks a bounded
+    prefix always spends its budget on queries with no green row yet,
+    then on the longest-unverified records. Age outranks staleness
+    across rounds on purpose: a round's own code edits re-flag
+    freshly-verified queries as stale, and letting those jump the queue
+    would starve a multi-round-old tail indefinitely (the r7 verdict's
+    top ask — 58 queries stuck on r03/r04 rows while each round's new
+    work consumed the 50-slot prefix). An unchanged query with an old
+    row still re-verifies — guarding against driver-environment drift —
+    but never before an equally-old changed one. Rows-only queries age
+    by their recorded driver runs (:func:`_last_checked_round`) — they
+    must not sit in the fresh bucket permanently."""
     last = _last_checked_round(list(_iter_records()))
     force = set(_stale_queries(last))
     passed = set(last)
     fresh = [n for n in names if n not in passed]
-    stale = [n for n in names if n in passed and n in force]
-    stale.sort(key=lambda n: last[n])  # stable: registry order within a round
-    stable = [n for n in names if n in passed and n not in force]
-    return fresh + stale + stable
+    rest = [n for n in names if n in passed]
+    # stable sort: registry order breaks (round, staleness) ties
+    rest.sort(key=lambda n: (last[n], n not in force))
+    return fresh + rest
 
 
 def entry(spark: SparkSession) -> DataFrame:

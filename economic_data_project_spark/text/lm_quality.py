@@ -116,6 +116,13 @@ def char_trigram_quality(
         .select("doc_id", F.explode(F.expr(_TG_IDS)).alias("tg"))
         .groupBy("doc_id", "tg")
         .agg(F.count("*").cast("long").alias("cnt"))
+        # cached: this (doc, trigram) hash-agg is the dominant corpus
+        # scan and feeds BOTH the model build and the scoring join —
+        # without the cache Spark re-runs the normalize→explode→agg
+        # pipeline twice. Same documented lifetime discipline as the
+        # dedup shingle caches (text/dedup.py:_shingled): CacheManager
+        # dedups by analyzed plan, one entry per sf_dir, LRU-evicted.
+        .cache()
     )
     model = inst.groupBy("tg").agg(F.sum("cnt").alias("c_t"))
     tot = F.broadcast(model.agg(F.sum("c_t").alias("n")))

@@ -21,10 +21,11 @@ repetition filtering (``text_repetition_scores``):
   the corpus, so documents are hash-sharded (doc_id % N_SHARDS) and
   packed within shards, which is exactly how a 1000-executor packing
   job runs (each shard's bins feed one writer). Bin id =
-  floor(start_offset / capacity) — fixed-boundary packing; per-bin
-  stats report fill ratios. All arithmetic is integer sums and
-  division by a power of two (exact in IEEE double), so both engines
-  hash-match without rounding.
+  start_offset div capacity — fixed-boundary packing via INTEGER
+  division on both engines (a float detour would lose integer
+  precision above 2^53 and could shift boundary rows); per-bin stats
+  report fill ratios (the one intentional float: capacity is a power
+  of two, so the ratio is IEEE-exact on both engines).
 
 Scale: both are one scan over documents; packing shuffles once on the
 shard key (uniform by construction); windows partition per shard.
@@ -112,8 +113,8 @@ toks AS (
 packed AS (
   SELECT doc_id, shard, n_tokens,
          CAST(SUM(n_tokens) OVER w - n_tokens AS BIGINT) AS start_offset,
-         CAST(FLOOR((SUM(n_tokens) OVER w - n_tokens)
-              / {BIN_CAPACITY}.0) AS BIGINT) AS bin_id
+         CAST((SUM(n_tokens) OVER w - n_tokens)
+              // {BIN_CAPACITY} AS BIGINT) AS bin_id
   FROM toks
   WINDOW w AS (PARTITION BY shard ORDER BY doc_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -161,15 +162,14 @@ def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "shard",
         "n_tokens",
-        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias(
-            "start_offset"
-        ),
-        F.floor(
-            (F.sum("n_tokens").over(w) - F.col("n_tokens"))
-            / float(BIN_CAPACITY)
-        )
+        (F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .cast("long")
-        .alias("bin_id"),
+        .alias("start_offset"),
+    ).withColumn(
+        # integer `div` matching the oracle's `//` at any offset —
+        # see corpus_training_manifest for the 2^53 float hazard
+        "bin_id",
+        F.expr(f"start_offset div {BIN_CAPACITY}").cast("long"),
     )
 
 

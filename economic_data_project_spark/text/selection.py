@@ -484,10 +484,16 @@ def corpus_training_manifest(
             "shard",
             "n_tokens",
             F.row_number().over(w).cast("long").alias("pos_in_shard"),
-            start.alias("start_offset"),
-            F.floor(start / float(BIN_CAPACITY))
-            .cast("long")
-            .alias("bin_id"),
+            start.cast("long").alias("start_offset"),
+        )
+        # integer `div`, matching the oracle's `//` exactly at any
+        # offset: the old floor(start / 512.0) detours through double,
+        # which loses integer precision above 2^53 and can shift a
+        # row's bin at boundary offsets (floor((2^54-1)/512.0) !=
+        # (2^54-1) div 512) — no float ever decides a row's membership.
+        .withColumn(
+            "bin_id",
+            F.expr(f"start_offset div {BIN_CAPACITY}").cast("long"),
         )
         .orderBy("split", "shard", "pos_in_shard")
     )

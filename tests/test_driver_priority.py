@@ -48,20 +48,32 @@ def test_ast_changed_fails_stale(tmp_path, monkeypatch):
     assert se._ast_changed("m.py", "deadbeef") is True
 
 
-def test_priority_order_fresh_then_oldest_stale(monkeypatch):
+def test_priority_order_fresh_then_oldest_record(monkeypatch):
     se = _load_entry()
     monkeypatch.setattr(se, "_stale_queries", lambda *a: ["b", "c"])
     monkeypatch.setattr(
         se, "_last_checked_round", lambda *a: {"a": 2, "b": 3, "c": 1}
     )
-    # d never passed -> fresh bucket first; stale ordered oldest green
-    # first (c r1 before b r3); stable tail last
+    # d never passed -> fresh bucket first; then AGE-primary: c (r1,
+    # stale) before a (r2, unchanged) before b (r3, stale) — a round's
+    # own edits must not let freshly-verified-but-changed queries jump
+    # ahead of a multi-round-old tail (r7 verdict top ask)
     assert se._priority_order(["a", "b", "c", "d"]) == [
         "d",
         "c",
-        "b",
         "a",
+        "b",
     ]
+
+
+def test_priority_order_stale_first_within_round(monkeypatch):
+    se = _load_entry()
+    monkeypatch.setattr(se, "_stale_queries", lambda *a: ["b"])
+    monkeypatch.setattr(
+        se, "_last_checked_round", lambda *a: {"a": 3, "b": 3}
+    )
+    # same record age -> the changed query outranks the unchanged one
+    assert se._priority_order(["a", "b"]) == ["b", "a"]
 
 
 def test_rows_only_records_age_out_of_fresh(tmp_path, monkeypatch):
@@ -121,10 +133,10 @@ def test_rows_only_records_age_out_of_fresh(tmp_path, monkeypatch):
         se, "_stale_queries", lambda *a: ["green_q", "rows_only_q"]
     )
     assert se._priority_order(names) == ["new_q", "rows_only_q", "green_q"]
-    # nothing stale -> recorded rows-only query sits in the stable tail,
-    # not the fresh bucket
+    # nothing stale -> recorded rows-only query still ages by its
+    # driver-run round (r3 before r4), never back into the fresh bucket
     monkeypatch.setattr(se, "_stale_queries", lambda *a: [])
-    assert se._priority_order(names) == ["new_q", "green_q", "rows_only_q"]
+    assert se._priority_order(names) == ["new_q", "rows_only_q", "green_q"]
 
 
 def test_rows_only_failed_record_stays_fresh(tmp_path, monkeypatch):

@@ -485,3 +485,123 @@ def test_emb_lsh_path_equals_brute_on_colliding_pairs(spark):
     plan = _emb_lsh_pairs(emb, dim)._jdf.queryExecution().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ----------------------------------- minhash-LSH recall at the boundary
+
+
+def test_minhash_lsh_recall_curve_at_jaccard_boundary(spark, tmp_path):
+    """Load-bearing test for the 8x3 banding constants: plant 120 pairs
+    at EACH exact shingle-Jaccard level j in {0.4, 0.5, 0.6} and measure
+    candidate-stage recall (the band self-join, before exact-Jaccard
+    verification). Theory for b=8 bands of r=3 rows: recall(j) =
+    1-(1-j^3)^8 = 0.411 / 0.656 / 0.857 — the documented ~0.66 at the
+    j=0.5 threshold (text/dedup.py scheme comment). Measured on this
+    fixture (deterministic — seeded constants + md5):
+    0.375 / 0.667 / 0.858. A banding change
+    (fewer bands, wider rows, a hash-mixing bug that decorrelates
+    signatures) shifts this curve and fails here, turning the comment
+    into an asserted contract.
+
+    Exact-j construction: doc pair = shared P-token prefix + disjoint
+    S-token suffixes, all tokens globally unique letters-only strings.
+    Shingle sets: P-2 shared, S unique per doc -> j = (P-2)/(P-2+2S)
+    exactly. (P,S) = (10,6)->0.4, (12,5)->0.5, (14,4)->0.6.
+    Tokens are namespaced per (level, pair, side), so cross-pair
+    Jaccard is 0 and the only candidates possible are planted pairs."""
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark.text.dedup import (
+        _bands_of,
+        _shingled,
+    )
+
+    def b26(n: int) -> str:
+        s = ""
+        for _ in range(4):
+            s += "abcdefghijklmnopqrstuvwxyz"[n % 26]
+            n //= 26
+        return s
+
+    LEVELS = [(0.4, 10, 6), (0.5, 12, 5), (0.6, 14, 4)]
+    N_PAIRS = 120
+    rows, planted = [], {}
+    doc_id = 0
+    for li, (j, p, s) in enumerate(LEVELS):
+        pairs = set()
+        for k in range(N_PAIRS):
+            prefix = [
+                f"s{b26(li)}{b26(k)}{b26(t)}" for t in range(p)
+            ]
+            a = prefix + [
+                f"a{b26(li)}{b26(k)}{b26(t)}" for t in range(s)
+            ]
+            b = prefix + [
+                f"b{b26(li)}{b26(k)}{b26(t)}" for t in range(s)
+            ]
+            rows.append((doc_id, " ".join(a), "en", "fx", 1))
+            rows.append((doc_id + 1, " ".join(b), "en", "fx", 1))
+            pairs.add((doc_id, doc_id + 1))
+            doc_id += 2
+        planted[j] = pairs
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    # fixture sanity: the constructed Jaccard is EXACT per level
+    con = duckdb_connect(str(tmp_path))
+    from economic_data_project_spark.text.dedup import _SHINGLES_DUCK
+
+    for j, pairs in planted.items():
+        lo = min(min(a, b) for a, b in pairs)
+        hi = max(max(a, b) for a, b in pairs)
+        jmin, jmax = con.execute(
+            f"""
+            WITH sh AS (SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+                        FROM documents
+                        WHERE doc_id BETWEEN {lo} AND {hi})
+            SELECT MIN(x), MAX(x) FROM (
+              SELECT CAST(len(list_intersect(a.shingles, b.shingles))
+                       AS DOUBLE)
+                     / (len(a.shingles) + len(b.shingles)
+                        - len(list_intersect(a.shingles, b.shingles)))
+                     AS x
+              FROM sh a JOIN sh b
+                ON b.doc_id = a.doc_id + 1 AND a.doc_id % 2 = 0)
+            """
+        ).fetchone()
+        assert abs(jmin - j) < 1e-12 and abs(jmax - j) < 1e-12
+
+    bands = _bands_of(_shingled(spark, str(tmp_path)))
+    cand = {
+        (r.a, r.b)
+        for r in bands.alias("x")
+        .join(
+            bands.alias("y"),
+            (F.col("x.band_id") == F.col("y.band_id"))
+            & (F.col("x.band_val") == F.col("y.band_val"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .select(
+            F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    # unique token namespaces -> zero cross-pair shingles -> any
+    # non-planted candidate is a signature-scheme bug
+    all_planted = set().union(*planted.values())
+    assert cand <= all_planted, f"false candidates: {cand - all_planted}"
+
+    theory = {j: 1 - (1 - j**3) ** 8 for j, _, _ in LEVELS}
+    recall = {
+        j: len(cand & pairs) / len(pairs)
+        for j, pairs in planted.items()
+    }
+    # +-0.12 is ~3 sigma of binomial(120, p) at every level; the
+    # fixture + seeded constants make the measurement deterministic
+    for j in theory:
+        assert abs(recall[j] - theory[j]) <= 0.12, (
+            f"j={j}: recall {recall[j]:.3f} vs theory {theory[j]:.3f}"
+        )
+    assert recall[0.4] < recall[0.5] < recall[0.6]
