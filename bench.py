@@ -87,6 +87,12 @@ LONGDOC = [
     "dedup_substring_spans",
     "cdc_chunking",
     "char_trigram_quality",
+    # round 9 additions: the end-to-end compositions — the manifest is
+    # the most expensive headline query and composes minhash/components
+    # over documents, so the quadratic-regression tripwire must cover
+    # the composition, not just its ingredients (r7/r8 brief #4)
+    "leakage_safe_split",
+    "corpus_training_manifest",
 ]
 _LONGDOC_DOCS = 1000
 _LONGDOC_TOKENS = 2000

@@ -264,6 +264,34 @@ def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # readers). Oracle is the parquet truth, as with ORC.
 # --------------------------------------------------------------------------
 
+# Full RFC-4180 round-trip contract (ADVICE r7): an explicit null
+# marker distinct from the quoted empty string so NULL vs '' survive
+# the trip (Spark's defaults collapse both to empty on write and read
+# unquoted empty back as null), and `multiLine` on read so embedded
+# newlines inside quoted fields don't split records. multiLine makes a
+# CSV file non-splittable (one task per file) — the honest cost of
+# newline-bearing text in CSV; the writer controls file count via
+# repartition, and a 100 TB corpus belongs in parquet/ORC anyway (CSV
+# is the interchange path). Value-level proof on a hostile fixture
+# (embedded newline/quote/comma, empty string, NULL):
+# tests/test_sources_kernels.py::test_csv_roundtrip_rfc4180_hostile.
+CSV_CORPUS_WRITE_OPTS: dict[str, str] = {
+    "header": "true",
+    "quote": '"',
+    "escape": '"',  # RFC 4180 quote-doubling
+    "nullValue": "\\N",
+    "emptyValue": '""',
+    # the WRITER trims field whitespace by default (!) — leading/
+    # trailing newlines and spaces in document text are payload
+    "ignoreLeadingWhiteSpace": "false",
+    "ignoreTrailingWhiteSpace": "false",
+}
+CSV_CORPUS_READ_OPTS: dict[str, str] = {
+    **CSV_CORPUS_WRITE_OPTS,
+    "emptyValue": "",
+    "multiLine": "true",
+}
+
 _CSV_ROUNDTRIP_ORACLE = """
 SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
@@ -283,24 +311,17 @@ def csv_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "spark_graft_csv_"
         + hashlib.md5(sf_dir.encode()).hexdigest()[:8],
     )
-    (
-        docs.repartition(4)
-        .write.mode("overwrite")
-        .option("header", "true")
-        .option("quote", '"')
-        .option("escape", '"')  # RFC 4180 quote-doubling
-        .csv(out)
+    w = docs.repartition(4).write.mode("overwrite")
+    for k, v in CSV_CORPUS_WRITE_OPTS.items():
+        w = w.option(k, v)
+    w.csv(out)
+    r = spark.read.schema(
+        "doc_id long, text string, lang string,"
+        " source string, n_chars long"
     )
-    back = (
-        spark.read.schema(
-            "doc_id long, text string, lang string,"
-            " source string, n_chars long"
-        )
-        .option("header", "true")
-        .option("quote", '"')
-        .option("escape", '"')
-        .csv(out)
-    )
+    for k, v in CSV_CORPUS_READ_OPTS.items():
+        r = r.option(k, v)
+    back = r.csv(out)
     return (
         back.groupBy("lang")
         .agg(

@@ -33,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -146,7 +147,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded, not a leak: Spark's CacheManager dedups by analyzed
     plan, so repeated invocations on the same sf_dir reuse one entry
     (one per distinct sf_dir total), and entries are MEMORY_AND_DISK
-    with LRU eviction under pressure."""
+    with LRU eviction under pressure. Every such frame also registers
+    with caches.register_session_cache, so a session owner frees them
+    all deterministically via caches.free_session_caches() between
+    corpora (ADVICE r7/r8)."""
     d = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     return (
@@ -154,6 +158,7 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_TOKENS).alias("toks"))
         .select("doc_id", F.expr(_SHINGLES_FROM_TOKS).alias("shingles"))
         .cache()
+        .transform(register_session_cache)
     )
 
 
@@ -222,9 +227,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNSORTED — the reusable building block (`corpus_keep_list` consumes
     it mid-plan, where the display sort would be a wasted exchange)."""
     sh = _shingled(spark, sf_dir)
-    bands = _bands_of(
-        sh
-    ).cache()  # tiny (8 rows/doc); self-joined below — hash once
+    bands = register_session_cache(
+        _bands_of(sh).cache()
+    )  # tiny (8 rows/doc); self-joined below — hash once
     cand = (
         bands.alias("a")
         .join(
@@ -264,7 +269,9 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of once per consumer subtree. Size is the near-dup pair count
     # (dup-rate-bounded, tiny next to the corpus); same documented
     # lifetime discipline as the shingle/band caches above.
-    return verified.select("doc_a", "doc_b", "jaccard").cache()
+    return register_session_cache(
+        verified.select("doc_a", "doc_b", "jaccard").cache()
+    )
 
 
 @query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
@@ -504,7 +511,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band"),
     ).select(
         "doc_id", "simhash", "band.band_id", "band.band_val"
-    ).cache()  # tiny (4 rows/doc); self-joined below — fold hashes once
+    ).cache().transform(
+        register_session_cache
+    )  # tiny (4 rows/doc); self-joined below — fold hashes once
     cand = (
         banded.alias("a")
         .join(
@@ -930,7 +939,16 @@ def connected_components(
         # the checkpointed plan is a bare LogicalRDD; its rdd() IS the
         # persisted checkpoint storage. Thread-safe (no global
         # persistent-RDD diffing — the oracle sweep shares the session).
-        ck_df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        # Guarded (ADVICE r7): this reaches through py4j internals and
+        # assumes the analyzed plan's exact shape — a Spark upgrade
+        # changing either must degrade to "generation stays cached
+        # until session end", never fail the loop mid-iteration.
+        try:
+            ck_df._jdf.queryExecution().analyzed().rdd().unpersist(
+                False
+            )
+        except Exception:
+            pass
 
     gen = (
         edges.select(F.col("u").alias("id"))

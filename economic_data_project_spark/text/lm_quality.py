@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.parity import DEC
 from ..functions.ta import emit, sql_emit
@@ -119,10 +120,17 @@ def char_trigram_quality(
         # cached: this (doc, trigram) hash-agg is the dominant corpus
         # scan and feeds BOTH the model build and the scoring join —
         # without the cache Spark re-runs the normalize→explode→agg
-        # pipeline twice. Same documented lifetime discipline as the
-        # dedup shingle caches (text/dedup.py:_shingled): CacheManager
-        # dedups by analyzed plan, one entry per sf_dir, LRU-evicted.
+        # pipeline twice (plan-gated:
+        # tests/test_plans.py::test_char_trigram_cache_feeds_model_and_scoring).
+        # Footprint is CORPUS-SIZED (one row per distinct doc-trigram
+        # pair), the largest cache entry in the repo — materially
+        # bigger than the 8-rows/doc band caches whose lifetime
+        # discipline it shares (one entry per sf_dir, MEMORY_AND_DISK
+        # LRU, freed via caches.free_session_caches). At 100 TB this
+        # frame is a materialized intermediate TABLE written once and
+        # joined twice, not an executor cache.
         .cache()
+        .transform(register_session_cache)
     )
     model = inst.groupBy("tg").agg(F.sum("cnt").alias("c_t"))
     tot = F.broadcast(model.agg(F.sum("c_t").alias("n")))

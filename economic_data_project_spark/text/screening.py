@@ -102,6 +102,19 @@ def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_SHARDS = 8
 BIN_CAPACITY = 512  # tokens per context window; power of two -> /512.0 exact
 
+
+def bin_id_expr(start_col: str):
+    """Context-window bin for a cumulative start offset: integer `div`,
+    matching the oracles' `//` at ANY offset. The float detour
+    (floor(start / 512.0)) loses integer precision above 2^53 — e.g.
+    floor((2**54 - 1) / 512.0) = 35184372088832 while
+    (2**54 - 1) div 512 = 35184372088831, so a boundary row would shift
+    bins at offsets a 100 TB corpus actually reaches. No float ever
+    decides a row's membership; shared by ``doc_token_packing``,
+    ``packing_bin_stats`` and ``corpus_training_manifest`` so the 2^53
+    unit test (tests/test_screening.py) guards every packing site."""
+    return F.expr(f"{start_col} div {BIN_CAPACITY}").cast("long")
+
 _TOKENS_DUCK = "regexp_extract_all(lower(text), '[a-z]+')"
 
 _PACKING_CTE = f"""
@@ -165,12 +178,7 @@ def _packed(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_tokens").over(w) - F.col("n_tokens"))
         .cast("long")
         .alias("start_offset"),
-    ).withColumn(
-        # integer `div` matching the oracle's `//` at any offset —
-        # see corpus_training_manifest for the 2^53 float hazard
-        "bin_id",
-        F.expr(f"start_offset div {BIN_CAPACITY}").cast("long"),
-    )
+    ).withColumn("bin_id", bin_id_expr("start_offset"))
 
 
 @query("doc_token_packing", oracle=_PACKING_ORACLE)

@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.ta import emit, series_window, sql_emit
 from ..registry import query
@@ -192,6 +193,19 @@ def corpus_budget_selection(
         .otherwise(F.lit(0.0))
         .alias("score"),
     )
+    return _budget_select(scored)
+
+
+def _budget_select(scored: DataFrame) -> DataFrame:
+    """The bucket-decomposed global-cumsum core, factored out of
+    ``corpus_budget_selection`` so the Hypothesis property test
+    (tests/test_selection.py) can drive the EXACT production plan with
+    adversarial score/token distributions — quantized-score ties,
+    zero-token docs, budget landing exactly on a row boundary — and
+    assert equality with the naive global-window semantics the DuckDB
+    oracle states. ``scored`` = (doc_id, n_tokens long, score on the
+    6-decimal grid); returns rows kept within budget in
+    (score DESC, doc_id) order."""
     # Bucket table: one row per distinct quantized score (<= 1e6 + 1
     # rows by construction — scores live on the 6-decimal grid in
     # [0, 1]). The constant partition spec makes the single-partition
@@ -451,10 +465,27 @@ ORDER BY split, shard, pos_in_shard
 def corpus_training_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .screening import BIN_CAPACITY, corpus_keep_list
+    from .screening import bin_id_expr, corpus_keep_list
 
+    # The keep decision is CACHED (narrow: doc_id + flags) before the
+    # filter. Filtering the raw frame on `keep` looks free but is a
+    # Catalyst trap: predicate pushdown substitutes the column's
+    # DEFINING EXPRESSION through the projection chain, inlining the
+    # whole fused 4-screen expression tree (token regexp, shingle
+    # transform, run-length fold) into the pushed filter — each screen
+    # reference re-derives `toks` from raw text, and the projection
+    # computes it all again. Measured on the longdoc lane: 50 s vs
+    # 1.4 s for the same rows (the lane caught it, r9). The cache is a
+    # materialization barrier: the filter evaluates stored booleans.
+    # At 100 TB the keep list is a materialized decision table anyway.
+    # Plan-gated: tests/test_plans.py asserts no screen expression
+    # ever appears inside a Filter in the manifest plan.
     keep = (
-        corpus_keep_list(spark, sf_dir)
+        register_session_cache(
+            corpus_keep_list(spark, sf_dir)
+            .select("doc_id", "keep")
+            .cache()
+        )
         .where(F.col("keep"))
         .select("doc_id")
     )
@@ -486,14 +517,8 @@ def corpus_training_manifest(
             F.row_number().over(w).cast("long").alias("pos_in_shard"),
             start.cast("long").alias("start_offset"),
         )
-        # integer `div`, matching the oracle's `//` exactly at any
-        # offset: the old floor(start / 512.0) detours through double,
-        # which loses integer precision above 2^53 and can shift a
-        # row's bin at boundary offsets (floor((2^54-1)/512.0) !=
-        # (2^54-1) div 512) — no float ever decides a row's membership.
-        .withColumn(
-            "bin_id",
-            F.expr(f"start_offset div {BIN_CAPACITY}").cast("long"),
-        )
+        # shared integer-`div` bin helper (see screening.bin_id_expr
+        # for the 2^53 float hazard it guards against)
+        .withColumn("bin_id", bin_id_expr("start_offset"))
         .orderBy("split", "shard", "pos_in_shard")
     )

@@ -221,3 +221,52 @@ def oracle_results(spark) -> dict[str, tuple[bool, str]]:
         with ThreadPoolExecutor(max_workers=workers) as ex:
             _ORACLE_RESULTS = dict(ex.map(run, names))
         return _ORACLE_RESULTS
+
+
+# ------------------------------------------------ suite-runtime artifact
+# Per-run stamp (r7/r8 brief #8): the verify reference points quote
+# "~643 tests / ~9 min quiet" — this makes those self-validating by
+# appending one JSON line per pytest run to SUITE_RUNTIME.jsonl at the
+# repo root, with the load averages that disambiguate contention from
+# code (same rationale as bench.py's load stamps). Filtered runs are
+# distinguishable by their argv + collected count.
+
+_SUITE_T0: dict[str, float] = {}
+
+
+def pytest_sessionstart(session):
+    import time
+
+    _SUITE_T0["t0"] = time.perf_counter()
+    _SUITE_T0["load_start"] = os.getloadavg()[0]
+
+
+def pytest_terminal_summary(terminalreporter, exitstatus, config):
+    import json
+    import time
+
+    if "t0" not in _SUITE_T0:  # xdist workers / odd lifecycles
+        return
+    stats = terminalreporter.stats
+    line = {
+        "ts": int(time.time()),
+        "duration_sec": round(time.perf_counter() - _SUITE_T0["t0"], 1),
+        "passed": len(stats.get("passed", [])),
+        "failed": len(stats.get("failed", [])),
+        "errors": len(stats.get("error", [])),
+        "skipped": len(stats.get("skipped", [])),
+        "deselected": len(stats.get("deselected", [])),
+        "load_start": round(_SUITE_T0["load_start"], 2),
+        "load_end": round(os.getloadavg()[0], 2),
+        "argv": list(config.invocation_params.args),
+        "exit": int(exitstatus),
+    }
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "SUITE_RUNTIME.jsonl",
+    )
+    try:
+        with open(out, "a") as f:
+            f.write(json.dumps(line) + "\n")
+    except OSError:
+        pass  # a read-only checkout must not fail the suite

@@ -622,3 +622,43 @@ def test_training_manifest_composition_shape(spark):
     assert "CartesianProduct" not in phys
     assert "BroadcastNestedLoopJoin" not in phys
     assert "InMemoryTableScan" in phys
+    # and the keep filter must evaluate CACHED booleans, never an
+    # inlined screen expression: predicate pushdown substituting the
+    # fused verdict's defining expressions into the filter re-derives
+    # the token/shingle arrays per screen reference (measured 36x on
+    # the longdoc lane, r9 — fixed by caching the narrow keep frame)
+    for line in phys.splitlines():
+        if "Filter " not in line:
+            continue
+        assert "regexp_extract_all" not in line, line.strip()[:160]
+        assert "transform(sequence" not in line, line.strip()[:160]
+
+
+def test_char_trigram_cache_feeds_model_and_scoring(spark):
+    """The (doc, trigram) hash-agg is the dominant corpus scan in
+    char_trigram_quality and is cached to feed BOTH the model build
+    and the scoring join (text/lm_quality.py). A refactor that drops
+    the cache silently reverts to running the normalize->explode->agg
+    pipeline twice (the r7 `weak` finding); this gate pins the reuse:
+    the cached relation is scanned by at least two consumers (model
+    build + scoring join; the broadcast total makes a third), and the
+    only direct parquet scan left in the main plan body is the doc_id
+    universe. Session caches are freed first: a MATERIALIZED
+    InMemoryRelation renders its cached child twice (logical +
+    physical), so the scan-count arithmetic below is only stable on
+    the cold rendering — and the free exercises the rebuild path of
+    the r9 cache registry along the way."""
+    from economic_data_project_spark.caches import free_session_caches
+
+    free_session_caches()
+    df = all_queries()["char_trigram_quality"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("InMemoryTableScan") >= 2
+    # the explode pipeline must live ONLY inside the cached relation:
+    # every Generate in the plan is part of an InMemoryRelation
+    # rendering, never a re-executed branch. The InMemoryRelation
+    # blocks each re-print the cached child's plan, so parquet-scan
+    # mentions == 1 (universe) + InMemoryRelation count.
+    assert phys.count("Scan parquet") == 1 + phys.count(
+        "InMemoryRelation"
+    )

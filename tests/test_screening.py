@@ -197,3 +197,42 @@ def test_corpus_filter_verdict_consistency(spark):
     # both outcomes occur on the synthetic corpus
     keeps = {v.keep for v in verdict.values()}
     assert keeps == {True, False}
+
+
+def test_bin_id_integer_div_exact_above_2e53(spark):
+    """The 2^53 boundary contract for the shared bin assignment
+    (screening.bin_id_expr, used by doc_token_packing,
+    packing_bin_stats and corpus_training_manifest): at
+    start_offset = 2**54 - 1 the old float path rounds the offset UP
+    to 2**54 (not representable in double) and floor(x / 512.0)
+    lands one bin too high, while integer `div` matches Python's //
+    exactly. A 100 TB corpus (~2.5e13 tokens/shard is reachable with
+    few shards) makes this a real boundary, not a theoretical one."""
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark.text.screening import bin_id_expr
+
+    offsets = [
+        2**54 - 1,           # the divergence point
+        2**54,
+        2**53 - 1,           # below the double-precision cliff: agree
+        511, 512, 0,         # small boundaries: agree
+    ]
+    df = spark.createDataFrame(
+        [(o,) for o in offsets], "start_offset long"
+    ).select(
+        "start_offset",
+        bin_id_expr("start_offset").alias("bin_div"),
+        F.floor(F.col("start_offset") / float(BIN_CAPACITY))
+        .cast("long")
+        .alias("bin_float"),
+    )
+    got = {r.start_offset: r for r in df.collect()}
+    for o in offsets:
+        # the production path == exact integer semantics, at EVERY offset
+        assert got[o].bin_div == o // BIN_CAPACITY, o
+    # the float path demonstrably shifts the boundary row above 2^53 ...
+    assert got[2**54 - 1].bin_float == got[2**54 - 1].bin_div + 1
+    # ... and is only safe below it
+    for o in (2**53 - 1, 511, 512, 0):
+        assert got[o].bin_float == got[o].bin_div, o

@@ -584,3 +584,71 @@ def test_training_manifest_composition_invariants(spark):
             off += r.n_tokens
     # bins never mix splits (holds by construction of the lanes)
     assert all(r.split in ("train", "val", "test") for r in man)
+
+
+# ------------------------------------------- budget-selection property
+
+
+def _naive_budget_reference(rows):
+    """Naive global-window semantics (what the DuckDB oracle states):
+    order by (score DESC, doc_id), cumulative tokens, keep while
+    cum <= total * 3 // 5."""
+    total = sum(n for _, n, _ in rows)
+    budget = (total * 3) // 5
+    out, cum = [], 0
+    for doc_id, n_tokens, score in sorted(
+        rows, key=lambda r: (-r[2], r[0])
+    ):
+        cum += n_tokens
+        if cum <= budget:
+            out.append((doc_id, score, n_tokens, cum, budget))
+    return out
+
+
+def test_budget_selection_decomposition_matches_naive_reference(spark):
+    """Property test for the bucket-decomposed global cumsum
+    (selection._budget_select): Hypothesis drives the EXACT production
+    plan with adversarial score/token distributions and asserts exact
+    equality with the naive single-window reference — especially at
+    quantized-score TIES (small score alphabet forces multi-doc
+    buckets), zero-token docs, and budgets landing exactly on a row
+    boundary. Scores come from the 6-decimal grid as Python doubles,
+    so both sides compare identical IEEE values (no cross-engine float
+    question here — that's the oracle sweep's job)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from economic_data_project_spark.text.selection import (
+        _budget_select,
+    )
+
+    # small score alphabet on the 6-decimal grid -> guaranteed ties
+    grid = st.sampled_from(
+        [0, 1, 250_000, 500_000, 999_999, 1_000_000]
+    )
+    rows_strategy = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=60), grid),
+        min_size=1,
+        max_size=25,
+    )
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(rows_strategy)
+    def run(case):
+        rows = [
+            (i, n, g / 1e6) for i, (n, g) in enumerate(case)
+        ]
+        scored = spark.createDataFrame(
+            rows, "doc_id long, n_tokens long, score double"
+        ).select("doc_id", "n_tokens", "score")
+        got = [
+            (r.doc_id, r.score, r.n_tokens, r.cum_tokens, r.token_budget)
+            for r in _budget_select(scored).collect()
+        ]
+        assert got == _naive_budget_reference(rows)
+
+    run()

@@ -155,3 +155,46 @@ def test_mst_invariants(kernels):
     assert all(r.mst_total_length > 0 for r in rows)
     assert all(1 <= r.mst_max_degree <= 24 for r in rows)
     assert all(0.0 < r.leaf_share < 1.0 for r in rows)
+
+
+def test_csv_roundtrip_rfc4180_hostile(spark, tmp_path):
+    """Value-level proof of the CSV corpus interchange contract
+    (sources/files.CSV_CORPUS_*_OPTS): embedded newlines, quotes and
+    commas inside quoted fields, and the NULL-vs-empty-string
+    distinction all survive the round trip exactly. (Known residual
+    CSV ambiguity, out of contract: a document whose text is the
+    literal null marker itself.)"""
+    hostile = [
+        (0, "line one\nline two\nline three", "en"),  # embedded newlines
+        (1, 'he said "hi, there", twice', "en"),  # quotes + commas
+        (2, "", "fr"),  # empty string, not null
+        (3, None, "fr"),  # null, not empty string
+        (4, "plain", "de"),
+        (5, "trailing newline\n", "de"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, lg, "fx", len(t) if t else 0) for i, t, lg in hostile],
+        "doc_id long, text string, lang string,"
+        " source string, n_chars long",
+    )
+    from economic_data_project_spark.sources.files import (
+        CSV_CORPUS_READ_OPTS,
+        CSV_CORPUS_WRITE_OPTS,
+    )
+
+    out = str(tmp_path / "csv")
+    w = df.coalesce(1).write.mode("overwrite")
+    for k, v in CSV_CORPUS_WRITE_OPTS.items():
+        w = w.option(k, v)
+    w.csv(out)
+    r = spark.read.schema(df.schema)
+    for k, v in CSV_CORPUS_READ_OPTS.items():
+        r = r.option(k, v)
+    back = {row.doc_id: row for row in r.csv(out).collect()}
+    assert set(back) == {i for i, _, _ in hostile}
+    for i, t, lg in hostile:
+        assert back[i].text == t, (i, repr(back[i].text), repr(t))
+        assert back[i].lang == lg
+    # the two failure modes the options exist for, stated explicitly:
+    assert back[0].text.count("\n") == 2   # record not split
+    assert back[2].text == "" and back[3].text is None  # '' != NULL
