@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions import ta
 from ..functions.parity import (
@@ -211,7 +212,18 @@ def interesting_data_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(28,6)"
     )
 
-    panel = (
+    # cached (r9): the panel is a (series x month) aggregate — ~25
+    # nations x the month range, DIMENSION-sized at any corpus scale —
+    # but it feeds every detector branch of the findings UNION, and
+    # uncached each branch re-runs the lineitem join+agg (23 fact-table
+    # scans in the cold plan; plan-gated to <=2 in tests/test_plans.py).
+    # One fact scan materializes it; everything downstream is window
+    # work over ~2k rows. repartition(1), NOT coalesce(1): coalesce
+    # fuses into the aggregate's reduce stage and would serialize the
+    # final merge over every map task's partials through one task at
+    # scale; repartition adds a separate exchange that moves only the
+    # ~2k aggregated rows, keeping the reduce 32-way.
+    panel = register_session_cache(
         li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .groupBy(
@@ -219,7 +231,15 @@ def interesting_data_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.trunc(F.to_date("l_shipdate"), "month").alias("month"),
         )
         .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("value"))
+        .repartition(1)
+        .cache()
     )
+    # eager fill: ~10 union branches read this cache concurrently in
+    # one job, and concurrent readers of an UNFILLED cache entry each
+    # recompute it (cache population is per-partition, uncoordinated
+    # across simultaneously-running stages) — one tiny count() here
+    # fills it once and every branch reads warm
+    panel.count()
     w = Window.partitionBy("series").orderBy("month")
 
     def pct(m: int):
@@ -326,11 +346,18 @@ def interesting_data_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # 3. forward-return correlation screen.
-    market = (
+    # month-dimension-sized, same caching rationale as the panel
+    market = register_session_cache(
         li.groupBy(
             F.trunc(F.to_date("l_shipdate"), "month").alias("month")
         )
         .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("value"))
+        .repartition(1)
+        .cache()
+    )
+    market.count()  # eager fill, same rationale as the panel
+    market = (
+        market
         .select(
             "month",
             F.round(

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..registry import query
 
@@ -225,7 +226,18 @@ ORDER BY c.series_code
 def series_latest_aggregates(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    store = series_store(spark, sf_dir)
+    # cached (r9): the store is (series x date) sized — a handful of
+    # flag/status/priority series per grain — but it feeds the bounds
+    # scalar, the grain ladder, the monthly rollup and the current
+    # cross-section; uncached each consumer re-ran all four fact
+    # aggregates (12 lineitem + 12 orders scans cold; plan-gated).
+    # repartition(1), not coalesce(1): keep the agg reduces parallel
+    # and move only the aggregated rows.
+    store = register_session_cache(
+        series_store(spark, sf_dir).repartition(1).cache()
+    )
+    store.count()  # eager fill: see data_points.py — concurrent
+    # unfilled-cache readers each recompute the entry
 
     bounds = store.agg(
         F.max("date").alias("end_date"),

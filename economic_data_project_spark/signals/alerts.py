@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -142,6 +143,16 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
 
+    # cached (r9): mo/ml are month-dimension-sized aggregates (~one
+    # row per month at ANY corpus scale) consumed by every indicator
+    # branch AND the union-distinct date spine — uncached, the fan-in
+    # plan re-runs the orders/lineitem hash-aggs once per consumer (36
+    # orders + 24 lineitem scans measured cold; plan-gated to one fact
+    # scan each in tests/test_plans.py). One scan per fact materializes
+    # them; the spine + indicator windows move only monthly rows.
+    # repartition(1), not coalesce(1): coalesce would fuse into the
+    # aggregate's reduce stage and single-task the partial merge at
+    # scale; repartition moves only the ~84 aggregated rows.
     mo = orders.groupBy(
         F.trunc(F.to_date("o_orderdate"), "month").alias("date")
     ).agg(
@@ -166,6 +177,9 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("fedfunds_level"),
     )
+    mo = register_session_cache(mo.repartition(1).cache())
+    mo.count()  # eager fill: concurrent unfilled-cache readers each
+    # recompute the entry; one coordinated fill beats five racing ones
 
     def _davg_flag(flag: str):
         return F.sum(
@@ -187,6 +201,8 @@ def _inputs_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             * 100
         ).alias("hy_oas_raw"),
     )
+    ml = register_session_cache(ml.repartition(1).cache())
+    ml.count()  # eager fill, same rationale as mo
 
     wd = ta.series_window("date")
     cpi = (

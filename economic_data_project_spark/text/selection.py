@@ -205,7 +205,17 @@ def _budget_select(scored: DataFrame) -> DataFrame:
     assert equality with the naive global-window semantics the DuckDB
     oracle states. ``scored`` = (doc_id, n_tokens long, score on the
     6-decimal grid); returns rows kept within budget in
-    (score DESC, doc_id) order."""
+    (score DESC, doc_id) order.
+
+    ``scored`` is consumed TWICE in one plan — the bucket aggregate
+    and the probe side of the broadcast join — so it is cached here
+    (r9): uncached, the tokenize+score projection re-scans the corpus
+    once per consumer (the same double-scan shape the trigram cache
+    fixed in r8; plan-gated in tests/test_plans.py). The cached frame
+    is narrow (three numeric columns), tiny next to the text column it
+    derives from; at 100 TB it is a materialized scoring table written
+    once and read twice."""
+    scored = register_session_cache(scored.cache())
     # Bucket table: one row per distinct quantized score (<= 1e6 + 1
     # rows by construction — scores live on the 6-decimal grid in
     # [0, 1]). The constant partition spec makes the single-partition

@@ -662,3 +662,67 @@ def test_char_trigram_cache_feeds_model_and_scoring(spark):
     assert phys.count("Scan parquet") == 1 + phys.count(
         "InMemoryRelation"
     )
+
+
+def test_budget_selection_scored_frame_cached_once(spark):
+    """corpus_budget_selection consumes the tokenize+score projection
+    twice (bucket aggregate + probe side of the broadcast join); the
+    gate pins the r9 cache so a refactor can't silently bring back the
+    second corpus scan. Cold-rendering arithmetic as in the trigram
+    gate: caches freed first, then parquet-scan mentions ==
+    InMemoryRelation count (every scan lives inside the cached
+    relation's rendering; no direct corpus scan remains)."""
+    from economic_data_project_spark.caches import free_session_caches
+
+    free_session_caches()
+    df = all_queries()["corpus_budget_selection"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("InMemoryTableScan") >= 2
+    assert phys.count("Scan parquet") == phys.count("InMemoryRelation")
+
+
+def _scans_outside_imr(phys: str, fact: str) -> list[str]:
+    """Lines scanning <fact>.parquet that are NOT inside any
+    InMemoryRelation subtree, by tree indentation: a node belongs to
+    the IMR above it while it renders deeper than that IMR line.
+    Rendering-warmth-independent (a materialized IMR prints its child
+    twice, but both prints are still inside the IMR block)."""
+    imr_stack: list[int] = []
+    out = []
+    for line in phys.splitlines():
+        stripped = line.lstrip(" :+-*(0123456789)")
+        depth = len(line) - len(stripped)
+        while imr_stack and depth <= imr_stack[-1]:
+            imr_stack.pop()
+        if "InMemoryRelation" in line:
+            imr_stack.append(depth)
+            continue
+        if "Scan parquet" in line and f"{fact}.parquet" in line:
+            if not imr_stack:
+                out.append(line.strip()[:160])
+    return out
+
+
+def test_union_fanout_queries_scan_facts_through_caches(spark):
+    """The findings/alerts/series union fan-outs derive every branch
+    from a DIMENSION-sized aggregate (nations x months / one row per
+    month / series x date). r9 caches those aggregates: uncached, the
+    cold plans re-ran the fact-table scan+agg once per branch (23
+    lineitem scans in interesting_data_points, 36 orders + 24 lineitem
+    in economic_alert_events, 12+12 in series_latest_aggregates) —
+    free at sf0.1, that many IO passes at 100 TB. Gate: the cache is
+    present and NO fact-table scan appears outside an InMemoryRelation
+    subtree (every fact access goes through the cached aggregate)."""
+    for name, facts in (
+        ("interesting_data_points", ("lineitem",)),
+        ("economic_alert_events", ("orders", "lineitem")),
+        ("economic_alert_inputs", ("orders", "lineitem")),
+        ("series_latest_aggregates", ("lineitem", "orders")),
+    ):
+        df = all_queries()[name](spark, SF_DIR)
+        phys = _plan(df).split("== Physical Plan ==", 1)[1]
+        assert phys.count("InMemoryRelation") > 0, name
+        for fact in facts:
+            assert f"{fact}.parquet" in phys, (name, fact)
+            outside = _scans_outside_imr(phys, fact)
+            assert not outside, (name, fact, outside)
