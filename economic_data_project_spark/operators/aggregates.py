@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..functions import ta
@@ -436,7 +437,14 @@ def sector_dispersion_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(rev.cast("decimal(28,6)")).cast("double") / F.lit(1e6))
             .alias("rev")
         )
+        # cached (r9): (nation x month) sized, consumed by the means
+        # agg and the ranked join (4 fact scans cold). repartition(1)
+        # + eager fill: see data_points.py.
+        .repartition(1)
+        .cache()
     )
+    monthly = register_session_cache(monthly)
+    monthly.count()
     means = monthly.groupBy("month").agg(
         davg("rev").alias("mean_rev"), F.count("*").alias("n_nations")
     )

@@ -37,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions import ta
 from ..functions.parity import (
@@ -361,7 +362,17 @@ def _group_corr(panel: DataFrame, keys: list[str]) -> DataFrame:
 def correlation_analysis_enhanced(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    panel = _panel(spark, sf_dir)
+    # cached (r9): the joined panel is (region x priority x month)
+    # sized — a few thousand rows at any corpus scale — and is consumed
+    # by the overall corr, the per-regime corr, the rolling-window corr
+    # and the stability screen (each corr helper reads it twice more
+    # for its means join); uncached the cold plan re-ran the fact
+    # aggregates 7+5 times (plan-gated). repartition(1) + eager fill:
+    # see data_points.py for the reduce-stage and fill-race rationale.
+    panel = register_session_cache(
+        _panel(spark, sf_dir).repartition(1).cache()
+    )
+    panel.count()
     pair = ["symbol", "series_code"]
 
     overall = _group_corr(panel, pair).where(

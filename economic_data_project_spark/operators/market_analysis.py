@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -142,14 +143,24 @@ ORDER BY d.flag, d.date
 def market_analysis_return(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
-    daily = li.groupBy(
-        F.col("l_returnflag").alias("flag"),
-        F.to_date("l_shipdate").alias("date"),
-    ).agg(
-        (F.sum(rev).cast("double") / F.lit(1e6)).alias("close"),
-        (F.max("l_extendedprice") / F.lit(1e4)).alias("high"),
-        (F.min("l_extendedprice") / F.lit(1e4)).alias("low"),
+    # cached (r9): the (flag x date) daily frame is referenced once
+    # per calendar-offset horizon by the battery's self-joins —
+    # uncached each reference re-ran the lineitem aggregate (6 fact
+    # scans cold). repartition(1) + eager fill: see data_points.py.
+    daily = register_session_cache(
+        li.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.to_date("l_shipdate").alias("date"),
+        )
+        .agg(
+            (F.sum(rev).cast("double") / F.lit(1e6)).alias("close"),
+            (F.max("l_extendedprice") / F.lit(1e4)).alias("high"),
+            (F.min("l_extendedprice") / F.lit(1e4)).alias("low"),
+        )
+        .repartition(1)
+        .cache()
     )
+    daily.count()
     return analysis_return_battery(daily, ["flag"]).orderBy(
         "flag", "date"
     )

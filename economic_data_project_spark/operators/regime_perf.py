@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.parity import sql_davg, sql_dsum
 from ..registry import query
@@ -206,11 +207,19 @@ def sector_regime_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed = spark.createDataFrame(
         SECTOR_SEED, ["symbol", "sector_name", "sector_type"]
     )
-    panel = (
+    # cached (r9): the panel (region x month rows) feeds THREE
+    # aggregate consumers (per-regime stats, overall stats, regime
+    # averages) — uncached each re-ran the lineitem join+agg and the
+    # regime pivot (6 fact scans cold). repartition(1) + eager fill:
+    # see data_points.py for the rationale.
+    panel = register_session_cache(
         sector_returns.join(F.broadcast(regimes), on="month")
         .join(F.broadcast(seed), on="symbol", how="left")
         .where(F.col("monthly_return").isNotNull())
+        .repartition(1)
+        .cache()
     )
+    panel.count()
 
     ret_dec = F.col("monthly_return").cast("decimal(28,6)")
     n = F.count("*")

@@ -33,6 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.parity import dsum, sql_dsum
 from ..registry import query
@@ -121,7 +122,17 @@ def families_spine(spark: SparkSession) -> DataFrame:
             *[F.col(f"b.{c}") for c in nxt.columns if c != "month"],
         )
 
-    spine = reduce(outer, frames)
+    # cached (r9): the spine (~one row per month, eight columns) is
+    # consumed TWICE — the min/max bounds scalar and the normalized
+    # projection — and uncached both consumers re-run all six family
+    # aggregates (every fact table scanned twice; plan-gated in
+    # tests/test_plans.py). repartition(1) keeps the family agg
+    # reduces parallel and moves only monthly rows; the eager count
+    # fills the entry once before the two consumers race for it.
+    spine = register_session_cache(
+        reduce(outer, frames).repartition(1).cache()
+    )
+    spine.count()
     bounds = spine.agg(
         *[F.min(f).alias(f"min_{f}") for f in _FAMS],
         *[F.max(f).alias(f"max_{f}") for f in _FAMS],

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..registry import query
 
@@ -125,6 +126,13 @@ def series_grain_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # cached (r9): the distinct (series, date) store is tiny (a few
+    # series x their observation dates) but is consumed by both the
+    # bounds scalar and the trailing-window count — uncached each
+    # re-ran all four fact-table branches. repartition(1) + eager
+    # fill: see data_points.py for the rationale.
+    store = register_session_cache(store.repartition(1).cache())
+    store.count()
     bounds = store.agg(
         F.max("date").alias("end_date"),
         F.add_months(F.max("date"), -12).alias("start_date"),
@@ -299,15 +307,29 @@ def current_data_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         " lookback_days long, freshness_warn_days long,"
         " freshness_error_days long",
     )
-    today = obs.agg(F.max("observation_date").alias("today"))
-    expected = obs.groupBy("source_name").agg(
-        F.countDistinct("entity_id").cast("long").alias(
-            "expected_entity_count"
+    # One pass computes BOTH per-source aggregates (entity census +
+    # latest date), and the global 'today' derives from the tiny
+    # per-source maxes instead of its own corpus pass — r9: the cold
+    # plan ran the 3-fact union once per consumer (today, expected,
+    # latest, windowed = 15 fact scans); now it's two passes total
+    # (this one + the lookback-windowed counts, which need `latest`
+    # first and are inherently a second pass). `obs` is corpus-sized,
+    # so restructuring beats caching here.
+    stats = register_session_cache(
+        obs.groupBy("source_name")
+        .agg(
+            F.countDistinct("entity_id").cast("long").alias(
+                "expected_entity_count"
+            ),
+            F.max("observation_date").alias("coverage_date"),
         )
+        .repartition(1)
+        .cache()
     )
-    latest = obs.groupBy("source_name").agg(
-        F.max("observation_date").alias("coverage_date")
-    )
+    stats.count()  # eager fill (one row per source)
+    today = stats.agg(F.max("coverage_date").alias("today"))
+    expected = stats.select("source_name", "expected_entity_count")
+    latest = stats.select("source_name", "coverage_date")
     windowed = (
         obs.join(F.broadcast(latest), on="source_name")
         .join(F.broadcast(specs.select("source_name", "lookback_days")),

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -155,10 +156,20 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load_table(spark, sf_dir, "region")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
 
-    daily = li.groupBy(
-        F.col("l_returnflag").alias("symbol"),
-        F.to_date("l_shipdate").alias("date"),
-    ).agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("close"))
+    # cached (r9): the two daily base aggregates below are re-derived
+    # by every downstream signal layer that references them — 5 fact
+    # scans cold. Both are (entity x date) sized. repartition(1) +
+    # eager fill: see data_points.py for the rationale.
+    daily = register_session_cache(
+        li.groupBy(
+            F.col("l_returnflag").alias("symbol"),
+            F.to_date("l_shipdate").alias("date"),
+        )
+        .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("close"))
+        .repartition(1)
+        .cache()
+    )
+    daily.count()
     ws = Window.partitionBy("symbol").orderBy("date")
 
     def pct(n: int):
@@ -184,7 +195,7 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("above_sma"),
     )
 
-    sector_daily = (
+    sector_daily = register_session_cache(
         li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
         .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
@@ -193,7 +204,10 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.to_date("l_shipdate").alias("date"),
         )
         .agg((F.sum(rev).cast("double") / F.lit(1e6)).alias("close"))
+        .repartition(1)
+        .cache()
     )
+    sector_daily.count()
     wsec = Window.partitionBy("sector").orderBy("date")
 
     def spct(n: int):

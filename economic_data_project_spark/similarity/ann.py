@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.vectors import DOT_DUCK, DOT_SPARK, NORM_DUCK, NORM_SPARK
 from ..registry import query
@@ -558,11 +559,22 @@ ORDER BY query_id, rank
 
 @query("ann_ivf_topk", oracle=_ivf_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        "label",
-        F.expr(NORM_SPARK.format(v="embedding")).alias("vnorm"),
+    # cached (r9): the normed corpus is read by SIX consumers (seed
+    # centroids, both assignment passes, the Lloyd dimension explode,
+    # the query slice, the candidate verify side) and the HOF norm
+    # fold re-ran with each — 10 embeddings scans in the cold plan.
+    # Corpus-sized like the dedup shingle cache (text/dedup._shingled,
+    # the documented precedent): at scale this is the materialized
+    # vector+norm table an IVF index build writes once.
+    corpus = register_session_cache(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            F.expr(NORM_SPARK.format(v="embedding")).alias("vnorm"),
+        )
+        .cache()
     )
     init = corpus.where(F.col("vec_id") < _IVF_K).select(
         F.col("vec_id").alias("cluster0"),

@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -256,10 +257,16 @@ def source_js_divergence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    cnts = (
+    # cached (r9): the (source, term) count table is vocab-bounded
+    # (sources x distinct terms, corpus-size-independent) but feeds
+    # FOUR subtrees — the per-source totals and both sides of the
+    # pair join — and uncached each re-ran the corpus explode+agg
+    # (4 documents scans cold). One corpus scan materializes it.
+    cnts = register_session_cache(
         d.select("source", F.explode(F.expr(_TOKENS)).alias("term"))
         .groupBy("source", "term")
         .agg(F.count("*").cast("long").alias("cnt"))
+        .cache()
     )
     tots = cnts.groupBy("source").agg(F.sum("cnt").alias("n"))
     probs = cnts.join(tots, "source").select(

@@ -718,6 +718,15 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
         ("economic_alert_events", ("orders", "lineitem")),
         ("economic_alert_inputs", ("orders", "lineitem")),
         ("series_latest_aggregates", ("lineitem", "orders")),
+        ("signal_families_spine", ("lineitem", "orders", "events")),
+        ("correlation_analysis_enhanced", ("lineitem", "orders")),
+        ("sector_regime_performance", ("lineitem",)),
+        ("market_analysis_return", ("lineitem",)),
+        ("momentum_signals", ("lineitem",)),
+        ("sector_dispersion_leaders", ("lineitem",)),
+        ("series_grain_coverage", ("lineitem", "orders")),
+        ("ann_ivf_topk", ("embeddings",)),
+        ("source_js_divergence", ("documents",)),
     ):
         df = all_queries()[name](spark, SF_DIR)
         phys = _plan(df).split("== Physical Plan ==", 1)[1]
@@ -726,3 +735,12 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
             assert f"{fact}.parquet" in phys, (name, fact)
             outside = _scans_outside_imr(phys, fact)
             assert not outside, (name, fact, outside)
+    # current_data_coverage keeps EXACTLY ONE legitimate direct pass
+    # per fact (the lookback-windowed counts need the cached latest
+    # dates first); the census/latest consumers read the cached stats
+    df = all_queries()["current_data_coverage"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("InMemoryRelation") > 0
+    for fact in ("lineitem", "orders", "events"):
+        outside = _scans_outside_imr(phys, fact)
+        assert len(outside) <= 1, (fact, outside)

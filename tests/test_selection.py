@@ -514,12 +514,19 @@ def test_char_trigram_quality_flags_gibberish(spark, tmp_path):
 
 def test_source_js_divergence_bounds(spark, tmp_path):
     # identical distributions -> JS ~ 0; disjoint vocab -> JS = ln(2)
+    # two corpus versions in SEPARATE dirs: the vocab count frame is
+    # cached per path (r9), and mutating parquet under a cached path
+    # is out of contract for any plan-keyed cache (same discipline as
+    # tests/test_incremental_dedup.py — an index grows as immutable
+    # snapshots)
+    d1 = tmp_path / "v1"
+    d1.mkdir()
     rows = []
     for i in range(5):
         rows.append((i, "aa bb cc dd", "en", "same1", 1))
         rows.append((10 + i, "aa bb cc dd", "en", "same2", 1))
         rows.append((20 + i, "xx yy zz ww", "en", "other", 1))
-    sf = _write_docs(tmp_path, rows)
+    sf = _write_docs(d1, rows)
     got = {
         (r.source_a, r.source_b): r
         for r in all_queries()["source_js_divergence"](
@@ -538,7 +545,9 @@ def test_source_js_divergence_bounds(spark, tmp_path):
     assert ("same1", "other") not in got
     # near-disjoint: one shared term keeps the pair with JS near ln(2)
     rows.append((30, "xx qq rr ss", "en", "mixed", 1))
-    sf2 = _write_docs(tmp_path, rows)
+    d2 = tmp_path / "v2"
+    d2.mkdir()
+    sf2 = _write_docs(d2, rows)
     got2 = {
         (r.source_a, r.source_b): r
         for r in all_queries()["source_js_divergence"](
