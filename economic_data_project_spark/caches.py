@@ -53,3 +53,20 @@ def free_session_caches(blocking: bool = False) -> int:
             # break the sweep — freeing is an optimization
             pass
     return freed
+
+
+def free_local_checkpoint(df: DataFrame) -> None:
+    """Release a ``localCheckpoint(eager=True)`` frame's storage.
+
+    The checkpointed plan is a bare LogicalRDD whose rdd() IS the
+    persisted checkpoint storage; ``DataFrame.unpersist`` is
+    CacheManager-based and cannot see it. Guarded: this reaches
+    through py4j internals and assumes the analyzed plan's shape — a
+    Spark upgrade changing either must degrade to "generation stays
+    cached until session end", never fail an iterative loop
+    mid-round. Shared by the connected-components and
+    pointer-doubling loops."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass

@@ -16,8 +16,9 @@ itself, jumping every node's ancestor pointer twice as far. That is the
 scale-correct distributed formulation — depth-by-depth peeling (the
 recursive-CTE shape DuckDB runs in the oracle) needs O(depth) passes
 and leaves most of the cluster idle per round, while pointer doubling
-is O(log d) full-parallel shuffles. Each round is persisted so the
-lineage stays linear (on a cluster, periodically ``localCheckpoint``).
+is O(log d) full-parallel shuffles. Each round is localCheckpoint'ed so
+both the lineage AND the logical plan stay constant-size per round (a
+persisted-only round doubles the plan each iteration).
 
 The single driver-side scalar (max events per user, an upper bound on
 chain length) sizes the iteration count — a metadata aggregate, same
@@ -32,6 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import free_local_checkpoint
 from ..catalog import load_table
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
@@ -92,7 +94,7 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
         F.col("event_id").alias("id"),
         F.coalesce("parent_id", "event_id").alias("anc"),
         F.when(F.col("parent_id").isNull(), 0).otherwise(1).alias("d"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     # Bound on chain length -> iteration count (metadata scalar). When
     # the frame carries the session order (ts), the exact longest run
     # via gaps-and-islands over the root flag — each extra doubling
@@ -135,17 +137,21 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
                 F.col("h_anc").alias("anc"),
                 (F.col("d") + F.col("h_d")).alias("d"),
             )
-            .persist()
+            # localCheckpoint, not persist (r9): each round SELF-joins
+            # the prior round (two reads of one frame), so persist made
+            # execution linear — but it left the LOGICAL plan intact,
+            # and a plan that references its predecessor twice DOUBLES
+            # per round: 2^rounds rendered subtrees, exponential
+            # plan-string/analysis cost on the driver at depth (the
+            # identical hazard text/dedup.connected_components fixed).
+            # eager=True truncates every round to a bare LogicalRDD —
+            # constant plan size at any depth; superseded rounds are
+            # freed through the shared guarded helper. On a real
+            # cluster prefer checkpoint() with a checkpoint dir for
+            # executor-loss tolerance.
+            .localCheckpoint(eager=True)
         )
-        # Materialize the new round, then free the superseded one: the
-        # per-round persist exists because each round SELF-joins (two
-        # reads of one frame), but without the release every round's
-        # cache lingered for the session — log2(depth) frames of
-        # event-scale data (same discipline as
-        # text/dedup.connected_components). The count also pins the
-        # cache before `ptr`'s data vanishes from under the lazy plan.
-        nxt.count()
-        ptr.unpersist()
+        free_local_checkpoint(ptr)
         ptr = nxt
     return ptr.select(
         F.col("id").alias("event_id"),

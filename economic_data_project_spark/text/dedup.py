@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import free_local_checkpoint, register_session_cache
 from ..catalog import load_table
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -935,20 +935,11 @@ def connected_components(
             labels, "doc_id long, component_id long"
         )
 
-    def _free_generation(ck_df: DataFrame) -> None:
-        # the checkpointed plan is a bare LogicalRDD; its rdd() IS the
-        # persisted checkpoint storage. Thread-safe (no global
-        # persistent-RDD diffing — the oracle sweep shares the session).
-        # Guarded (ADVICE r7): this reaches through py4j internals and
-        # assumes the analyzed plan's exact shape — a Spark upgrade
-        # changing either must degrade to "generation stays cached
-        # until session end", never fail the loop mid-iteration.
-        try:
-            ck_df._jdf.queryExecution().analyzed().rdd().unpersist(
-                False
-            )
-        except Exception:
-            pass
+    # freeing goes through the shared guarded helper (caches.py) —
+    # thread-safe (no global persistent-RDD diffing; the oracle sweep
+    # shares the session), and a py4j/plan-shape change degrades to
+    # cached-until-session-end instead of failing the loop (ADVICE r7)
+    _free_generation = free_local_checkpoint
 
     gen = (
         edges.select(F.col("u").alias("id"))

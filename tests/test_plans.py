@@ -744,3 +744,19 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
     for fact in ("lineitem", "orders", "events"):
         outside = _scans_outside_imr(phys, fact)
         assert len(outside) <= 1, (fact, outside)
+
+
+def test_thread_structure_plan_is_truncated(spark):
+    """Pointer doubling references its predecessor twice per round, so
+    a persist-only loop doubles the LOGICAL plan each iteration —
+    2^rounds rendered subtrees (513 events scans at 9 rounds) and
+    exponential plan-string/analysis cost at depth. r9 switched each
+    round to localCheckpoint(eager): the final plan must contain a
+    bounded number of scans (the session-edge derivation) plus the
+    checkpointed LogicalRDD leaf, at ANY hierarchy depth."""
+    df = all_queries()["thread_structure"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
+    assert phys.count("Scan parquet") <= 4, phys.count("Scan parquet")
+    assert "ExistingRDD" in phys or "LogicalRDD" in phys or (
+        "Scan ExistingRDD" in phys
+    )
