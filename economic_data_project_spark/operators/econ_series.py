@@ -449,6 +449,11 @@ def series_monthly_interpolation(
     ).agg(
         (_dec_sum("literal") / F.count("*")).alias("avg_value")
     )
+    # cached (r9): (series x month) sized, read by the per-series date
+    # bounds AND the spine gap join — 3 fact scans cold otherwise.
+    # repartition(1) + eager fill: see data_points.py.
+    monthly = register_session_cache(monthly.repartition(1).cache())
+    monthly.count()
 
     db = monthly.groupBy("series_code", "series_name").agg(
         F.min("month_date").alias("min_date"),

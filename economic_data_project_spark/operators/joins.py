@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.parity import (
     centered_corr,
@@ -342,10 +343,19 @@ ORDER BY pr_a, pr_b
 @query("pairwise_priority_corr", oracle=_PAIRWISE_CORR_ORACLE)
 def pairwise_priority_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
-    daily = o.groupBy(
-        F.col("o_orderpriority").alias("pr"),
-        F.to_date("o_orderdate").alias("d"),
-    ).agg(dsum("o_totalprice").alias("rev"))
+    # cached (r9): (priority x date) sized, read by both sides of the
+    # pair self-join and again by the means/corr passes — 4 fact scans
+    # cold. repartition(1) + eager fill: see data_points.py.
+    daily = register_session_cache(
+        o.groupBy(
+            F.col("o_orderpriority").alias("pr"),
+            F.to_date("o_orderdate").alias("d"),
+        )
+        .agg(dsum("o_totalprice").alias("rev"))
+        .repartition(1)
+        .cache()
+    )
+    daily.count()
     a = daily.alias("a")
     b = daily.alias("b")
     pairs = a.join(

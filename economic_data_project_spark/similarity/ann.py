@@ -55,10 +55,22 @@ def _ranked_topk(df: DataFrame, order: list, k: int, rank_col: str) -> DataFrame
 
 
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "embedding",
-        F.expr(NORM_SPARK.format(v="embedding")).alias("norm"),
+    """Normed vector corpus, cached (r9): every ANN query reads this
+    frame 2-3 times (corpus side, query slice, label join) and the HOF
+    norm fold re-ran with each — the cache computes norms once per
+    sf_dir and serves all of them (CacheManager dedups the identical
+    analyzed plan across the brute/signlsh/filtered/hybrid queries
+    too). Corpus-sized, same precedent as the dedup shingle table: at
+    scale this is the materialized vector+norm table an index build
+    writes once."""
+    return register_session_cache(
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(NORM_SPARK.format(v="embedding")).alias("norm"),
+        )
+        .cache()
     )
 
 
