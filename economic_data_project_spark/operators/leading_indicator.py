@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions.parity import (
     centered_corr,
@@ -223,11 +224,19 @@ def leading_econ_return_indicator(
             for h, m in HORIZONS.items()
         ],
     )
-    panel = (
+    # cached (r9): the panel (region-symbol x priority-series x month,
+    # dimension-sized) feeds THREE consumers — the group means, the
+    # corr table, and the quintile pass — and uncached each re-ran the
+    # full lineitem join-agg AND the orders indicator agg (3 scans of
+    # each fact cold). repartition(1) + eager fill: see data_points.py.
+    panel = register_session_cache(
         sector_returns.join(F.broadcast(ind), on="month")
         .where(F.col("econ").isNotNull())
         .withColumn("quarterly_return_pct", F.col("q1"))
+        .repartition(1)
+        .cache()
     )
+    panel.count()
 
     pair = ["symbol", "series_name"]
     mean_aggs = []

@@ -45,11 +45,13 @@ from __future__ import annotations
 
 import decimal
 import math
+from functools import reduce
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -180,17 +182,67 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
 
-    bars = (
-        li.where(F.col("l_returnflag").isin("N", "R"))
-        .groupBy(
-            F.col("l_returnflag").alias("symbol"),
-            F.to_date("l_shipdate").alias("date"),
-        )
+    # Single-pass fused daily aggregate (r9): the symbol bars (flags
+    # N/R) and the VIX proxy (flag A) are conditional aggregations of
+    # the SAME fact table at the SAME date grain — one scan + one
+    # date-keyed hash agg computes all of them; cold, this query ran
+    # THREE lineitem scans (bars rendered twice via the spy/qqq sides
+    # + the vix scan). The fused frame is date-grain (dimension-sized)
+    # so it caches via the registry; repartition(1) + eager fill: see
+    # data_points.py on unfilled-cache races.
+    def flagged(sym: str, col: Column):
+        return F.when(F.col("l_returnflag") == sym, col)
+
+    daily = register_session_cache(
+        li.groupBy(F.to_date("l_shipdate").alias("date"))
         .agg(
-            (F.sum(rev).cast("double") / F.lit(1e6)).alias("close"),
-            (F.max("l_extendedprice") / F.lit(1e4)).alias("high"),
-            (F.min("l_extendedprice") / F.lit(1e4)).alias("low"),
+            *[
+                agg
+                for s in ("N", "R")
+                for agg in (
+                    (
+                        F.sum(flagged(s, rev)).cast("double")
+                        / F.lit(1e6)
+                    ).alias(f"close_{s}"),
+                    (
+                        F.max(flagged(s, F.col("l_extendedprice")))
+                        / F.lit(1e4)
+                    ).alias(f"high_{s}"),
+                    (
+                        F.min(flagged(s, F.col("l_extendedprice")))
+                        / F.lit(1e4)
+                    ).alias(f"low_{s}"),
+                    F.count(flagged(s, F.lit(1))).alias(f"n_{s}"),
+                )
+            ],
+            (
+                F.sum(
+                    flagged("A", F.col("l_discount").cast(DEC))
+                ).cast("double")
+                / F.count(flagged("A", F.lit(1)))
+                * 100
+            ).alias("vix_close"),
         )
+        .repartition(1)
+        .cache()
+    )
+    daily.count()
+
+    # bars' spine is (symbol, date) pairs with >= 1 row of that flag —
+    # recovered from the per-flag presence counts, NOT close IS NOT
+    # NULL (all-NULL revenue days must stay on the spine).
+    bars = reduce(
+        DataFrame.unionByName,
+        [
+            daily.where(F.col(f"n_{s}") > 0).select(
+                F.lit(s).alias("symbol"),
+                "date",
+                F.col(f"close_{s}").alias("close"),
+                F.col(f"high_{s}").alias("high"),
+                F.col(f"low_{s}").alias("low"),
+            )
+            for s in ("N", "R")
+        ],
     )
     ws = Window.partitionBy("symbol").orderBy("date")
     prev = F.lag("close").over(ws)
@@ -251,18 +303,10 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     vol_estimates = gk_in.select("symbol", "date", *est_cols)
 
-    vix = li.groupBy(F.to_date("l_shipdate").alias("date")).agg(
-        (
-            F.sum(
-                F.when(
-                    F.col("l_returnflag") == "A",
-                    F.col("l_discount").cast(DEC),
-                )
-            ).cast("double")
-            / F.count(F.when(F.col("l_returnflag") == "A", F.lit(1)))
-            * 100
-        ).alias("vix_close")
-    )
+    # vix's spine is EVERY lineitem date (flag-A days or not, with
+    # NULL vix_close where no A rows exist) — exactly the cached
+    # frame's date grain.
+    vix = daily.select("date", "vix_close")
     wd = ta.series_window("date")
     w20 = wd.rowsBetween(-19, 0)
     vix_stats = vix.select(

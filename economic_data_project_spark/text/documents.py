@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..registry import query
 
@@ -154,13 +155,24 @@ ORDER BY doc_id, term_rank
 @query("doc_tfidf_topterms", oracle=_TFIDF_ORACLE)
 def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    tok = (
+    # cached (r9): the per-(doc, term) frame feeds BOTH the df census
+    # and the scored join — uncached each consumer re-ran the
+    # tokenize→explode→hash-agg corpus pipeline (2 documents scans +
+    # 2 tokenizations cold). Footprint is CORPUS-SIZED (one row per
+    # distinct doc-term pair), same acknowledged posture as the
+    # char-trigram cache (text/lm_quality.py): at 100 TB this is the
+    # materialized term-frequency TABLE every TF-IDF system writes
+    # once and joins twice, not an executor cache. Eager count — the
+    # two consumers materialize concurrently in the scored join's job.
+    tok = register_session_cache(
         docs.select(
             "doc_id", F.explode(F.expr(_TOKENS)).alias("term")
         )
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"))
+        .cache()
     )
+    tok.count()
     # corpus size rides along as a 1-row broadcast aggregate folded
     # into the same job (not an eager docs.count() action): the
     # term-stats frame carries n_docs to every scored row.

@@ -157,9 +157,22 @@ def bigram_pmi_collocations(
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    bigrams = pairs.groupBy("w1", "w2").agg(
-        F.count("*").cast("long").alias("c_xy")
+    # cached (r9): the bigram census feeds FOUR consumers (left/right
+    # marginals, the total, and the scored filter) — uncached each one
+    # re-ran tokenize→explode→hash-agg over the corpus (4 documents
+    # scans cold). The frame is the distinct-bigram census: vocabulary-
+    # bounded (Heaps-sublinear in corpus size), not corpus-bounded, but
+    # still potentially large — so NO repartition(1); at 100 TB this is
+    # the materialized census table a phrase-detection pass writes once
+    # and reads four times. Eager count: the marginal joins materialize
+    # concurrently in one job (see data_points.py on unfilled-cache
+    # races).
+    bigrams = register_session_cache(
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").cast("long").alias("c_xy"))
+        .cache()
     )
+    bigrams.count()
     left_m = bigrams.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
     right_m = bigrams.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
     tot = F.broadcast(bigrams.agg(F.sum("c_xy").alias("n")))

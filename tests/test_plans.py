@@ -727,6 +727,9 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
         ("series_grain_coverage", ("lineitem", "orders")),
         ("ann_ivf_topk", ("embeddings",)),
         ("source_js_divergence", ("documents",)),
+        ("bigram_pmi_collocations", ("documents",)),
+        ("market_volatility_signals", ("lineitem",)),
+        ("leading_econ_return_indicator", ("lineitem", "orders")),
     ):
         df = all_queries()[name](spark, SF_DIR)
         phys = _plan(df).split("== Physical Plan ==", 1)[1]
@@ -744,6 +747,67 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
     for fact in ("lineitem", "orders", "events"):
         outside = _scans_outside_imr(phys, fact)
         assert len(outside) <= 1, (fact, outside)
+
+
+def test_single_pass_conditional_agg_queries_scan_facts_once(spark):
+    """Queries whose branches are disjoint FILTERS of one fact at one
+    grain are rewritten as a single conditional-aggregation pass (r9):
+    net_liquidity_signals' three weekly component series (flags N/R/A)
+    were three scans + three shuffles + two joins cold; now exactly ONE
+    lineitem scan, no cache needed. doc_tfidf_topterms keeps exactly
+    one direct documents pass — the n_docs row count (column-less,
+    row-group-stats-cheap) — while the tokenize pipeline runs once
+    through the cached per-(doc, term) frame."""
+    phys = _plan(
+        all_queries()["net_liquidity_signals"](spark, SF_DIR)
+    ).split("== Physical Plan ==", 1)[1]
+    assert phys.count("lineitem.parquet") == 1, phys.count(
+        "lineitem.parquet"
+    )
+
+    phys = _plan(
+        all_queries()["doc_tfidf_topterms"](spark, SF_DIR)
+    ).split("== Physical Plan ==", 1)[1]
+    assert phys.count("InMemoryRelation") > 0
+    outside = _scans_outside_imr(phys, "documents")
+    assert len(outside) <= 1, outside
+
+
+def test_dq_schema_tests_scans_are_column_pruned(spark):
+    """dq_schema_tests deliberately keeps MULTIPLE narrow scans per
+    table (row-level battery / unique grain / FK anti-joins are
+    structurally different tests) instead of caching fact tables —
+    the right 100 TB shape ONLY while every scan stays column-pruned
+    to the handful of columns its test needs. Gate: columns NO test
+    references (comments, clerk, ship instructions, dates outside the
+    spec) must not appear in any ReadSchema — a pruning regression
+    pulls the full table schema into the battery scan. Rendering is
+    widened past the default 100-char metadata truncation so absence
+    is meaningful."""
+    old = spark.conf.get("spark.sql.maxMetadataStringLength", "100")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    try:
+        phys = _plan(
+            all_queries()["dq_schema_tests"](spark, SF_DIR)
+        ).split("== Physical Plan ==", 1)[1]
+    finally:
+        spark.conf.set("spark.sql.maxMetadataStringLength", old)
+    assert "ReadSchema" in phys
+    for col in (
+        "o_comment",
+        "o_clerk",
+        "o_shippriority",
+        "l_comment",
+        "l_shipinstruct",
+        "l_shipmode",
+        "l_commitdate",
+        "l_receiptdate",
+        "c_comment",
+        "c_acctbal",
+        "p_comment",
+        "p_brand",
+    ):
+        assert col not in phys, col
 
 
 def test_thread_structure_plan_is_truncated(spark):
