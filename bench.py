@@ -18,7 +18,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from economic_data_project_spark import registry
+from economic_data_project_spark.caches import free_session_caches
 from economic_data_project_spark.session import get_spark
+
+
+def _isolate_lane(spark) -> None:
+    """Lane boundary: drop every session-lifetime cache (registry +
+    whole SQL cache) so the next lane starts cold. Without this the
+    longdoc lane's timings ride on however much sf0.1 cache residency
+    the headline lane left in the 8 GiB driver — which grows every
+    round as more builders cache, and which made the longdoc rows
+    drift monotonically r7->r9 (VERDICT r9 'What's wrong' #1). The
+    lane's job is to measure the operator, not the residue."""
+    free_session_caches()
+    spark.catalog.clearCache()
 
 # Headline set: one per operator family; kept stable across rounds so
 # BENCH_r{N}.json is comparable round-over-round (only ever append).
@@ -219,6 +232,7 @@ def main() -> None:
     # Skew-stress pair (broadcast disabled so the shuffle join is real;
     # not part of the headline total — these measure a technique, not an
     # operator).
+    _isolate_lane(spark)
     skew: dict[str, float] = {}
     old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
@@ -239,7 +253,10 @@ def main() -> None:
     timings.update(skew)
 
     # Long-document stress lane (generation excluded from timings; ops
-    # keyed longdoc_<name> and excluded from the headline total).
+    # keyed longdoc_<name> and excluded from the headline total). Starts
+    # cold: the lane is the quadratic-regression tripwire, and its
+    # per-token costs must not depend on headline-lane cache residency.
+    _isolate_lane(spark)
     longdoc: dict[str, float] = {}
     longdoc_dir = _gen_longdoc_dir(spark)
     try:

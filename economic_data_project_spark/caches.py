@@ -1,50 +1,148 @@
-"""Session-lifetime cache registry (ADVICE r7/r8 unpersist discipline).
+"""Session-lifetime cache registry (ADVICE r7-r9 unpersist discipline).
 
 Several builders cache frames that MUST outlive the builder call — the
 returned DataFrames read them lazily, so the builder cannot unpersist
 them itself (dedup shingle/band/verified-pair caches, the trigram
-instance frame). CacheManager dedups by analyzed plan, so the entries
-are bounded at one per (builder, sf_dir) and LRU-evicted under
-MEMORY_AND_DISK pressure — but a long-lived session sweeping many
-sf_dirs accumulates them, and "benign under eviction" is not a
-lifetime policy. Every such cache registers here, and a session owner
-(a driver between scale factors, the oracle sweep after a corpus, a
+instance frame, the dimension-sized fan-out aggregates). Every such
+cache registers here, and a session owner (a driver between scale
+factors, the oracle sweep after a corpus, a bench lane boundary, a
 notebook user) frees them all with one call:
 
     from economic_data_project_spark.caches import free_session_caches
     free_session_caches()
 
-The next query on any sf_dir simply rebuilds its caches. This is the
-single-JVM analogue of the 100 TB posture, where these frames are
-materialized signature TABLES with explicit retention, not executor
-caches.
+The next query on any sf_dir simply rebuilds its caches.
+
+Memory budget (what lives here, and how big). Registered frames fall
+into two classes:
+
+* **Dimension-sized aggregates** — the fan-out panels (series x month,
+  source x term, sector x day): bounded by the dimension product, KBs
+  to low MBs at ANY corpus scale. These exist so a 10-branch UNION
+  costs one fact scan instead of N (tools/scan_audit.py audits this).
+* **Corpus-proportional frames** — the dedup shingle/band signature
+  tables, the (doc, trigram) instance frame (the single largest entry,
+  text/lm_quality.py), the ANN normed-vector corpus, the selection
+  scoring table. These grow linearly with the corpus.
+
+DataFrame caches store compressed columnar batches at MEMORY_AND_DISK:
+under pressure in this single-JVM engine (8 GiB driver, session.py)
+partitions spill to local disk and LRU-evict, so an oversized entry
+degrades to recompute, never to OOM-by-cache. CacheManager dedups by
+analyzed plan, so entries are bounded at one per (builder, sf_dir). The
+*lifetime* policy is this registry: free between corpora / bench lanes.
+At 100 TB none of the corpus-proportional frames would be executor
+caches at all — each is a materialized signature/scoring TABLE written
+once with explicit retention; the registry is the single-JVM analogue.
+
+Eager-fill contract (``warm``). Builders whose cache feeds many
+concurrent subtrees of ONE downstream job fill the cache eagerly at
+build time via ``warm(df)`` (a tiny count()): concurrent readers of an
+UNFILLED cache entry each recompute it, because cache population is
+per-partition and uncoordinated across simultaneously-running stages.
+The deliberate consequence is that calling such a query BUILDER runs
+Spark jobs before any action on the returned frame (and surfaces data
+errors at build time). Plan-only consumers — EXPLAIN tooling, plan
+gates, scan audits — suppress every fill with the ``lazy_builds()``
+context manager and get lazy construction back. (The iterative
+builders — pointer-doubling hierarchy, connected components — still
+execute at build under ``lazy_builds()``: their localCheckpoint
+truncation is load-bearing, not a warm-up.)
+
+Thread-safety: the registry is lock-guarded and handles are deduped by
+``DataFrame.semanticHash()``, so the thread-parallel oracle sweep can
+register/free concurrently without growing the list. A ``free`` racing
+another thread's in-flight ``warm`` fill simply leaves that consumer
+to recompute lazily — correct, just cold (tests/test_caches.py
+exercises free-mid-sweep).
 """
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 
-_SESSION_CACHES: list[DataFrame] = []
+_LOCK = threading.RLock()
+# plan-key -> handle; dedup keeps repeat builder calls (same sf_dir ->
+# same analyzed plan -> same key) from accumulating duplicate handles.
+_SESSION_CACHES: dict[object, DataFrame] = {}
+# localCheckpoint frames that escape into returned plans (hierarchy /
+# connected-components final generations): DataFrame.unpersist cannot
+# free LogicalRDD storage, so these are freed via free_local_checkpoint.
+_SESSION_CHECKPOINTS: list[DataFrame] = []
+_EAGER_FILL = True
+
+
+def _plan_key(df: DataFrame) -> object:
+    """Dedup key for a registered handle. semanticHash is stable across
+    re-built identical plans (the repeat-builder case); a hash failure
+    falls back to object identity (no dedup, still correct)."""
+    try:
+        return ("sh", df.semanticHash())
+    except Exception:
+        return ("id", id(df))
 
 
 def register_session_cache(df: DataFrame) -> DataFrame:
     """Track a cached frame whose lifetime exceeds its builder; returns
     the frame so call sites stay one expression (`register_session_cache(
-    x.cache())`). Repeat invocations on the same sf_dir re-register the
-    same underlying CacheManager entry under a fresh handle — harmless
-    (unpersist is idempotent per entry, handles are tiny) and cleared
-    on every free."""
-    _SESSION_CACHES.append(df)
+    x.cache())`). Repeat invocations on the same sf_dir resolve to the
+    same plan key and replace the prior handle in place."""
+    with _LOCK:
+        _SESSION_CACHES[_plan_key(df)] = df
     return df
 
 
+def register_session_checkpoint(df: DataFrame) -> DataFrame:
+    """Track a ``localCheckpoint(eager=True)`` frame that escapes into
+    a returned plan (the FINAL generation of an iterative loop — the
+    superseded generations are freed inside the loop). Freed with
+    everything else by free_session_caches, via free_local_checkpoint."""
+    with _LOCK:
+        _SESSION_CHECKPOINTS.append(df)
+    return df
+
+
+def warm(df: DataFrame) -> DataFrame:
+    """Eagerly fill a just-registered cache (see the eager-fill
+    contract in the module docstring). No-op under ``lazy_builds()``."""
+    if _EAGER_FILL:
+        df.count()
+    return df
+
+
+class lazy_builds:
+    """Context manager: suppress every ``warm()`` fill so query
+    builders construct plans without running jobs (EXPLAIN tooling,
+    plan gates, scan audits). Caches still register; they fill lazily
+    on first action instead. Not scoped per-thread: flipping it while
+    another thread builds warms/lazies that build too — use at tooling
+    entry points, not mid-sweep."""
+
+    def __enter__(self) -> "lazy_builds":
+        global _EAGER_FILL
+        self._prev = _EAGER_FILL
+        _EAGER_FILL = False
+        return self
+
+    def __exit__(self, *exc: object) -> None:
+        global _EAGER_FILL
+        _EAGER_FILL = self._prev
+
+
 def free_session_caches(blocking: bool = False) -> int:
-    """Unpersist every registered session-lifetime cache and clear the
-    registry; returns the number freed. Safe at any time — consumers
+    """Unpersist every registered session-lifetime cache AND release
+    every registered escaped localCheckpoint; clears the registry and
+    returns the number freed. Safe at any time — consumers
     re-materialize lazily on next use."""
+    with _LOCK:
+        handles = list(_SESSION_CACHES.values())
+        _SESSION_CACHES.clear()
+        ckpts = list(_SESSION_CHECKPOINTS)
+        _SESSION_CHECKPOINTS.clear()
     freed = 0
-    while _SESSION_CACHES:
-        df = _SESSION_CACHES.pop()
+    for df in handles:
         try:
             df.unpersist(blocking)
             freed += 1
@@ -52,6 +150,9 @@ def free_session_caches(blocking: bool = False) -> int:
             # a stopped session or an already-dropped plan must not
             # break the sweep — freeing is an optimization
             pass
+    for df in ckpts:
+        free_local_checkpoint(df)
+        freed += 1
     return freed
 
 

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..functions import ta
@@ -444,7 +444,7 @@ def sector_dispersion_leaders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     monthly = register_session_cache(monthly)
-    monthly.count()
+    warm(monthly)
     means = monthly.groupBy("month").agg(
         davg("rev").alias("mean_rev"), F.count("*").alias("n_nations")
     )

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions import ta
 from ..functions.parity import (
@@ -372,7 +372,7 @@ def correlation_analysis_enhanced(
     panel = register_session_cache(
         _panel(spark, sf_dir).repartition(1).cache()
     )
-    panel.count()
+    warm(panel)
     pair = ["symbol", "series_code"]
 
     overall = _group_corr(panel, pair).where(

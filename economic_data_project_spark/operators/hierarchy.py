@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import free_local_checkpoint
+from ..caches import free_local_checkpoint, register_session_checkpoint
 from ..catalog import load_table
 from ..functions.parity import davg, dsum, sql_davg, sql_dsum
 from ..registry import query
@@ -153,6 +153,12 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
         )
         free_local_checkpoint(ptr)
         ptr = nxt
+    # the FINAL generation escapes into the returned plan, so it cannot
+    # be freed here (consumers read it lazily) and DataFrame.unpersist
+    # cannot see LogicalRDD storage — register it so
+    # caches.free_session_caches() releases it (ADVICE r9: one leaked
+    # event-scale checkpoint per invocation otherwise)
+    register_session_checkpoint(ptr)
     return ptr.select(
         F.col("id").alias("event_id"),
         F.col("anc").alias("root_id"),

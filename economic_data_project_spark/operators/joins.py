@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions.parity import (
     centered_corr,
@@ -355,7 +355,7 @@ def pairwise_priority_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .cache()
     )
-    daily.count()
+    warm(daily)
     a = daily.alias("a")
     b = daily.alias("b")
     pairs = a.join(

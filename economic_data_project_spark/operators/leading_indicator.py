@@ -29,7 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions.parity import (
     centered_corr,
@@ -236,8 +236,7 @@ def leading_econ_return_indicator(
         .repartition(1)
         .cache()
     )
-    panel.count()
-
+    warm(panel)
     pair = ["symbol", "series_name"]
     mean_aggs = []
     for h in HORIZONS:

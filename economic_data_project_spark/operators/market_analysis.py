@@ -35,7 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -160,7 +160,7 @@ def market_analysis_return(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .cache()
     )
-    daily.count()
+    warm(daily)
     return analysis_return_battery(daily, ["flag"]).orderBy(
         "flag", "date"
     )

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions.parity import sql_davg, sql_dsum
 from ..registry import query
@@ -219,8 +219,7 @@ def sector_regime_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .cache()
     )
-    panel.count()
-
+    warm(panel)
     ret_dec = F.col("monthly_return").cast("decimal(28,6)")
     n = F.count("*")
     s = F.sum(ret_dec).cast("double")

@@ -33,7 +33,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions.parity import dsum, sql_dsum
 from ..registry import query
@@ -132,7 +132,7 @@ def families_spine(spark: SparkSession) -> DataFrame:
     spine = register_session_cache(
         reduce(outer, frames).repartition(1).cache()
     )
-    spine.count()
+    warm(spine)
     bounds = spine.agg(
         *[F.min(f).alias(f"min_{f}") for f in _FAMS],
         *[F.max(f).alias(f"max_{f}") for f in _FAMS],

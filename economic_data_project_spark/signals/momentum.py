@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -169,7 +169,7 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .cache()
     )
-    daily.count()
+    warm(daily)
     ws = Window.partitionBy("symbol").orderBy("date")
 
     def pct(n: int):
@@ -207,7 +207,7 @@ def momentum_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .cache()
     )
-    sector_daily.count()
+    warm(sector_daily)
     wsec = Window.partitionBy("sector").orderBy("date")
 
     def spct(n: int):

@@ -51,7 +51,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions import ta
 from ..registry import query
@@ -226,7 +226,7 @@ def market_volatility_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(1)
         .cache()
     )
-    daily.count()
+    warm(daily)
 
     # bars' spine is (symbol, date) pairs with >= 1 row of that flag —
     # recovered from the per-flag presence counts, NOT close IS NOT

@@ -33,7 +33,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import free_local_checkpoint, register_session_cache
+from ..caches import (
+    free_local_checkpoint,
+    register_session_cache,
+    register_session_checkpoint,
+)
 from ..catalog import load_table
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -976,6 +980,10 @@ def connected_components(
         if n_changed == 0:
             break
     edges.unpersist()
+    # the final generation escapes into the returned plan — register it
+    # so free_session_caches() can release its LogicalRDD storage (the
+    # loop freed every superseded generation; this is the last one)
+    register_session_checkpoint(gen)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("component_id")
     )

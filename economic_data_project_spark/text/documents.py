@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..registry import query
 
@@ -172,7 +172,7 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf"))
         .cache()
     )
-    tok.count()
+    warm(tok)
     # corpus size rides along as a 1-row broadcast aggregate folded
     # into the same job (not an eager docs.count() action): the
     # term-stats frame carries n_docs to every scored row.

@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..caches import register_session_cache
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -172,7 +172,7 @@ def bigram_pmi_collocations(
         .agg(F.count("*").cast("long").alias("c_xy"))
         .cache()
     )
-    bigrams.count()
+    warm(bigrams)
     left_m = bigrams.groupBy("w1").agg(F.sum("c_xy").alias("c_x"))
     right_m = bigrams.groupBy("w2").agg(F.sum("c_xy").alias("c_y"))
     tot = F.broadcast(bigrams.agg(F.sum("c_xy").alias("n")))

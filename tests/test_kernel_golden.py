@@ -600,9 +600,12 @@ def test_minhash_lsh_recall_curve_at_jaccard_boundary(spark, tmp_path):
     }
     # The measurement is DETERMINISTIC (fixture + seeded hash
     # constants), so +-0.12 is an empirical bound on this fixture's
-    # fixed deviation from theory (<3 sigma of binomial(120, p) at
-    # j=0.4/0.6; 3 sigma at j=0.5 is ~0.130) — any banding/hash change
-    # moves the measured curve well past it
+    # fixed deviation from theory, not a significance test; the
+    # binomial(120, p) 3-sigma widths are just the natural scale for
+    # it: ~0.135 at j=0.4 (p~0.41), ~0.130 at j=0.5 (p~0.66), ~0.096
+    # at j=0.6 (p~0.86) — 0.12 sits just inside the first two and just
+    # above the third. Any banding/hash change moves the measured
+    # curve well past it.
     for j in theory:
         assert abs(recall[j] - theory[j]) <= 0.12, (
             f"j={j}: recall {recall[j]:.3f} vs theory {theory[j]:.3f}"
