@@ -490,29 +490,41 @@ def corpus_training_manifest(
     # At 100 TB the keep list is a materialized decision table anyway.
     # Plan-gated: tests/test_plans.py asserts no screen expression
     # ever appears inside a Filter in the manifest plan.
-    keep = (
-        register_session_cache(
-            corpus_keep_list(spark, sf_dir)
-            .select("doc_id", "keep")
-            .cache()
-        )
-        .where(F.col("keep"))
-        .select("doc_id")
-    )
-    spl = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
-    order = corpus_shuffle_order(spark, sf_dir).select(
-        "doc_id", "shard", "shuffle_key"
-    )
     d = load_table(spark, sf_dir, "documents")
     tok = d.select(
         "doc_id",
         F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
     )
-    kept = (
-        keep.join(spl, "doc_id")
-        .join(order, "doc_id")
-        .join(tok, "doc_id")
+    # the cached decision table carries n_tokens alongside the verdict:
+    # the token-count scan folds into the one cache fill instead of a
+    # separate cold pass over `documents` at consumption time. (At
+    # 100 TB the keep list IS this table — doc_id, verdict, length —
+    # written once by the screening job.)
+    keep = (
+        register_session_cache(
+            corpus_keep_list(spark, sf_dir)
+            .select("doc_id", "keep")
+            .join(tok, "doc_id")
+            .cache()
+        )
+        .where(F.col("keep"))
+        .select("doc_id", "n_tokens")
     )
+    spl = leakage_safe_split(spark, sf_dir).select("doc_id", "split")
+    # shard / shuffle_key are pure functions of doc_id (the
+    # corpus_shuffle_order definition) — computed inline on the kept
+    # rows rather than joining a third full scan of `documents`
+    shuffle_key = F.md5(
+        F.concat(
+            F.col("doc_id").cast("string"), F.lit(f":{_SHUFFLE_SALT}")
+        )
+    )
+    kept = keep.join(spl, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "split",
+        shuffle_key.alias("shuffle_key"),
+    ).withColumn("shard", F.substring("shuffle_key", 1, 2))
     w = Window.partitionBy("split", "shard").orderBy(
         "shuffle_key", "doc_id"
     )

@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..operators.advanced import _LEX_VALUES, LEXICON
 from ..registry import query
@@ -142,12 +143,20 @@ ORDER BY partition_date, source
 @query("sentiment_trends", oracle=_ORACLE)
 def sentiment_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    dated = docs.withColumn(
-        "partition_date",
-        F.date_add(
-            F.lit("1995-01-01").cast("date"),
-            (F.col("doc_id") % _DATE_MOD).cast("int"),
-        ),
+    # narrow doc-level frame (no text), cached: the engagement
+    # aggregate and the per-doc sentiment join both consume it, and
+    # uncached each re-scanned the fact table (2 of this query's 3
+    # cold passes). Dimension columns only — KBs per million docs.
+    dated = register_session_cache(
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.date_add(
+                F.lit("1995-01-01").cast("date"),
+                (F.col("doc_id") % _DATE_MOD).cast("int"),
+            ).alias("partition_date"),
+        ).cache()
     )
     daily_engagement = dated.groupBy("partition_date", "source").agg(
         F.count("*").cast("long").alias("num_posts"),

@@ -681,26 +681,11 @@ def test_budget_selection_scored_frame_cached_once(spark):
     assert phys.count("Scan parquet") == phys.count("InMemoryRelation")
 
 
-def _scans_outside_imr(phys: str, fact: str) -> list[str]:
-    """Lines scanning <fact>.parquet that are NOT inside any
-    InMemoryRelation subtree, by tree indentation: a node belongs to
-    the IMR above it while it renders deeper than that IMR line.
-    Rendering-warmth-independent (a materialized IMR prints its child
-    twice, but both prints are still inside the IMR block)."""
-    imr_stack: list[int] = []
-    out = []
-    for line in phys.splitlines():
-        stripped = line.lstrip(" :+-*(0123456789)")
-        depth = len(line) - len(stripped)
-        while imr_stack and depth <= imr_stack[-1]:
-            imr_stack.pop()
-        if "InMemoryRelation" in line:
-            imr_stack.append(depth)
-            continue
-        if "Scan parquet" in line and f"{fact}.parquet" in line:
-            if not imr_stack:
-                out.append(line.strip()[:160])
-    return out
+# Optimized-plan tree walk (see plans/audit.py for why the string
+# rendering cannot be used to count scans).
+from economic_data_project_spark.plans.audit import (  # noqa: E402
+    fact_scans_outside_imr as _scans_outside_imr,
+)
 
 
 def test_union_fanout_queries_scan_facts_through_caches(spark):
@@ -736,7 +721,7 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
         assert phys.count("InMemoryRelation") > 0, name
         for fact in facts:
             assert f"{fact}.parquet" in phys, (name, fact)
-            outside = _scans_outside_imr(phys, fact)
+            outside = _scans_outside_imr(df, fact)
             assert not outside, (name, fact, outside)
     # current_data_coverage keeps EXACTLY ONE legitimate direct pass
     # per fact (the lookback-windowed counts need the cached latest
@@ -745,7 +730,7 @@ def test_union_fanout_queries_scan_facts_through_caches(spark):
     phys = _plan(df).split("== Physical Plan ==", 1)[1]
     assert phys.count("InMemoryRelation") > 0
     for fact in ("lineitem", "orders", "events"):
-        outside = _scans_outside_imr(phys, fact)
+        outside = _scans_outside_imr(df, fact)
         assert len(outside) <= 1, (fact, outside)
 
 
@@ -765,11 +750,10 @@ def test_single_pass_conditional_agg_queries_scan_facts_once(spark):
         "lineitem.parquet"
     )
 
-    phys = _plan(
-        all_queries()["doc_tfidf_topterms"](spark, SF_DIR)
-    ).split("== Physical Plan ==", 1)[1]
+    df = all_queries()["doc_tfidf_topterms"](spark, SF_DIR)
+    phys = _plan(df).split("== Physical Plan ==", 1)[1]
     assert phys.count("InMemoryRelation") > 0
-    outside = _scans_outside_imr(phys, "documents")
+    outside = _scans_outside_imr(df, "documents")
     assert len(outside) <= 1, outside
 
 
@@ -824,3 +808,41 @@ def test_thread_structure_plan_is_truncated(spark):
     assert "ExistingRDD" in phys or "LogicalRDD" in phys or (
         "Scan ExistingRDD" in phys
     )
+
+
+def test_registry_fact_scans_outside_caches(spark):
+    """Registry-wide scan audit (VERDICT r9 #3): NO registered query's
+    cold plan may read a fact table 3+ times outside InMemoryRelation
+    subtrees — a multiple-IO-pass shape that sf0.1 hides and 100 TB
+    pays in full. Counted by the optimized-plan tree walk
+    (_scans_outside_imr), not string rendering. Two passes stay legal:
+    many queries pair one wide pass with one narrow side-aggregate
+    (bounds, totals, universe), which is often cheaper than caching a
+    corpus-sized frame just to dodge a single-column rescan.
+
+    Documented exceptions (deliberately ABOVE the bound):
+    - dq_schema_tests: the row-level battery / unique-grain / FK
+      anti-join checks each keep their own NARROW column-pruned scan
+      (see test_dq_schema_tests_scans_are_column_pruned) — fusing them
+      would force one wide scan carrying every checked column, which
+      is more IO at scale, not less.
+    """
+    from economic_data_project_spark.caches import (
+        free_session_caches,
+        lazy_builds,
+    )
+
+    exceptions = {"dq_schema_tests": 4}
+    facts = ("lineitem", "orders", "events", "documents", "embeddings")
+    offenders = {}
+    with lazy_builds():
+        for name, fn in sorted(all_queries().items()):
+            free_session_caches()
+            df = fn(spark, SF_DIR)
+            bound = exceptions.get(name, 2)
+            for fact in facts:
+                n = len(_scans_outside_imr(df, fact))
+                if n > bound:
+                    offenders[(name, fact)] = n
+    free_session_caches()
+    assert not offenders, offenders

@@ -1,29 +1,29 @@
-"""Fact-table rescan audit: for every registered query, count parquet
-scans per table in the cold physical plan and flag queries that re-scan
-fact tables many times (the union-fan-out anti-pattern r9 fixed in
-interesting_data_points / economic_alert_events /
+"""Audit every registered query's COLD plan for fact tables read
+multiple times outside caches (the union-fan-out anti-pattern r9 fixed
+in interesting_data_points / economic_alert_events /
 series_latest_aggregates — free at sf0.1, N full IO passes at 100 TB).
 
 Usage: python tools/scan_audit.py [min_fact_scans] [sf_dir]
 (sf_dir also via $SPARK_GRAFT_SF_DIR; default /root/testdata/sf0.001)
 
+Counts come from the optimized-plan TREE WALK
+(economic_data_project_spark.plans.audit.fact_scans_outside_imr) —
+NOT the rendered plan string, which both duplicates shared DAG nodes
+(one shingle subtree re-rendered 24x in the manifest plan) and breaks
+indent scoping inside executed-AQE cached children. Reads under an
+InMemoryRelation are excluded: they're served by the cache's one fill.
+
 Runs under caches.lazy_builds() so builders construct plans without
 paying eager cache fills (the iterative builders — hierarchy,
 connected components — still execute; their localCheckpoint truncation
-is load-bearing). Mention counts are RENDERING counts (an
-InMemoryRelation block renders its cached child's scans too) — read
-them next to the IMR column: high mentions with imr=0 means real
-rescans; high mentions with matching imr means the accesses go through
-caches. tests/test_plans.py's _scans_outside_imr is the precise
-per-line classifier.
+is load-bearing). The registry-wide GATE form of this audit is
+tests/test_plans.py::test_registry_fact_scans_outside_caches.
 """
 
 from __future__ import annotations
 
 import os
-import re
 import sys
-from collections import Counter
 
 sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -33,10 +33,13 @@ from economic_data_project_spark.caches import (  # noqa: E402
     free_session_caches,
     lazy_builds,
 )
+from economic_data_project_spark.plans.audit import (  # noqa: E402
+    fact_scans_outside_imr,
+)
 from economic_data_project_spark.registry import all_queries  # noqa: E402
 from economic_data_project_spark.session import get_spark  # noqa: E402
 
-FACTS = {"lineitem", "orders", "events", "documents", "embeddings"}
+FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 
 
 def main() -> None:
@@ -54,37 +57,24 @@ def main() -> None:
         for name, fn in sorted(all_queries().items()):
             try:
                 free_session_caches()
-                phys = (
-                    fn(spark, sf_dir)
-                    ._jdf.queryExecution()
-                    .toString()
-                    .split("== Physical Plan ==", 1)[1]
-                )
+                df = fn(spark, sf_dir)
+                hot = {
+                    f: n
+                    for f in FACTS
+                    if (n := len(fact_scans_outside_imr(df, f)))
+                    >= threshold
+                }
             except Exception as e:  # noqa: BLE001
                 print(f"ERR {name}: {type(e).__name__}", file=sys.stderr)
                 continue
-            tabs = Counter(
-                re.findall(
-                    r"Location: InMemoryFileIndex\(1 paths\)"
-                    r"\[file:[^\]]*/(\w+)\.parquet",
-                    phys,
-                )
-            )
-            hot = {
-                t: c for t, c in tabs.items() if t in FACTS and c >= threshold
-            }
             if hot:
-                rows.append(
-                    (
-                        max(hot.values()),
-                        name,
-                        hot,
-                        phys.count("InMemoryRelation"),
-                    )
-                )
+                rows.append((max(hot.values()), name, hot))
     rows.sort(reverse=True)
-    for worst, name, hot, imr in rows:
-        print(f"{worst:3}x  {name:40} imr={imr:3} {hot}")
+    for worst, name, hot in rows:
+        print(f"{worst:3}x  {name:40} {hot}")
+    if not rows:
+        print(f"clean: no query reads a fact table >= {threshold}x"
+              " outside caches")
 
 
 if __name__ == "__main__":
