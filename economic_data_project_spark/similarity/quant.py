@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..registry import query
 
@@ -261,7 +262,15 @@ def ann_cosine_topk_int8(
 ) -> DataFrame:
     from pyspark.sql.window import Window
 
-    codes = _quantized_codes(spark, sf_dir)
+    # the int8 code store is consumed by BOTH join sides (broadcast
+    # probe set + full corpus side); cached + eagerly filled, the
+    # quantization pipeline runs once per sf_dir instead of re-scanning
+    # and re-quantizing the float embeddings per side (2x wide IO at
+    # 100 TB, where the int8 store is a materialized table the float
+    # corpus was compressed INTO — queries should never touch floats)
+    codes = warm(
+        register_session_cache(_quantized_codes(spark, sf_dir).cache())
+    )
     q = codes.where(F.col("vec_id") < _N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("qv").alias("q_qv"),

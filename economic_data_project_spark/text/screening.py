@@ -334,9 +334,14 @@ ORDER BY s.doc_id
 @query("text_repetition_scores", oracle=_REPETITION_ORACLE)
 def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition quality filter: duplicate 3-gram fraction (shingles
-    WITHOUT the dedup distinct) and most-frequent-token fraction. The
-    token mode goes through explode + two hash-aggs keyed by doc_id —
-    one shuffle on a uniform key; shingle stats are per-row HOFs."""
+    WITHOUT the dedup distinct) and most-frequent-token fraction. ONE
+    map-only pass with zero shuffles beyond the display sort: the token
+    mode is max(count) per document, which equals the longest equal run
+    in the SORTED token array (the same ``_TOP_RUN_FOLD`` identity the
+    fused verdict uses) — so it evaluates per row instead of an
+    explode + two hash-aggs that re-scanned the text column a second
+    time (a true 2x IO pass at 100 TB; the oracle keeps the
+    explode/groupBy formulation, pinning the identity)."""
     d = load_table(spark, sf_dir, "documents")
     toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
     # materialize `toks`, then the shingle array, each once per row: the
@@ -344,28 +349,21 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     # it across expressions in one projection nor hoists it out of the
     # transform lambda (an inlined regexp re-runs per shingle index —
     # quadratic in document length)
-    sh = d.select(
-        "doc_id", F.expr(toks).alias("toks")
-    ).select(
-        "doc_id", F.expr(_SHINGLES_EXPR).alias("sh_arr")
-    ).select(
-        "doc_id",
-        F.size("sh_arr").cast("long").alias("n_shingles"),
-        F.size(F.array_distinct("sh_arr"))
-        .cast("long")
-        .alias("n_distinct_shingles"),
-    )
-    top = (
-        d.select(
-            "doc_id", F.explode(F.expr(toks)).alias("tok")
+    per_doc = (
+        d.select("doc_id", F.expr(toks).alias("toks"))
+        .select(
+            "doc_id",
+            "toks",
+            F.expr(_SHINGLES_EXPR).alias("sh_arr"),
         )
-        .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("c"))
-        .groupBy("doc_id")
-        .agg(
-            (F.max("c").cast("double") / F.sum("c")).alias(
-                "top_token_ratio"
-            )
+        .select(
+            "doc_id",
+            F.size("sh_arr").cast("long").alias("n_shingles"),
+            F.size(F.array_distinct("sh_arr"))
+            .cast("long")
+            .alias("n_distinct_shingles"),
+            F.expr(_TOP_RUN_FOLD).cast("long").alias("top_run"),
+            F.size("toks").cast("long").alias("n_tok"),
         )
     )
     dup = F.when(
@@ -374,24 +372,22 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         - F.col("n_distinct_shingles").cast("double")
         / F.col("n_shingles"),
     ).otherwise(0.0)
-    # LEFT join: a document with zero [a-z]+ tokens produces no explode
-    # rows and would silently vanish from the screening report under an
-    # inner join — every input doc must get a verdict.
-    ttr = F.coalesce(F.col("top_token_ratio"), F.lit(0.0))
-    return (
-        sh.join(top, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            "n_distinct_shingles",
-            dup.alias("dup_shingle_ratio"),
-            ttr.alias("top_token_ratio"),
-            (
-                (dup > DUP_SHINGLE_MAX) | (ttr > TOP_TOKEN_MAX)
-            ).alias("repetition_flag"),
-        )
-        .orderBy("doc_id")
-    )
+    # a document with zero [a-z]+ tokens has no mode: ratio 0, same as
+    # the oracle's COALESCE over the empty explode
+    ttr = F.when(
+        F.col("n_tok") > 0,
+        F.col("top_run").cast("double") / F.col("n_tok"),
+    ).otherwise(0.0)
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct_shingles",
+        dup.alias("dup_shingle_ratio"),
+        ttr.alias("top_token_ratio"),
+        (
+            (dup > DUP_SHINGLE_MAX) | (ttr > TOP_TOKEN_MAX)
+        ).alias("repetition_flag"),
+    ).orderBy("doc_id")
 
 
 # ------------------------------------------------- composite verdict
@@ -430,10 +426,20 @@ _TOP_RUN_FOLD = (
 )
 
 
-def verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def verdict_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    with_content_hash: bool = False,
+    with_n_tokens: bool = False,
+) -> DataFrame:
     """One keep/drop verdict per document from quality, repetition, PII,
     and contamination screens — UNSORTED (the reusable building block;
-    `corpus_keep_list` consumes it mid-plan).
+    `corpus_keep_list` consumes it mid-plan). With
+    ``with_content_hash``, an ``md5(text)`` column rides the SAME scan
+    (corpus_keep_list's exact-dup key); with ``with_n_tokens``, the
+    token count the screens already compute is exposed as ``n_tokens``
+    (the training manifest's packing weight). Fusing both here keeps
+    the whole keep-list derivation at ONE pass over the text column.
 
     FUSED single-scan plan: every screen column is computed per row from
     one shared projection chain (lower(text) -> toks -> shingles), so
@@ -448,19 +454,29 @@ def verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     canaries = ", ".join(f"'{c}'" for c in CANARY_SHINGLES)
+    extra = (
+        [F.md5("text").alias("content_hash")] if with_content_hash else []
+    )
+    carry = ["content_hash"] if with_content_hash else []
     base = (
-        d.select("doc_id", F.lower("text").alias("lt"))
+        d.select("doc_id", F.lower("text").alias("lt"), *extra)
         .select(
             "doc_id",
             "lt",
+            *carry,
             F.expr("regexp_extract_all(lt, '[a-z]+', 0)").alias("toks"),
         )
         .select(
-            "doc_id", "lt", "toks", F.expr(_SHINGLES_EXPR).alias("sh_arr")
+            "doc_id",
+            "lt",
+            *carry,
+            "toks",
+            F.expr(_SHINGLES_EXPR).alias("sh_arr"),
         )
         .select(
             "doc_id",
             "lt",
+            *carry,
             "toks",
             "sh_arr",
             F.array_distinct("sh_arr").alias("sh_dist"),
@@ -468,6 +484,7 @@ def verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = base.select(
         "doc_id",
+        *carry,
         # quality features (text_quality_scores' shape, per row)
         F.expr("size(toks)").alias("n_tok"),
         F.expr("size(array_distinct(toks))").alias("n_uniq"),
@@ -508,8 +525,15 @@ def verdict_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum((F.col(f"n_{name}") for name in PII_PATTERNS), F.lit(0)) > 0
     )
     contaminated = F.col("n_canary") > 0
+    tok_carry = (
+        [F.col("n_tok").cast("long").alias("n_tokens")]
+        if with_n_tokens
+        else []
+    )
     return feats.select(
         "doc_id",
+        *carry,
+        *tok_carry,
         quality_bucket.alias("quality_bucket"),
         repetition_flag.alias("repetition_flag"),
         pii_flag.alias("pii_flag"),
@@ -559,30 +583,44 @@ ORDER BY v.doc_id
 """
 
 
-@query("corpus_keep_list", oracle=_keep_list_oracle())
-def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end training-data preprocessing decision: a document
-    survives iff it passes every screen (fused verdict), is the
-    canonical copy of its exact-hash cluster, and is not the
+def keep_list_frame(
+    spark: SparkSession, sf_dir: str, with_n_tokens: bool = False
+) -> DataFrame:
+    """The end-to-end training-data preprocessing decision, UNSORTED
+    (reusable building block; ``corpus_training_manifest`` consumes it
+    mid-plan, optionally with the fused ``n_tokens`` column): a
+    document survives iff it passes every screen (fused verdict), is
+    the canonical copy of its exact-hash cluster, and is not the
     higher-id member of any verified near-dup pair (greedy keep-lowest,
     the standard corpus-dedup policy).
 
-    Three passes over `documents`, each the cheapest shape for its job —
-    the fused map-only screen scan, a hash+window exact pass, and the
-    LSH candidate pipeline (which must re-tokenize anyway). The two
-    dedup verdicts join back on doc_id; the near-dup side arrives as a
+    Two passes over the text column, each the cheapest shape for its
+    job — the fused map-only screen scan (which computes the exact-dup
+    md5 — and, when asked, the packing token count — on the SAME pass,
+    so screens, exact verdict and manifest weight share one scan; the
+    hash+window dedup then runs over that projection) and the LSH
+    candidate pipeline (which must re-tokenize anyway, through the
+    cached shingle frame). The near-dup side arrives as a
     broadcast-sized distinct drop-list, not the full pair set."""
     from .dedup import minhash_pairs
 
-    v = verdict_frame(spark, sf_dir).select(
-        "doc_id", F.col("keep").alias("screen_keep")
-    )
-    d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("content_hash")
-    exact = d.select(
-        "doc_id", F.md5("text").alias("content_hash")
+    tok_cols = ["n_tokens"] if with_n_tokens else []
+    v = verdict_frame(
+        spark,
+        sf_dir,
+        with_content_hash=True,
+        with_n_tokens=with_n_tokens,
     ).select(
         "doc_id",
+        F.col("keep").alias("screen_keep"),
+        "content_hash",
+        *tok_cols,
+    )
+    w = Window.partitionBy("content_hash")
+    v = v.select(
+        "doc_id",
+        "screen_keep",
+        *tok_cols,
         (F.col("doc_id") != F.min("doc_id").over(w)).alias(
             "exact_duplicate"
         ),
@@ -594,19 +632,21 @@ def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("neardup_duplicate", F.lit(True))
     )
     nd_flag = F.coalesce("neardup_duplicate", F.lit(False))
-    return (
-        v.join(exact, "doc_id")
-        .join(nd, "doc_id", "left")
-        .select(
-            "doc_id",
-            "screen_keep",
-            "exact_duplicate",
-            nd_flag.alias("neardup_duplicate"),
-            (
-                F.col("screen_keep")
-                & ~F.col("exact_duplicate")
-                & ~nd_flag
-            ).alias("keep"),
-        )
-        .orderBy("doc_id")
+    return v.join(nd, "doc_id", "left").select(
+        "doc_id",
+        "screen_keep",
+        "exact_duplicate",
+        nd_flag.alias("neardup_duplicate"),
+        (
+            F.col("screen_keep")
+            & ~F.col("exact_duplicate")
+            & ~nd_flag
+        ).alias("keep"),
+        *tok_cols,
     )
+
+
+@query("corpus_keep_list", oracle=_keep_list_oracle())
+def corpus_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered surface of ``keep_list_frame``, sorted for display."""
+    return keep_list_frame(spark, sf_dir).orderBy("doc_id")

@@ -475,7 +475,7 @@ ORDER BY split, shard, pos_in_shard
 def corpus_training_manifest(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    from .screening import bin_id_expr, corpus_keep_list
+    from .screening import bin_id_expr, keep_list_frame
 
     # The keep decision is CACHED (narrow: doc_id + flags) before the
     # filter. Filtering the raw frame on `keep` looks free but is a
@@ -490,21 +490,16 @@ def corpus_training_manifest(
     # At 100 TB the keep list is a materialized decision table anyway.
     # Plan-gated: tests/test_plans.py asserts no screen expression
     # ever appears inside a Filter in the manifest plan.
-    d = load_table(spark, sf_dir, "documents")
-    tok = d.select(
-        "doc_id",
-        F.expr(f"size({_TOKENS})").cast("long").alias("n_tokens"),
-    )
-    # the cached decision table carries n_tokens alongside the verdict:
-    # the token-count scan folds into the one cache fill instead of a
-    # separate cold pass over `documents` at consumption time. (At
-    # 100 TB the keep list IS this table — doc_id, verdict, length —
-    # written once by the screening job.)
+    # the cached decision table carries n_tokens alongside the verdict,
+    # FUSED into the screen scan (keep_list_frame(with_n_tokens=True) —
+    # the screens compute the token array anyway): one pass over the
+    # text column fills the whole cache. (At 100 TB the keep list IS
+    # this table — doc_id, verdict, length — written once by the
+    # screening job.)
     keep = (
         register_session_cache(
-            corpus_keep_list(spark, sf_dir)
-            .select("doc_id", "keep")
-            .join(tok, "doc_id")
+            keep_list_frame(spark, sf_dir, with_n_tokens=True)
+            .select("doc_id", "keep", "n_tokens")
             .cache()
         )
         .where(F.col("keep"))

@@ -846,3 +846,58 @@ def test_registry_fact_scans_outside_caches(spark):
                     offenders[(name, fact)] = n
     free_session_caches()
     assert not offenders, offenders
+
+
+def test_registry_wide_column_rescans(spark):
+    """The 100 TB IO tripwire for the HEAVY columns: no registered
+    query's cold plan may contain more than two distinct scan nodes
+    reading `text` or `embedding` from a fact table — including cache
+    FILLS (unlike the outside-IMR gate above, a fill pass is counted:
+    it still reads the corpus once). Two is the floor for the dedup
+    compositions (the fused screen/verdict pass + the shared shingle
+    or signature cache fill); everything simpler is at one. Counted as
+    distinct '(id) Scan parquet' nodes in formatted explain — node ids
+    dedup shared DAG references, and TableCacheQueryStage renders its
+    fill child, so cache fills are visible."""
+    import contextlib
+    import io
+    import re
+
+    from economic_data_project_spark.caches import (
+        free_session_caches,
+        lazy_builds,
+    )
+
+    offenders = {}
+    with lazy_builds():
+        for name, fn in sorted(all_queries().items()):
+            free_session_caches()
+            df = fn(spark, SF_DIR)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            nodes = set()
+            for block in re.split(r"\n(?=\(\d+\) )", buf.getvalue()):
+                m = re.match(r"\((\d+)\) Scan parquet", block)
+                if not m:
+                    continue
+                schema = re.search(r"ReadSchema: (.*)", block)
+                loc = re.search(r"/(\w+)\.parquet", block)
+                if (
+                    schema
+                    and loc
+                    and loc.group(1) in ("documents", "embeddings")
+                    and (
+                        "text:" in schema.group(1)
+                        or "embedding:" in schema.group(1)
+                    )
+                ):
+                    nodes.add((loc.group(1), m.group(1)))
+            per_table: dict[str, int] = {}
+            for table, _ in nodes:
+                per_table[table] = per_table.get(table, 0) + 1
+            for table, n in per_table.items():
+                if n > 2:
+                    offenders[(name, table)] = n
+    free_session_caches()
+    assert not offenders, offenders
