@@ -901,3 +901,24 @@ def test_registry_wide_column_rescans(spark):
                     offenders[(name, table)] = n
     free_session_caches()
     assert not offenders, offenders
+
+
+def test_cdc_boundary_lambda_has_no_inlined_transform(spark):
+    """No whole-document array derivation may be INLINED into CDC's
+    per-position filter lambda. The Catalyst trap: an alias like
+    `cv = transform(cs, ascii)` referenced ONCE downstream gets
+    substituted into the lambda by CollapseProject, re-running the
+    full-document transform once per position — O(len^2) per document
+    (21 cores pinned for 15+ minutes on the longdoc corpus when an
+    r10 experiment hit it; `cs` itself survives only because the
+    chunk-hash select is a second reference). A slice() whose input is
+    a transform()/split() subtree is exactly that signature: the slice
+    runs per position, so its input is being rebuilt per position."""
+    import re
+
+    df = all_queries()["cdc_chunking"](spark, SF_DIR)
+    plan = _plan(df).replace(" ", "").replace("\n", "")
+    assert "slice(cs" in plan  # positions consume the bound array
+    assert not re.search(r"slice\((transform|split)\(", plan), (
+        "full-document derivation inlined into the per-position lambda"
+    )
