@@ -50,11 +50,14 @@ execute at build under ``lazy_builds()``: their localCheckpoint
 truncation is load-bearing, not a warm-up.)
 
 Thread-safety: the registry is lock-guarded and handles are deduped by
-``DataFrame.semanticHash()``, so the thread-parallel oracle sweep can
-register/free concurrently without growing the list. A ``free`` racing
-another thread's in-flight ``warm`` fill simply leaves that consumer
-to recompute lazily — correct, just cold (tests/test_caches.py
-exercises free-mid-sweep).
+``DataFrame.semanticHash()`` (+ schema string, ADVICE r10), so the
+thread-parallel oracle sweep can register/free concurrently without
+growing the list. A ``free`` racing another thread's in-flight ``warm``
+fill simply leaves that consumer to recompute lazily — correct, just
+cold (tests/test_caches.py exercises free-mid-sweep). That safety
+holds for CACHE entries only: checkpoint entries release destructively
+(see free_session_caches), so mid-sweep frees that may race a live
+checkpoint consumer must pass ``checkpoints=False``.
 """
 
 from __future__ import annotations
@@ -76,10 +79,16 @@ _EAGER_FILL = True
 
 def _plan_key(df: DataFrame) -> object:
     """Dedup key for a registered handle. semanticHash is stable across
-    re-built identical plans (the repeat-builder case); a hash failure
-    falls back to object identity (no dedup, still correct)."""
+    re-built identical plans (the repeat-builder case) but only 32 bits
+    — a collision between two DISTINCT live plans would silently replace
+    one handle, leaving its frame cached but unreachable by
+    free_session_caches until session end (ADVICE r10). The schema
+    string rides along as a cheap collision-resistant component; a
+    same-schema collision remains possible but now needs both a 1-in-4B
+    hash collision AND an identical schema. A hash failure falls back to
+    object identity (no dedup, still correct)."""
     try:
-        return ("sh", df.semanticHash())
+        return ("sh", df.semanticHash(), str(df.schema))
     except Exception:
         return ("id", id(df))
 
@@ -131,16 +140,34 @@ class lazy_builds:
         _EAGER_FILL = self._prev
 
 
-def free_session_caches(blocking: bool = False) -> int:
-    """Unpersist every registered session-lifetime cache AND release
-    every registered escaped localCheckpoint; clears the registry and
-    returns the number freed. Safe at any time — consumers
-    re-materialize lazily on next use."""
+def free_session_caches(
+    blocking: bool = False, checkpoints: bool = True
+) -> int:
+    """Unpersist every registered session-lifetime cache and (by
+    default) release every registered escaped localCheckpoint; clears
+    the registry and returns the number actually freed.
+
+    Lifetime contract (ADVICE r10): the two classes differ in what a
+    free COSTS a live consumer. *Cache* entries are recomputable —
+    unpersisting under a consumer merely makes its next action cold, so
+    cache frees are safe at any time. *Checkpoint* entries are released
+    DESTRUCTIVELY: a localCheckpoint truncates lineage, so its
+    persisted RDD is the frame's only copy, and a free racing a live
+    consumer of a checkpoint-backed result (thread_structure /
+    dedup-components output held across the sweep) fails that consumer
+    with checkpoint-block-not-found instead of recomputing. Therefore
+    release checkpoints only at session-owner boundaries (between scale
+    factors / corpora / bench lanes, after all in-flight consumers are
+    done); a mid-sweep caller that cannot guarantee that passes
+    ``checkpoints=False`` to free the recomputable caches only."""
     with _LOCK:
         handles = list(_SESSION_CACHES.values())
         _SESSION_CACHES.clear()
-        ckpts = list(_SESSION_CHECKPOINTS)
-        _SESSION_CHECKPOINTS.clear()
+        if checkpoints:
+            ckpts = list(_SESSION_CHECKPOINTS)
+            _SESSION_CHECKPOINTS.clear()
+        else:
+            ckpts = []
     freed = 0
     for df in handles:
         try:
@@ -151,23 +178,27 @@ def free_session_caches(blocking: bool = False) -> int:
             # break the sweep — freeing is an optimization
             pass
     for df in ckpts:
-        free_local_checkpoint(df)
-        freed += 1
+        # count only successful releases, mirroring the cache branch —
+        # a swallowed py4j failure must not overstate what was freed
+        if free_local_checkpoint(df):
+            freed += 1
     return freed
 
 
-def free_local_checkpoint(df: DataFrame) -> None:
-    """Release a ``localCheckpoint(eager=True)`` frame's storage.
+def free_local_checkpoint(df: DataFrame) -> bool:
+    """Release a ``localCheckpoint(eager=True)`` frame's storage;
+    returns True only when the unpersist call actually ran.
 
     The checkpointed plan is a bare LogicalRDD whose rdd() IS the
     persisted checkpoint storage; ``DataFrame.unpersist`` is
     CacheManager-based and cannot see it. Guarded: this reaches
     through py4j internals and assumes the analyzed plan's shape — a
     Spark upgrade changing either must degrade to "generation stays
-    cached until session end", never fail an iterative loop
-    mid-round. Shared by the connected-components and
+    cached until session end" (return False), never fail an iterative
+    loop mid-round. Shared by the connected-components and
     pointer-doubling loops."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        return True
     except Exception:
-        pass
+        return False
