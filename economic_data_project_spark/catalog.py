@@ -39,12 +39,33 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Inferred-schema cache, keyed by resolved table path. Without it every
+# ``spark.read.parquet`` call runs a footer-read schema-inference job —
+# one tiny Spark job per table reference per builder, hundreds across a
+# registry sweep, and noise that would drown the "builders run no jobs
+# at construction" gate (tests/test_plans.py). Catalog tables are
+# read-only snapshots, so a cached schema can never go stale; paths
+# OUTSIDE the catalog (side-effecting /tmp shard dirs, which are
+# overwritten per run) do not go through load_table and are unaffected.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
+def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
+    key = os.path.realpath(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _read_parquet_cached(spark, table_path(sf_dir, name))
 
 
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
@@ -93,9 +114,14 @@ def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet carries TIMESTAMP(NANOS) which Spark rejects by
-    default; read nanos as long, then normalize (see normalize_ts)."""
+    default; read nanos as long, then normalize (see normalize_ts).
+    The nanosAsLong conf must be set BEFORE the first (schema-inferring)
+    read; cached-schema re-reads keep it set anyway since the executor
+    readers honor it at scan time."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return normalize_ts(spark.read.parquet(table_path(sf_dir, "events")))
+    return normalize_ts(
+        _read_parquet_cached(spark, table_path(sf_dir, "events"))
+    )
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -1,23 +1,24 @@
-"""Audit every registered query's COLD plan for fact tables read
-multiple times outside caches (the union-fan-out anti-pattern r9 fixed
-in interesting_data_points / economic_alert_events /
-series_latest_aggregates — free at sf0.1, N full IO passes at 100 TB).
+"""Audit every registered query's COLD plan for the three plan budgets
+the registry gates pin (tests/test_plans.py): fact tables read multiple
+times outside caches (the union-fan-out anti-pattern — free at sf0.1,
+N full IO passes at 100 TB), wide text/embedding scan nodes (cache
+fills included), and Spark jobs run at builder CONSTRUCTION (eager
+probes).
 
 Usage: python tools/scan_audit.py [min_fact_scans] [sf_dir]
 (sf_dir also via $SPARK_GRAFT_SF_DIR; default /root/testdata/sf0.001)
 
-Counts come from the optimized-plan TREE WALK
-(economic_data_project_spark.plans.audit.fact_scans_outside_imr) —
-NOT the rendered plan string, which both duplicates shared DAG nodes
-(one shingle subtree re-rendered 24x in the manifest plan) and breaks
-indent scoping inside executed-AQE cached children. Reads under an
-InMemoryRelation are excluded: they're served by the cache's one fill.
-
-Runs under caches.lazy_builds() so builders construct plans without
-paying eager cache fills (the iterative builders — hierarchy,
-connected components — still execute; their localCheckpoint truncation
-is load-bearing). The registry-wide GATE form of this audit is
-tests/test_plans.py::test_registry_fact_scans_outside_caches.
+One sweep, one plan build per query: everything comes from
+economic_data_project_spark.plans.audit.registry_audit — the optimized
+-plan TREE WALK for fact scans (NEVER count scans in the rendered plan
+string: it duplicates shared DAG nodes — one shingle subtree
+re-rendered 24x in the manifest plan — and executed-AQE cached children
+reset indentation, breaking line-based IMR scoping), formatted-explain
+node ids for the wide-column count, and a per-builder job group for
+construction jobs. Runs under caches.lazy_builds() so builders
+construct plans without paying eager cache fills (the iterative
+builders — hierarchy, connected components — still execute; their
+localCheckpoint truncation is load-bearing).
 """
 
 from __future__ import annotations
@@ -29,17 +30,10 @@ sys.path.insert(
     0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 )
 
-from economic_data_project_spark.caches import (  # noqa: E402
-    free_session_caches,
-    lazy_builds,
-)
 from economic_data_project_spark.plans.audit import (  # noqa: E402
-    fact_scans_outside_imr,
+    registry_audit,
 )
-from economic_data_project_spark.registry import all_queries  # noqa: E402
 from economic_data_project_spark.session import get_spark  # noqa: E402
-
-FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
 
 
 def main() -> None:
@@ -52,29 +46,47 @@ def main() -> None:
         )
     )
     spark = get_spark(app_name="scan-audit")
+    audit = registry_audit(spark, sf_dir)
+
+    for name, a in sorted(audit.items()):
+        if a["error"]:
+            print(f"ERR {name}: {a['error']}", file=sys.stderr)
+
     rows = []
-    with lazy_builds():
-        for name, fn in sorted(all_queries().items()):
-            try:
-                free_session_caches()
-                df = fn(spark, sf_dir)
-                hot = {
-                    f: n
-                    for f in FACTS
-                    if (n := len(fact_scans_outside_imr(df, f)))
-                    >= threshold
-                }
-            except Exception as e:  # noqa: BLE001
-                print(f"ERR {name}: {type(e).__name__}", file=sys.stderr)
-                continue
-            if hot:
-                rows.append((max(hot.values()), name, hot))
+    for name, a in audit.items():
+        if a["error"]:
+            continue
+        hot = {f: n for f, n in a["fact_scans"].items() if n >= threshold}
+        if hot:
+            rows.append((max(hot.values()), name, hot))
     rows.sort(reverse=True)
     for worst, name, hot in rows:
         print(f"{worst:3}x  {name:40} {hot}")
     if not rows:
-        print(f"clean: no query reads a fact table >= {threshold}x"
-              " outside caches")
+        print(
+            f"clean: no query reads a fact table >= {threshold}x"
+            " outside caches"
+        )
+
+    wide = [
+        (max(a["wide_scans"].values()), name, a["wide_scans"])
+        for name, a in audit.items()
+        if not a["error"] and a.get("wide_scans")
+        and max(a["wide_scans"].values()) > 2
+    ]
+    for worst, name, w in sorted(wide, reverse=True):
+        print(f"WIDE {worst:3}x  {name:40} {w}")
+
+    jobs = {
+        name: a["build_jobs"]
+        for name, a in audit.items()
+        if a["build_jobs"] > 0
+    }
+    if jobs:
+        print("builders running jobs at construction"
+              " (gate-exempt set in tests/test_plans.py):")
+        for name, n in sorted(jobs.items(), key=lambda kv: -kv[1]):
+            print(f"JOBS {n:3}  {name}")
 
 
 if __name__ == "__main__":
