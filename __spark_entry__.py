@@ -169,7 +169,7 @@ def _record_ref(rnd: int) -> str:
     return ""
 
 
-def _stale_queries(checked=None) -> list[str]:
+def _stale_queries(checked=None, direct_only: bool = False) -> list[str]:
     """Queries whose Spark code or oracle changed SINCE THEIR OWN last
     green driver row — derived from ``git diff`` against the commit
     recording that round, so the force-first list can never go stale (a
@@ -185,7 +185,17 @@ def _stale_queries(checked=None) -> list[str]:
     prioritization (:func:`_last_checked_round`): rows-only queries
     count their recorded driver runs, so their code changes re-flag
     them like everything else. ``checked``: optional pre-computed
-    :func:`_last_checked_round` map."""
+    :func:`_last_checked_round` map.
+
+    ``direct_only``: restrict the file set to the query's DEFINING
+    module (no transitive closure). This is the stronger staleness
+    tier: an edit to a hub module like caches.py flags the whole
+    registry transitively (zero discrimination — r10's edits left all
+    158 queries "stale"), while a defining-module edit is the precise
+    signal that THIS query's semantics may have moved. The priority
+    order ranks direct ahead of transitive within an age bucket so the
+    bounded driver prefix re-verifies the actually-edited builders
+    first (VERDICT r10 'Next round' #3)."""
     last = _last_checked_round() if checked is None else checked
     diffs: dict[int, set[str] | None] = {}
     for rnd in set(last.values()):
@@ -236,12 +246,16 @@ def _stale_queries(checked=None) -> list[str]:
             continue  # never green -> already in the fresh bucket
         changed = diffs[last[name]]
         mod = fn.__module__
-        if mod not in files_cache:
-            files: set[str] = set()
-            for d in _transitive_deps(mod, direct_cache):
-                files |= _module_files(d)
-            files_cache[mod] = files
-        if changed is None or files_cache[mod] & changed:
+        key = (mod, direct_only)
+        if key not in files_cache:
+            if direct_only:
+                files_cache[key] = set(_module_files(mod))
+            else:
+                files: set[str] = set()
+                for d in _transitive_deps(mod, direct_cache):
+                    files |= _module_files(d)
+                files_cache[key] = files
+        if changed is None or files_cache[key] & changed:
             out.append(name)
     return out
 
@@ -340,14 +354,23 @@ def _priority_order(names: list[str]) -> list[str]:
     row still re-verifies — guarding against driver-environment drift —
     but never before an equally-old changed one. Rows-only queries age
     by their recorded driver runs (:func:`_last_checked_round`) — they
-    must not sit in the fresh bucket permanently."""
+    must not sit in the fresh bucket permanently.
+
+    Staleness is two-tier (VERDICT r10 #3): queries whose DEFINING
+    module changed since their row (direct) outrank queries flagged
+    only through the transitive import closure — a hub-module edit
+    (caches.py, catalog.py) marks the entire registry transitively
+    stale, which carries zero ranking information, while the round's
+    actually-edited builders are exactly the rows the judge needs
+    refreshed first."""
     last = _last_checked_round(list(_iter_records()))
     force = set(_stale_queries(last))
+    direct = set(_stale_queries(last, True))
     passed = set(last)
     fresh = [n for n in names if n not in passed]
     rest = [n for n in names if n in passed]
-    # stable sort: registry order breaks (round, staleness) ties
-    rest.sort(key=lambda n: (last[n], n not in force))
+    # stable sort: registry order breaks (round, tier) ties
+    rest.sort(key=lambda n: (last[n], n not in direct, n not in force))
     return fresh + rest
 
 
