@@ -274,6 +274,17 @@ def minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of once per consumer subtree. Size is the near-dup pair count
     # (dup-rate-bounded, tiny next to the corpus); same documented
     # lifetime discipline as the shingle/band caches above.
+    #
+    # Deliberately NOT warm()ed — and neither are the shingle/band
+    # caches above. Measured r11 (tools/ab_warm_dedup.py, quiet box,
+    # both orderings): eagerly filling all three at build made every
+    # consumer SLOWER (dedup_minhash_lsh cold 1.5s vs 1.1-1.3s,
+    # corpus_keep_list 3.5s vs 1.9s, manifest 5-6s vs 3.9s at sf0.1) —
+    # serialized fill jobs lose more to lost stage overlap than
+    # concurrent first-action fills lose to duplicate computes here.
+    # The eager-fill contract (caches.py) stays reserved for caches
+    # whose duplicate fill is provably the dominant cost (the
+    # incremental split-bound case, the sign-LSH normed store).
     return register_session_cache(
         verified.select("doc_a", "doc_b", "jaccard").cache()
     )
