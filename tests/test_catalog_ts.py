@@ -59,3 +59,39 @@ def test_normalize_ts_matches_duckdb_on_negative_epochs(
     assert by_ns[-1] == 0  # floor would say -1
     assert by_ns[-1500] == -1  # floor would say -2
     assert by_ns[-999_999_999] == -999_999  # floor: -1_000_000
+
+
+def test_schema_cache_reads_are_schema_identical(spark, tmp_path):
+    """catalog._SCHEMA_CACHE: the cached-schema re-read of a table must
+    produce the exact inferred schema (the cache exists to skip the
+    footer-read inference JOB, never to change what is read), and the
+    cache must be keyed by resolved path so two tables never share an
+    entry. Uses a scratch dir via the catalog's own path scheme."""
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark import catalog
+
+    sf_dir = str(tmp_path)
+    spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.lit("t").alias("text"),
+        F.lit(1.5).alias("score"),
+    ).write.parquet(catalog.table_path(sf_dir, "documents"))
+    spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.1), F.lit(0.2)).alias("embedding"),
+    ).write.parquet(catalog.table_path(sf_dir, "embeddings"))
+
+    first = catalog.load_table(spark, sf_dir, "documents")
+    key = catalog.os.path.realpath(
+        catalog.table_path(sf_dir, "documents")
+    )
+    assert key in catalog._SCHEMA_CACHE  # first read populated it
+    second = catalog.load_table(spark, sf_dir, "documents")
+    assert second.schema == first.schema
+    assert [r["doc_id"] for r in second.orderBy("doc_id").collect()] == [
+        0, 1, 2, 3, 4,
+    ]
+    emb = catalog.load_table(spark, sf_dir, "embeddings")
+    assert emb.schema != first.schema  # no cross-table key collision
+    assert emb.count() == 3
