@@ -54,6 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..caches import register_session_cache
 from ..catalog import load_table
 from ..registry import query
 
@@ -103,10 +104,15 @@ def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
 def doc_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats, vocab = tfidf_features(docs)
-    feats = feats.cache()
+    # registered (r11): both caches outlive the builder — the returned
+    # frame reads `out` (reps + sizes subtrees) and `out` reads `feats`
+    # lazily — so unregistered they leaked one generation per sf_dir
+    # until session end (every other session-lifetime cache registers;
+    # these two predate the registry).
+    feats = register_session_cache(feats.cache())
     km = KMeans(k=K_CLUSTERS, seed=SEED, featuresCol="features")
     model = km.fit(feats)
-    out = model.transform(feats).cache()
+    out = register_session_cache(model.transform(feats).cache())
 
     # model-level metrics (sec_document_clusters.yml metrics:)
     inertia = float(model.summary.trainingCost)
