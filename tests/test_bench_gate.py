@@ -1,0 +1,111 @@
+"""bench.py trusted-run gate: the artifact may only stamp trusted=true
+when BOTH the 1-min and 5-min load averages pass, and the wait loop
+drains rather than spins (VERDICT r10 'What's wrong' #1 / brief #2 —
+the r10 artifact was recorded at 1-min 1.13 and read as a phantom 24%
+regression; an r11 probe at 1-min 0.71 / 5-min 5.24 was still
+inflated, so the 5-min average is load-bearing too)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location(
+        "bench", "/root/repo/bench.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_wait_returns_immediately_when_quiet(monkeypatch):
+    bench = _load_bench()
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (0.1, 0.2, 3.0)
+    )
+    monkeypatch.setattr(
+        bench.time, "sleep", lambda s: (_ for _ in ()).throw(
+            AssertionError("must not sleep when already quiet")
+        ),
+    )
+    load = bench._wait_for_quiet(600)
+    assert load[0] <= bench._QUIET_1MIN
+    assert load[1] <= bench._QUIET_5MIN
+
+
+def test_wait_drains_then_returns_quiet(monkeypatch):
+    bench = _load_bench()
+    seq = iter(
+        [(0.5, 5.0, 4.0), (0.5, 3.0, 4.0), (0.4, 1.2, 3.0)]
+    )
+    cur = [(2.0, 6.0, 5.0)]
+
+    def advance(_s):
+        cur[0] = next(seq)
+
+    monkeypatch.setattr(bench.os, "getloadavg", lambda: cur[0])
+    monkeypatch.setattr(bench.time, "sleep", advance)
+    load = bench._wait_for_quiet(600)
+    assert load == (0.4, 1.2, 3.0)
+
+
+def test_wait_gives_up_at_deadline_and_reports_loaded(monkeypatch):
+    """A box that never drains must NOT hang the bench: the loop exits
+    at the deadline and returns the still-loaded triple, which main()
+    then stamps trusted=false (the machine-readable contract)."""
+    bench = _load_bench()
+    t = [0.0]
+
+    def fake_monotonic():
+        return t[0]
+
+    def fake_sleep(s):
+        t[0] += s
+
+    monkeypatch.setattr(bench.time, "monotonic", fake_monotonic)
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (7.0, 7.0, 7.0)
+    )
+    load = bench._wait_for_quiet(120)
+    assert t[0] >= 120  # actually waited to the deadline, then stopped
+    assert load[0] > bench._QUIET_1MIN  # -> trusted=false in main()
+
+
+def test_five_min_average_alone_fails_the_gate(monkeypatch):
+    """The r11 probe signature: 1-min quiet, 5-min hot. The gate must
+    keep waiting (and, at deadline, report loaded) — a 1-min-only gate
+    recorded that run as comparable when it was 1.2-1.6x inflated."""
+    bench = _load_bench()
+    monkeypatch.setattr(
+        bench.os, "getloadavg", lambda: (0.71, 5.24, 4.65)
+    )
+    slept = [0]
+
+    def count_sleep(s):
+        slept[0] += 1
+
+    monkeypatch.setattr(bench.time, "sleep", count_sleep)
+    t = [0.0]
+    monkeypatch.setattr(bench.time, "monotonic", lambda: t[0])
+
+    def tick(s):
+        slept[0] += 1
+        t[0] += 30
+
+    monkeypatch.setattr(bench.time, "sleep", tick)
+    load = bench._wait_for_quiet(90)
+    assert slept[0] >= 3  # it kept waiting on the 5-min average
+    assert not (
+        load[0] <= bench._QUIET_1MIN and load[1] <= bench._QUIET_5MIN
+    )
+
+
+def test_bench_importable_without_running(monkeypatch):
+    """bench.py must stay import-safe (main guarded): the tests above
+    and any tooling import it as a module."""
+    mod = _load_bench()
+    assert callable(mod.main)
+    assert "bench" in sys.modules or True
