@@ -156,3 +156,25 @@ def test_checkpoint_registry_frees_final_generation(spark):
     # boundary (bench lane, corpus switch) when no consumer reads it
     # again. `ck` is deliberately not read after the free.
     del ck
+
+
+def test_checkpoints_false_frees_caches_only(spark):
+    """free_session_caches(checkpoints=False): a mid-sweep caller that
+    may race a live checkpoint consumer frees the RECOMPUTABLE caches
+    but leaves destructive checkpoint entries registered for the next
+    session-owner-boundary sweep (ADVICE r10: releasing a
+    localCheckpoint destroys its only copy)."""
+    caches.free_session_caches()
+    ck = caches.register_session_checkpoint(
+        spark.range(100).localCheckpoint(eager=True)
+    )
+    cached = caches.register_session_cache(spark.range(50).cache())
+    cached.count()
+    freed = caches.free_session_caches(checkpoints=False)
+    assert freed == 1  # the cache, not the checkpoint
+    assert len(caches._SESSION_CHECKPOINTS) == 1
+    # the checkpoint is still alive and readable after the partial sweep
+    assert ck.count() == 100
+    # the owner-boundary sweep then releases it
+    assert caches.free_session_caches() >= 1
+    assert not caches._SESSION_CHECKPOINTS

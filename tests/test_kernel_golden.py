@@ -611,3 +611,56 @@ def test_minhash_lsh_recall_curve_at_jaccard_boundary(spark, tmp_path):
             f"j={j}: recall {recall[j]:.3f} vs theory {theory[j]:.3f}"
         )
     assert recall[0.4] < recall[0.5] < recall[0.6]
+
+
+def test_emb_cosine_sparse_id_space_uses_occupied_buckets(
+    spark, tmp_path
+):
+    """ADVICE r10 guard: with a sparse/offset vec_id space the block
+    grid must come from the OCCUPIED buckets (one narrow cached pass),
+    not the id bound — the id-bound grid is O((max_id/_BLOCK)^2) kernel
+    invocations regardless of emptiness, so cost would scale with the
+    id RANGE rather than the corpus. Values must stay identical to an
+    independent NumPy brute force."""
+    import pandas as pd
+
+    from economic_data_project_spark.text.dedup import (
+        _BLOCK,
+        _COSINE_THRESHOLD,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 40, 8
+    base = rng.normal(size=(n // 2, dim))
+    vecs = []
+    for i in range(n // 2):
+        vecs.append(base[i])
+        vecs.append(base[i] + 0.05 * rng.normal(size=dim))  # near-dup
+    # ids offset by 1M and spaced well past _BLOCK: the id bound implies
+    # ~1.2k buckets for a corpus that occupies only 40
+    ids = [1_000_000 + i * 5 * _BLOCK for i in range(n)]
+    pd.DataFrame(
+        {
+            "vec_id": ids,
+            "embedding": [list(map(float, v)) for v in vecs],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    df = all_queries()["dedup_embedding_cosine"](spark, str(tmp_path))
+    plan = df._jdf.queryExecution().toString()
+    # the guard must have routed the grid off the occupied buckets:
+    # no Range leaf sized by the id bound in the plan
+    assert "Range (0" not in plan, "id-bound range grid came back"
+    got = sorted((r.vec_a, r.vec_b, r.cosine) for r in df.collect())
+
+    V = np.stack(vecs)
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vn @ Vn.T, 9)
+    expected = sorted(
+        (ids[i], ids[j], float(cos[i, j]))
+        for i in range(n)
+        for j in range(n)
+        if ids[i] < ids[j] and cos[i, j] >= _COSINE_THRESHOLD
+    )
+    assert got == expected
+    assert len(expected) >= n // 2  # every planted near-dup pair found
