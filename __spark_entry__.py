@@ -169,6 +169,62 @@ def _record_ref(rnd: int) -> str:
     return ""
 
 
+#: per-round changed-file memo — the staleness scan runs for BOTH tiers
+#: (transitive + direct) and for both queries() and oracle_sql(), and
+#: the git-diff + AST-parse pipeline is identical across those calls.
+#: Process-lifetime caching is safe: the driver loads this module fresh
+#: per run and the tree does not change mid-run.
+_ROUND_CHANGES: dict[int, set[str] | None] = {}
+
+
+def _changed_since_round(rnd: int) -> set[str] | None:
+    """Package files whose ABSTRACT SYNTAX changed since the commit
+    recording round ``rnd``; None = unknown tree (treat as all-stale).
+    Memoized (see _ROUND_CHANGES)."""
+    if rnd in _ROUND_CHANGES:
+        return _ROUND_CHANGES[rnd]
+    ref = _record_ref(rnd)
+    if not ref:
+        _ROUND_CHANGES[rnd] = None  # unknown tree -> treat as stale
+        return None
+    # only package modules can ever intersect a query's file set —
+    # pre-filtering spares a git-show + two AST parses per changed
+    # test/tool file.
+    pkg_py = lambda f: f.endswith(".py") and f.startswith(_PKG + "/")
+    diffed = {
+        f
+        for f in _git("diff", "--name-only", ref).splitlines()
+        if pkg_py(f)
+    }
+    # the record's own commit closes the same-round-edit hole: the
+    # driver verifies BEFORE the round's edits are committed, and
+    # record + edits land in ONE commit — so a package file that
+    # commit touched was NOT the verified code even though it no
+    # longer differs from the ref tree. Compare such files against
+    # the ref's PARENT (the newest tree that could have been
+    # verified); comment-only touch-ups still pass the AST check.
+    in_commit = {
+        f
+        for f in _git(
+            "show", "--name-only", "--format=", ref
+        ).splitlines()
+        if pkg_py(f)
+    }
+    changed = {
+        f
+        for f in diffed | in_commit
+        if _ast_changed(f, ref)
+        or (f in in_commit and _ast_changed(f, ref + "^"))
+    }
+    # registry.py is pure registration plumbing imported by every
+    # query module; counting it as a semantic dependency would flag
+    # the whole registry on any new-query addition and push
+    # genuinely-new queries out of the driver's bounded prefix.
+    changed.discard(f"{_PKG}/registry.py")
+    _ROUND_CHANGES[rnd] = changed
+    return changed
+
+
 def _stale_queries(checked=None, direct_only: bool = False) -> list[str]:
     """Queries whose Spark code or oracle changed SINCE THEIR OWN last
     green driver row — derived from ``git diff`` against the commit
@@ -197,47 +253,7 @@ def _stale_queries(checked=None, direct_only: bool = False) -> list[str]:
     bounded driver prefix re-verifies the actually-edited builders
     first (VERDICT r10 'Next round' #3)."""
     last = _last_checked_round() if checked is None else checked
-    diffs: dict[int, set[str] | None] = {}
-    for rnd in set(last.values()):
-        ref = _record_ref(rnd)
-        if not ref:
-            diffs[rnd] = None  # unknown tree -> treat as stale
-            continue
-        # only package modules can ever intersect a query's file set —
-        # pre-filtering spares a git-show + two AST parses per changed
-        # test/tool file.
-        pkg_py = lambda f: f.endswith(".py") and f.startswith(_PKG + "/")
-        diffed = {
-            f
-            for f in _git("diff", "--name-only", ref).splitlines()
-            if pkg_py(f)
-        }
-        # the record's own commit closes the same-round-edit hole: the
-        # driver verifies BEFORE the round's edits are committed, and
-        # record + edits land in ONE commit — so a package file that
-        # commit touched was NOT the verified code even though it no
-        # longer differs from the ref tree. Compare such files against
-        # the ref's PARENT (the newest tree that could have been
-        # verified); comment-only touch-ups still pass the AST check.
-        in_commit = {
-            f
-            for f in _git(
-                "show", "--name-only", "--format=", ref
-            ).splitlines()
-            if pkg_py(f)
-        }
-        changed = {
-            f
-            for f in diffed | in_commit
-            if _ast_changed(f, ref)
-            or (f in in_commit and _ast_changed(f, ref + "^"))
-        }
-        # registry.py is pure registration plumbing imported by every
-        # query module; counting it as a semantic dependency would flag
-        # the whole registry on any new-query addition and push
-        # genuinely-new queries out of the driver's bounded prefix.
-        changed.discard(f"{_PKG}/registry.py")
-        diffs[rnd] = changed
+    diffs = {rnd: _changed_since_round(rnd) for rnd in set(last.values())}
     out: list[str] = []
     direct_cache: dict[str, set[str]] = {}
     files_cache: dict[str, set[str]] = {}

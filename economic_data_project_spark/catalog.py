@@ -39,19 +39,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Inferred-schema cache, keyed by resolved table path. Without it every
-# ``spark.read.parquet`` call runs a footer-read schema-inference job —
-# one tiny Spark job per table reference per builder, hundreds across a
-# registry sweep, and noise that would drown the "builders run no jobs
-# at construction" gate (tests/test_plans.py). Catalog tables are
-# read-only snapshots, so a cached schema can never go stale; paths
-# OUTSIDE the catalog (side-effecting /tmp shard dirs, which are
-# overwritten per run) do not go through load_table and are unaffected.
-_SCHEMA_CACHE: dict[str, object] = {}
+# Inferred-schema cache, keyed by (resolved table path, dir mtime).
+# Without it every ``spark.read.parquet`` call runs a footer-read
+# schema-inference job — one tiny Spark job per table reference per
+# builder, hundreds across a registry sweep, and noise that would drown
+# the "builders run no jobs at construction" gate (tests/test_plans.py).
+# The mtime component is the invalidation: load_table also serves
+# GENERATED corpora (the bench longdoc lane, test fixtures writing
+# documents.parquet to scratch dirs), and a path rewritten in-process
+# with a different schema must re-infer — reading with a stale explicit
+# schema silently drops new columns and nulls renamed ones instead of
+# erroring. A parquet dir's mtime changes whenever files are added or
+# replaced, so a rewrite gets a fresh key; the stat is driver-side and
+# far cheaper than the inference job it replaces.
+_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
 
 
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
-    key = os.path.realpath(path)
+    real = os.path.realpath(path)
+    try:
+        mtime = os.stat(real).st_mtime_ns
+    except OSError:
+        # missing path: let spark.read raise its own (clearer) error
+        return spark.read.parquet(path)
+    key = (real, mtime)
     schema = _SCHEMA_CACHE.get(key)
     if schema is None:
         df = spark.read.parquet(path)

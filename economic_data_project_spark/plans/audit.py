@@ -22,9 +22,12 @@ wall time).
 
 from __future__ import annotations
 
+import itertools
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+
+_AUDIT_SEQ = itertools.count()
 
 #: fact tables whose repeated full scans a 100 TB run pays in IO passes
 FACTS = ("lineitem", "orders", "events", "documents", "embeddings")
@@ -137,6 +140,10 @@ def registry_audit(
     qs = all_queries() if queries is None else queries
     sc = spark.sparkContext
     tracker = sc.statusTracker()
+    # per-call salt: getJobIdsForGroup is cumulative for the session,
+    # so a repeated audit in one session must not count the previous
+    # sweep's jobs as this sweep's build_jobs
+    salt = next(_AUDIT_SEQ)
     # prime the catalog schema cache OUTSIDE any job group: the first
     # read of each table runs one footer-read schema-inference job,
     # which must not be attributed to whichever builder touches the
@@ -147,7 +154,7 @@ def registry_audit(
     with lazy_builds():
         for name in sorted(qs):
             free_session_caches()
-            gid = f"plan-audit-{name}"
+            gid = f"plan-audit-{salt}-{name}"
             sc.setJobGroup(gid, f"plan-audit build: {name}")
             try:
                 df = qs[name](spark, sf_dir)

@@ -83,11 +83,6 @@ def test_five_min_average_alone_fails_the_gate(monkeypatch):
         bench.os, "getloadavg", lambda: (0.71, 5.24, 4.65)
     )
     slept = [0]
-
-    def count_sleep(s):
-        slept[0] += 1
-
-    monkeypatch.setattr(bench.time, "sleep", count_sleep)
     t = [0.0]
     monkeypatch.setattr(bench.time, "monotonic", lambda: t[0])
 

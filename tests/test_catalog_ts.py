@@ -83,10 +83,11 @@ def test_schema_cache_reads_are_schema_identical(spark, tmp_path):
     ).write.parquet(catalog.table_path(sf_dir, "embeddings"))
 
     first = catalog.load_table(spark, sf_dir, "documents")
-    key = catalog.os.path.realpath(
+    real = catalog.os.path.realpath(
         catalog.table_path(sf_dir, "documents")
     )
-    assert key in catalog._SCHEMA_CACHE  # first read populated it
+    mtime = catalog.os.stat(real).st_mtime_ns
+    assert (real, mtime) in catalog._SCHEMA_CACHE  # first read cached
     second = catalog.load_table(spark, sf_dir, "documents")
     assert second.schema == first.schema
     assert [r["doc_id"] for r in second.orderBy("doc_id").collect()] == [
@@ -95,3 +96,34 @@ def test_schema_cache_reads_are_schema_identical(spark, tmp_path):
     emb = catalog.load_table(spark, sf_dir, "embeddings")
     assert emb.schema != first.schema  # no cross-table key collision
     assert emb.count() == 3
+
+
+def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """A path REWRITTEN in-process with a different schema must be
+    re-inferred — the mtime key component is the invalidation. Reading
+    with the stale cached schema would silently drop the new column
+    (review finding r11: load_table also serves generated corpora —
+    longdoc lane, test fixtures — so 'catalog tables are immutable'
+    does not hold for every caller)."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark import catalog
+
+    sf_dir = str(tmp_path)
+    path = catalog.table_path(sf_dir, "documents")
+    spark.range(3).select(
+        F.col("id").alias("doc_id"), F.lit("a").alias("text")
+    ).write.parquet(path)
+    v1 = catalog.load_table(spark, sf_dir, "documents")
+    assert set(v1.columns) == {"doc_id", "text"}
+    _time.sleep(0.01)  # ensure a distinct dir mtime
+    spark.range(3).select(
+        F.col("id").alias("doc_id"),
+        F.lit("b").alias("text"),
+        F.lit("en").alias("lang"),
+    ).write.mode("overwrite").parquet(path)
+    v2 = catalog.load_table(spark, sf_dir, "documents")
+    assert set(v2.columns) == {"doc_id", "text", "lang"}
+    assert v2.where(F.col("lang") == "en").count() == 3

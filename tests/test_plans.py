@@ -855,7 +855,9 @@ def test_registry_fact_scans_outside_caches(registry_plan_audit):
     offenders = {}
     for name, a in registry_plan_audit.items():
         bound = exceptions.get(name, 2)
-        for fact, n in a["fact_scans"].items():
+        # errored builders carry no metrics — diagnosed by name in
+        # test_registry_audit_swept_everything, not a KeyError here
+        for fact, n in a.get("fact_scans", {}).items():
             if n > bound:
                 offenders[(name, fact)] = n
     assert not offenders, offenders
@@ -873,7 +875,7 @@ def test_registry_wide_column_rescans(registry_plan_audit):
     which dedup shared DAG references)."""
     offenders = {}
     for name, a in registry_plan_audit.items():
-        for table, n in a["wide_scans"].items():
+        for table, n in a.get("wide_scans", {}).items():
             if n > 2:
                 offenders[(name, table)] = n
     assert not offenders, offenders
