@@ -661,3 +661,72 @@ def test_budget_selection_decomposition_matches_naive_reference(spark):
         assert got == _naive_budget_reference(rows)
 
     run()
+
+
+def test_cdc_matches_pure_python_reference_on_random_corpus(
+    spark, tmp_path
+):
+    """Randomized cross-check: the full (chunk_idx, chunk_len,
+    chunk_hash) output must equal an independent pure-Python CDC
+    chunker on a seeded adversarial corpus — lengths straddling the
+    window width (0, 1, K-1, K, K+1), boundary-dense and boundary-free
+    regions, repeated content, and a non-ASCII codepoint (split(text,
+    \'\') and Python slicing must agree on CHARACTER positions, and
+    md5 must hash the same UTF-8 bytes)."""
+    import hashlib
+    import random
+
+    from economic_data_project_spark.text.cdc import (
+        _BOUNDARY_HI,
+        _K_WIN,
+    )
+
+    def reference(text: str):
+        n = len(text)
+        bounds = [
+            i
+            for i in range(1, max(n - _K_WIN + 1, 1) + 1)
+            if i <= n - _K_WIN + 1
+            and hashlib.md5(
+                text[i - 1 : i - 1 + _K_WIN].encode("utf-8")
+            ).hexdigest()[:2]
+            < _BOUNDARY_HI
+        ]
+        starts = [1] + [b + 1 for b in bounds]
+        ends = bounds + [n]
+        out = []
+        for idx, (s, e) in enumerate(zip(starts, ends), start=1):
+            piece = text[s - 1 : max(e, s - 1)] if e >= s else ""
+            out.append(
+                (
+                    idx,
+                    max(e - s + 1, 0),
+                    hashlib.md5(piece.encode("utf-8")).hexdigest(),
+                )
+            )
+        return out
+
+    rng = random.Random(20260815)
+    alphabet = "abcdefgh XY.,\u00e9"
+    rows = []
+    lengths = [0, 1, _K_WIN - 1, _K_WIN, _K_WIN + 1] + [
+        rng.randrange(2, 400) for _ in range(40)
+    ]
+    for d, ln in enumerate(lengths):
+        text = "".join(rng.choice(alphabet) for _ in range(ln))
+        if d % 7 == 3 and ln > 20:  # repeated content stretches
+            text = text[:10] * (ln // 10)
+        rows.append((d, text, "en", "s", len(text)))
+    sf = _write_docs(tmp_path, rows)
+
+    got = {}
+    for r in all_queries()["cdc_chunking"](spark, sf).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.chunk_len, r.chunk_hash)
+        )
+    for d, text, *_ in rows:
+        want = reference(text)
+        assert sorted(got[d]) == want, (d, repr(text[:40]))
+        # partition invariant: chunk lengths reconstruct the document
+        assert sum(c[1] for c in want) == len(text)
+
