@@ -5,14 +5,19 @@ sf0.01, catching scale-dependent divergence (aggregation-order float
 drift, overflow, partition-count-sensitive results).
 
 Usage: python tools/oracle_sweep.py [sf_dir]
-(default /root/testdata/sf0.1)
+       python tools/oracle_sweep.py --quadratic [n_docs] [src_sf_dir]
 
-Queries whose DECLARED ORACLE is brute-force quadratic in DuckDB
-(all-pairs shingle/embedding intersections — hours at 5000 docs) are
-skipped: their engines are driver-verified at sf0.01 and value-pinned
-by planted-fixture recall tests; the exclusion is about oracle cost,
-not engine doubt. r11 result at sf0.1: 143 MATCH + 7 rows-only,
+Default mode: every query EXCEPT those whose DECLARED ORACLE is
+brute-force quadratic in DuckDB (all-pairs shingle/embedding
+intersections — hours at 5000 docs); the exclusion is about oracle
+cost, not engine doubt. r11 result at sf0.1: 143 MATCH + 7 rows-only,
 0 FAIL in 510s (tools/bench_snapshots/r11_sf01_oracle_sweep.log).
+
+--quadratic mode covers exactly that excluded family at the largest
+scale its oracles can afford: a deterministic doc_id < n_docs
+(default 1500) subsample of sf0.1 written to a scratch dir, 3x the
+driver's 500-doc correctness scale. r11 result: 8/8 MATCH in 783s
+(tools/bench_snapshots/r11_quadratic_1500docs.log).
 """
 
 from __future__ import annotations
@@ -40,6 +45,65 @@ QUADRATIC_ORACLES = {
     "leakage_safe_split",
     "corpus_training_manifest",
 }
+
+
+def _subsample(n_docs: int, src: str) -> str:
+    """Write a deterministic doc_id/vec_id < n_docs subset of ``src``'s
+    documents+embeddings to a scratch dir (the only tables the
+    quadratic family reads)."""
+    import tempfile
+
+    import duckdb
+
+    out = tempfile.mkdtemp(prefix=f"oracle_sub{n_docs}_")
+    con = duckdb.connect()
+    for table, key in (("documents", "doc_id"), ("embeddings", "vec_id")):
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')"
+            f" WHERE {key} < {n_docs})"
+            f" TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+        )
+    return out
+
+
+def main_quadratic() -> None:
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 1500
+    src = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    sf = _subsample(n_docs, src)
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(_ROOT, "__spark_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from economic_data_project_spark.session import get_spark
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    spark = get_spark(app_name="oracle-sweep-quadratic")
+    queries, oracles = mod.queries(), mod.oracle_sql()
+    con = duckdb_connect(sf)
+    fails = 0
+    t00 = time.time()
+    for name in sorted(QUADRATIC_ORACLES):
+        t0 = time.time()
+        try:
+            ok, msg = compare_with_oracle(
+                spark, queries[name], oracles[name], sf, con=con.cursor()
+            )
+        except Exception as e:  # noqa: BLE001 — sweep must finish
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        fails += not ok
+        print(
+            f"{'MATCH' if ok else 'FAIL':5} {name}: {msg}"
+            f" ({time.time() - t0:.0f}s)",
+            flush=True,
+        )
+    print(
+        f"TOTAL quadratic-oracle family at {n_docs} docs:"
+        f" {len(QUADRATIC_ORACLES) - fails}/{len(QUADRATIC_ORACLES)}"
+        f" MATCH in {time.time() - t00:.0f}s"
+    )
+    sys.exit(1 if fails else 0)
 
 
 def main() -> None:
@@ -109,4 +173,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--quadratic":
+        main_quadratic()
+    else:
+        main()
