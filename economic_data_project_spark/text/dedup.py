@@ -29,6 +29,8 @@ oracles match bit-for-bit.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -617,6 +619,86 @@ _EMB_BANDS = 16
 _EMB_BAND_BITS = 6
 
 
+def _emb_lsh_params(n: int | None) -> tuple[str, int, int]:
+    """(scheme, bands, bits_per_band) scaled to corpus size.
+
+    Band SPECIFICITY must grow like log2(n): random-pair band collision
+    probability is ~2^-bits, so expected junk candidates are
+    ~n^2/2 * bands / 2^bits — with the legacy 6-bit coordinate windows
+    that is ~7.8e9 pairs right AT the 200k routing threshold (the scale
+    path would drown in its own candidates the moment it activates;
+    measured r11, tools/bench_snapshots/r11_emb_lsh_scaling.log). At or
+    below the threshold (every driver/test scale) the legacy
+    (windows, 16, 6) config stays — maximal recall down to the 0.4
+    cosine floor, candidates bounded by the small n. Above it, bits
+    come from seeded random hyperplanes (coordinate signs top out at
+    `dim` independent bits — dim 64 cannot feed 32 bands x 18 bits) with
+    bits ~ log2(n) and 32 bands: at n=250k (bits=18) a random pair
+    collides somewhere with p ~ 32/2^18 -> ~4e6 junk candidates total,
+    while a cosine-0.95 pair still collides with p ~ 0.98 and 0.9 with
+    ~0.87 (p_bit = 1 - theta/pi). The weak-similarity tail below ~0.8
+    is candidates-limited — inherent to sign-LSH, documented at
+    `_emb_lsh_pairs`."""
+    if n is None or n <= _EMB_LSH_MIN:
+        return ("windows", _EMB_BANDS, _EMB_BAND_BITS)
+    import math
+
+    bits = min(24, max(10, math.ceil(math.log2(n))))
+    return ("planes", 32, bits)
+
+
+def _emb_hyperplanes(bands: int, bits: int, dim: int):
+    """Deterministic +-1 hyperplane matrix ((bands*bits) x dim), seeded
+    by md5 of the coordinate index — stable across runs, engines and
+    workers (no RNG state). Python-side constant; ships inside the
+    Arrow kernel's closure."""
+    import hashlib
+
+    flat = np.empty(bands * bits * dim, dtype=np.float64)
+    for k in range(bands * bits):
+        h = hashlib.md5(f"emb-lsh-plane|{k}".encode()).digest()
+        # stretch the 16-byte digest across the dimension: byte parity
+        # per coordinate, re-hashing every 16 coordinates
+        row = []
+        blk = h
+        for d in range(dim):
+            if d and d % 16 == 0:
+                blk = hashlib.md5(blk).digest()
+            row.append(1.0 if blk[d % 16] & 1 else -1.0)
+        flat[k * dim : (k + 1) * dim] = row
+    return flat.reshape(bands * bits, dim)
+
+
+def _emb_plane_signatures(n: DataFrame, bands: int, bits: int, dim: int):
+    """(vec_id, band, band_val) via random-hyperplane sign bits, packed
+    per band — an Arrow-batched kernel (pandas_udf) because the bit
+    matrix is a dense (batch x dim) @ (dim x bands*bits) product, the
+    canonical case where NumPy GEMM beats interpreted HOF folds ~100x
+    (same precedent as the block-matrix verify kernel above). Map-only:
+    signatures add one narrow column per vector, no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    H = _emb_hyperplanes(bands, bits, dim).T  # (dim, bands*bits)
+    weights = (1 << np.arange(bits)).astype(np.int64)
+
+    @pandas_udf("array<int>")
+    def band_vals(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype=object)
+        V = np.stack(emb.to_numpy()).astype(np.float64)  # (m, dim)
+        bitmat = (V @ H) >= 0  # (m, bands*bits)
+        packed = bitmat.reshape(len(V), bands, bits) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
+
+    sig = n.select(
+        "vec_id", band_vals(F.col("embedding")).alias("bv")
+    ).select(
+        "vec_id",
+        F.posexplode("bv").alias("band", "band_val"),
+    )
+    return sig
+
+
 def _emb_band_starts(dim: int) -> list[int]:
     """0-based start offsets of the L coordinate windows, spread evenly
     across the dimension (windows may overlap when L*r > dim)."""
@@ -628,24 +710,32 @@ def _emb_band_starts(dim: int) -> list[int]:
     return [b * (dim - r) // (nb - 1) for b in range(nb)]
 
 
-def _emb_lsh_pairs(e: DataFrame, dim: int) -> DataFrame:
-    """Near-dup pairs via sign-LSH candidate generation: band b packs
-    the signs of a 6-coordinate window into an int; pairs colliding on
-    ANY of the 16 windows (equi-join on (band, band_val)) are verified
+def _emb_lsh_pairs(
+    e: DataFrame,
+    dim: int,
+    n_vectors: int | None = None,
+    params: tuple[str, int, int] | None = None,
+) -> DataFrame:
+    """Near-dup pairs via sign-LSH candidate generation: pairs
+    colliding on ANY band (equi-join on (band, band_val)) are verified
     with the exact rounded cosine — identical values to the brute path,
     so the routing changes candidate RECALL only.
 
-    Recall honesty (sign-agreement per coordinate p = 1 - theta/pi,
-    independence approximation; overlapping windows correlate bands
-    slightly, lowering the effective table count): any-band collision
-    is ~0.999 at cosine 0.9, ~0.99 at 0.8, ~0.88 at 0.6 and ~0.65 at
-    the 0.4 output floor. The scale path therefore keeps essentially
-    all near-duplicates (the regime this operator exists for) while
-    the weak-similarity tail near the threshold is candidates-limited;
-    the declared all-pairs oracle remains exact at driver scale, where
-    the brute path runs. More recall at the tail = more bands — the
-    standard LSH budget knob."""
-    r = _EMB_BAND_BITS
+    Band scheme is corpus-size-aware (``_emb_lsh_params``): at driver/
+    test scale, band b packs the signs of a 6-coordinate window into an
+    int (16 bands — any-band collision ~0.999 at cosine 0.9, ~0.99 at
+    0.8, ~0.88 at 0.6 and ~0.65 at the 0.4 output floor; sign-agreement
+    per coordinate p = 1 - theta/pi, independence approximation).
+    Above the routing threshold the bits come from seeded random
+    hyperplanes with width ~log2(n) so junk-candidate volume stays
+    ~n * bands instead of n^2/2^6 — there the weak tail below ~0.8 is
+    candidates-limited by design and the near-dup regime (>=0.9) keeps
+    ~0.87-0.99 recall. More recall = more bands, the standard LSH
+    budget knob. The declared all-pairs oracle remains exact at driver
+    scale, where the brute path runs."""
+    scheme, n_bands, r = (
+        params if params is not None else _emb_lsh_params(n_vectors)
+    )
     band_val = (
         "aggregate(zip_with(slice(embedding, {off}, %d), sequence(0, %d),"
         " (x, i) -> CASE WHEN cast(x as double) >= 0"
@@ -671,22 +761,25 @@ def _emb_lsh_pairs(e: DataFrame, dim: int) -> DataFrame:
             ).cache()
         )
     )
-    sig = n.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(band_val.format(off=start + 1)).alias(
-                            "band_val"
-                        ),
-                    )
-                    for b, start in enumerate(_emb_band_starts(dim))
-                ]
-            )
-        ).alias("bv"),
-    ).select("vec_id", "bv.band", "bv.band_val")
+    if scheme == "planes":
+        sig = _emb_plane_signatures(n, n_bands, r, dim)
+    else:
+        sig = n.select(
+            "vec_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(band_val.format(off=start + 1)).alias(
+                                "band_val"
+                            ),
+                        )
+                        for b, start in enumerate(_emb_band_starts(dim))
+                    ]
+                )
+            ).alias("bv"),
+        ).select("vec_id", "bv.band", "bv.band_val")
     cand = (
         sig.alias("a")
         .join(
@@ -755,7 +848,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bucket collisions and verify only those. Degenerate dims
         # (< one band width) would give every vector the same empty
         # band — those stay on the exact path.
-        return _emb_lsh_pairs(emb, probe["dim"])
+        return _emb_lsh_pairs(emb, probe["dim"], int(probe["n"]))
     e = emb.select(
         "vec_id",
         "embedding",
@@ -850,14 +943,17 @@ def dedup_embedding_cosine_lsh(
     instead of hiding behind a size branch with an oracle that no longer
     applies."""
     emb = load_table(spark, sf_dir, "embeddings")
-    probe = emb.agg(F.max(F.size("embedding")).alias("dim")).head()
+    probe = emb.agg(
+        F.max(F.size("embedding")).alias("dim"),
+        F.count("*").alias("n"),
+    ).head()
     dim = probe["dim"] or 0
     if dim < _EMB_BAND_BITS:
         raise ValueError(
             f"embedding dim {dim} is below one band width"
             f" ({_EMB_BAND_BITS}); use dedup_embedding_cosine"
         )
-    return _emb_lsh_pairs(emb, dim)
+    return _emb_lsh_pairs(emb, dim, int(probe["n"]))
 
 
 # --------------------------------------------------------------------------

@@ -664,3 +664,71 @@ def test_emb_cosine_sparse_id_space_uses_occupied_buckets(
     )
     assert got == expected
     assert len(expected) >= n // 2  # every planted near-dup pair found
+
+
+def test_emb_lsh_plane_scheme_equals_brute_on_colliding_pairs(
+    spark, tmp_path
+):
+    """The scale-tier band scheme (seeded random hyperplanes, bits ~
+    log2(n)) must return EXACTLY the brute-force pairs whose vectors
+    collide in >= 1 hyperplane band — bits recomputed here with the
+    same deterministic H and the same float64 GEMM the kernel uses.
+    Forced small so the whole lattice is checkable; the auto route
+    engages this scheme above _EMB_LSH_MIN vectors."""
+    import pandas as pd
+
+    from economic_data_project_spark.text.dedup import (
+        _COSINE_THRESHOLD,
+        _emb_hyperplanes,
+        _emb_lsh_pairs,
+        _emb_lsh_params,
+    )
+
+    # param policy sanity: at/below the routing bound -> legacy windows;
+    # above -> hyperplanes with log2-scaled bits
+    assert _emb_lsh_params(None)[0] == "windows"
+    assert _emb_lsh_params(200_000)[0] == "windows"
+    scheme, bands_big, bits_big = _emb_lsh_params(250_000)
+    assert scheme == "planes" and bits_big == 18 and bands_big == 32
+
+    rng = np.random.RandomState(11)
+    n, dim, bands, bits = 300, 16, 8, 10
+    base = rng.normal(size=(n // 2, dim))
+    vecs = []
+    for i in range(n // 2):
+        vecs.append(base[i])
+        vecs.append(base[i] + 0.12 * rng.normal(size=dim))
+    pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [list(map(float, v)) for v in vecs],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    from economic_data_project_spark.catalog import load_table
+
+    emb = load_table(spark, str(tmp_path), "embeddings")
+    got = sorted(
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in _emb_lsh_pairs(
+            emb, dim, params=("planes", bands, bits)
+        ).collect()
+    )
+
+    V = np.stack(vecs).astype(np.float64)
+    H = _emb_hyperplanes(bands, bits, dim).T  # (dim, bands*bits)
+    bitmat = (V @ H) >= 0
+    packed = bitmat.reshape(n, bands, bits) @ (
+        (1 << np.arange(bits)).astype(np.int64)
+    )
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    cos = np.round(Vn @ Vn.T, 9)
+    expected = sorted(
+        (i, j, float(cos[i, j]))
+        for i in range(n)
+        for j in range(i + 1, n)
+        if cos[i, j] >= _COSINE_THRESHOLD
+        and bool((packed[i] == packed[j]).any())
+    )
+    assert got == expected
+    assert len(expected) >= int(0.9 * (n // 2))  # planted dups recalled
