@@ -18,7 +18,17 @@ Scale design (the 100 TB story):
 - SimHash: 4 bands x 8 bits with verify threshold hamming <= 3 gives
   *guaranteed* recall by pigeonhole (any pair within hamming 3 shares at
   least one clean band) — the LSH is a pure optimization, the output is
-  exactly "all pairs with hamming <= 3".
+  exactly "all pairs with hamming <= 3". Scale bound (r11): the 32-bit
+  fingerprint semantic itself saturates around ~10^6 docs — two
+  UNRELATED docs land within hamming 3 with p ~ 5.5k/2^32 ~ 1.3e-6, so
+  a 1M-doc corpus emits ~700k false near-dup pairs from hash collisions
+  alone, and the 8-bit bands mirror that with ~n^2/128 junk candidates.
+  Past that, the right move is widening the SEMANTIC to a 64-bit
+  fingerprint with 4x16 bands (same pigeonhole guarantee, 2^-16 band
+  specificity) — a different operator contract, not a banding tweak;
+  at this repo's driver scales the 32-bit contract is exact and cheap.
+  (The embedding near-dup tier handles the corpus-scale regime with
+  size-aware hyperplane bands — `_emb_lsh_params`.)
 - Embedding near-dup is brute-force here (oracle-checkable); the ANN
   module (similarity/ann.py) carries the bucketed scale path.
 
