@@ -488,6 +488,20 @@ def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_K = 16
 _IVF_NPROBE = 4
 _DIM = 64
+# Above this corpus size the fixed K=16 coarse quantizer stops being an
+# index: each inverted list holds n/16 of the corpus, so probing
+# nprobe=4 lists scans 25% of ALL vectors regardless of n. Past the
+# cutover, K grows as floor(sqrt(n)) (capped) and nprobe as K/32 — the
+# standard IVF sizing, keeping probed volume ~ nprobe/K ~ 1/sqrt(n) of
+# the corpus. Both are folded into the plan as a broadcast 1-row
+# aggregate (no eager probe job — the builder stays zero-jobs under
+# lazy_builds). The declared oracle implements the FIXED-K algorithm
+# and is exact at every driver/test scale (all below the cutover);
+# above it the sizing policy is documented behavior beyond the oracle's
+# regime — the same contract shape as dedup_embedding_cosine's brute->
+# LSH cutover (text/dedup.py).
+_IVF_SCALE_MIN = 200_000
+_IVF_K_CAP = 65_536
 
 
 def _ivf_oracle() -> str:
@@ -588,10 +602,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    init = corpus.where(F.col("vec_id") < _IVF_K).select(
-        F.col("vec_id").alias("cluster0"),
-        F.col("embedding").alias("cent0"),
-        F.col("vnorm").alias("norm0"),
+    # size-aware coarse quantizer (see _IVF_SCALE_MIN): K and nprobe
+    # ride a broadcast 1-row aggregate so the policy is lazy plan-side
+    # state, not an eager count probe
+    stats = F.broadcast(
+        corpus.agg(F.count("*").alias("n_corpus")).select(
+            F.when(
+                F.col("n_corpus") <= _IVF_SCALE_MIN, F.lit(_IVF_K)
+            )
+            .otherwise(
+                F.greatest(
+                    F.lit(_IVF_K),
+                    F.least(
+                        F.lit(_IVF_K_CAP),
+                        F.floor(F.sqrt(F.col("n_corpus"))),
+                    ),
+                )
+            )
+            .cast("long")
+            .alias("ivf_k")
+        ).select(
+            "ivf_k",
+            F.greatest(
+                F.lit(_IVF_NPROBE), (F.col("ivf_k") / 32).cast("long")
+            ).alias("ivf_nprobe"),
+        )
+    )
+    init = (
+        corpus.crossJoin(stats)
+        .where(F.col("vec_id") < F.col("ivf_k"))
+        .select(
+            F.col("vec_id").alias("cluster0"),
+            F.col("embedding").alias("cent0"),
+            F.col("vnorm").alias("norm0"),
+        )
     )
 
     def argmin_assign(vectors: DataFrame, cents: DataFrame,
@@ -663,7 +707,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     probes = (
         probe_scored.withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= _IVF_NPROBE)
+        .crossJoin(stats)
+        .where(F.col("probe_rank") <= F.col("ivf_nprobe"))
         .select("query_id", "cluster")
     )
     cand = (
