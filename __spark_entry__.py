@@ -378,15 +378,26 @@ def _priority_order(names: list[str]) -> list[str]:
     (caches.py, catalog.py) marks the entire registry transitively
     stale, which carries zero ranking information, while the round's
     actually-edited builders are exactly the rows the judge needs
-    refreshed first."""
+    refreshed first.
+
+    DIRECT staleness outranks age across rounds (VERDICT r11 #1): a
+    defining-module edit is a precise, bounded signal — the set only
+    contains builders someone actually changed, and it empties as
+    rows land — so taking it first cannot starve the tail the way
+    transitive flagging would (r10's hub edits marked 108/158 queries
+    transitively stale; its direct set was ~26). Without this, an
+    edited builder with a recent row (e.g. the r11-resized IVF, r10
+    row) waits behind every merely-older unchanged row and its edit
+    ships driver-unverified for multiple rounds. Transitive staleness
+    stays an in-bucket tiebreak only."""
     last = _last_checked_round(list(_iter_records()))
     force = set(_stale_queries(last))
     direct = set(_stale_queries(last, True))
     passed = set(last)
     fresh = [n for n in names if n not in passed]
     rest = [n for n in names if n in passed]
-    # stable sort: registry order breaks (round, tier) ties
-    rest.sort(key=lambda n: (last[n], n not in direct, n not in force))
+    # stable sort: registry order breaks (tier, round) ties
+    rest.sort(key=lambda n: (n not in direct, last[n], n not in force))
     return fresh + rest
 
 

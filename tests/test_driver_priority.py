@@ -48,22 +48,37 @@ def test_ast_changed_fails_stale(tmp_path, monkeypatch):
     assert se._ast_changed("m.py", "deadbeef") is True
 
 
-def test_priority_order_fresh_then_oldest_record(monkeypatch):
+def test_priority_order_fresh_then_direct_stale_then_age(monkeypatch):
     se = _load_entry()
-    monkeypatch.setattr(se, "_stale_queries", lambda *a: ["b", "c"])
+
+    def _stale(checked=None, direct_only=False):
+        # b's DEFINING module changed; c is flagged only transitively
+        return ["b"] if direct_only else ["b", "c"]
+
+    monkeypatch.setattr(se, "_stale_queries", _stale)
     monkeypatch.setattr(
         se, "_last_checked_round", lambda *a: {"a": 2, "b": 3, "c": 1}
     )
-    # d never passed -> fresh bucket first; then AGE-primary: c (r1,
-    # stale) before a (r2, unchanged) before b (r3, stale) — a round's
-    # own edits must not let freshly-verified-but-changed queries jump
-    # ahead of a multi-round-old tail (r7 verdict top ask)
+    # d never passed -> fresh bucket first; then DIRECT-stale b jumps
+    # the age queue (VERDICT r11 #1 — an edited builder must not ship
+    # driver-unverified behind merely-older unchanged rows); then age:
+    # c (r1, transitively stale) before a (r2, unchanged)
     assert se._priority_order(["a", "b", "c", "d"]) == [
         "d",
+        "b",
         "c",
         "a",
-        "b",
     ]
+
+
+def test_priority_order_direct_stale_ordered_by_age(monkeypatch):
+    se = _load_entry()
+    # both direct-stale -> age still ranks within the direct tier
+    monkeypatch.setattr(se, "_stale_queries", lambda *a: ["a", "b"])
+    monkeypatch.setattr(
+        se, "_last_checked_round", lambda *a: {"a": 2, "b": 3}
+    )
+    assert se._priority_order(["a", "b"]) == ["a", "b"]
 
 
 def test_priority_order_stale_first_within_round(monkeypatch):
