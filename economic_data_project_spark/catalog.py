@@ -52,7 +52,16 @@ def table_path(sf_dir: str, name: str) -> str:
 # erroring. A parquet dir's mtime changes whenever files are added or
 # replaced, so a rewrite gets a fresh key; the stat is driver-side and
 # far cheaper than the inference job it replaces.
-_SCHEMA_CACHE: dict[tuple[str, int], object] = {}
+# FLAT-LAYOUT ASSUMPTION (ADVICE r11 #3): the mtime watches the table
+# path itself, so a rewrite that only replaces files inside PARTITION
+# SUBDIRECTORIES (leaving the parent dir untouched) would serve a stale
+# schema. Every current writer — Spark overwrite (recreates the dir),
+# single-file pandas/duckdb to_parquet — bumps the watched path; a
+# partitioned-layout writer must touch the table dir (or clear this
+# cache) on schema change. One schema per path is live at a time: the
+# insert evicts the previous (mtime, schema) entry for the same path,
+# so repeated scratch-dir rewrites cannot grow the cache unboundedly.
+_SCHEMA_CACHE: dict[str, tuple[int, object]] = {}
 
 
 def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
@@ -62,13 +71,12 @@ def _read_parquet_cached(spark: SparkSession, path: str) -> DataFrame:
     except OSError:
         # missing path: let spark.read raise its own (clearer) error
         return spark.read.parquet(path)
-    key = (real, mtime)
-    schema = _SCHEMA_CACHE.get(key)
-    if schema is None:
+    hit = _SCHEMA_CACHE.get(real)
+    if hit is None or hit[0] != mtime:
         df = spark.read.parquet(path)
-        _SCHEMA_CACHE[key] = df.schema
+        _SCHEMA_CACHE[real] = (mtime, df.schema)
         return df
-    return spark.read.schema(schema).parquet(path)
+    return spark.read.schema(hit[1]).parquet(path)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

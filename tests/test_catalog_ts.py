@@ -87,7 +87,8 @@ def test_schema_cache_reads_are_schema_identical(spark, tmp_path):
         catalog.table_path(sf_dir, "documents")
     )
     mtime = catalog.os.stat(real).st_mtime_ns
-    assert (real, mtime) in catalog._SCHEMA_CACHE  # first read cached
+    # first read cached under the current mtime
+    assert catalog._SCHEMA_CACHE[real][0] == mtime
     second = catalog.load_table(spark, sf_dir, "documents")
     assert second.schema == first.schema
     assert [r["doc_id"] for r in second.orderBy("doc_id").collect()] == [
@@ -127,3 +128,9 @@ def test_schema_cache_invalidates_on_rewrite(spark, tmp_path):
     v2 = catalog.load_table(spark, sf_dir, "documents")
     assert set(v2.columns) == {"doc_id", "text", "lang"}
     assert v2.where(F.col("lang") == "en").count() == 3
+    # the rewrite EVICTED the stale entry rather than leaking one per
+    # rewrite (ADVICE r11 #3): exactly one live schema per path
+    real = catalog.os.path.realpath(path)
+    assert set(catalog._SCHEMA_CACHE[real][1].fieldNames()) == {
+        "doc_id", "text", "lang",
+    }

@@ -903,6 +903,11 @@ _BUILD_JOB_EXEMPT = {
     # bounded routing probe: 1-row agg head() picks brute vs LSH path
     "dedup_embedding_cosine": "size/dim routing probe (1-row agg)",
     "dedup_embedding_cosine_lsh": "dim guard probe (1-row agg)",
+    "dedup_embedding_cosine_lsh_planes": "plane sizing probe (1-row agg)",
+    # same pattern: K/nprobe sizing + sparse-id seed bound; the probe's
+    # scan doubles as the corpus cache fill (VERDICT r11 #3 — the lazy
+    # broadcast-agg alternative re-ran the sizing pass at execution)
+    "ann_ivf_topk": "IVF sizing probe (1-row agg)",
     # side-effecting by design: shards/sinks written at build, the
     # returned frame reads them back (double-invoke tested)
     "csv_corpus_roundtrip": "writes CSV shards at build",
