@@ -77,6 +77,9 @@ HEADLINE = [
     "cdc_chunking",             # content-defined chunk geometry
     "bigram_pmi_collocations",  # positional-bigram PMI census
     "corpus_training_manifest",  # end-to-end keep+split+shuffle+pack
+    # round 12 additions
+    "dedup_simhash64",          # 64-bit simhash scale tier (4x16 bands)
+    "dedup_embedding_cosine_lsh_planes",  # forced hyperplane GEMM tier
 ]
 
 
@@ -110,9 +113,38 @@ LONGDOC = [
     # the composition, not just its ingredients (r7/r8 brief #4)
     "leakage_safe_split",
     "corpus_training_manifest",
+    # round 12 addition: the 64-bit fingerprint fold is per-token work
+    # exactly like the 32-bit one the lane already watches
+    "dedup_simhash64",
 ]
 _LONGDOC_DOCS = 1000
 _LONGDOC_TOKENS = 2000
+
+
+def _fixture_rev(spark, longdoc_dir: str) -> str:
+    """Content hash of the generated longdoc corpus (order-insensitive
+    md5-of-sorted-per-doc-md5s, truncated): stamped into the JSON as
+    `longdoc_fixture` so best-ever longdoc comparisons auto-restrict to
+    same-fixture rows (VERDICT r11 #5 — a 0.84 s `longdoc_ngram_
+    jaccard_nn` row from a degenerate pre-r6 fixture polluted ratio
+    tables across three rounds of re-adjudication). A generator edit
+    changes the hash; hand-bumped revision strings rot."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(os.path.join(longdoc_dir, "documents.parquet"))
+    return (
+        df.select(
+            F.md5(
+                F.concat_ws("|", F.col("doc_id").cast("string"), "text")
+            ).alias("h")
+        )
+        .agg(
+            F.md5(
+                F.concat_ws("", F.sort_array(F.collect_list("h")))
+            ).alias("fh")
+        )
+        .head()["fh"][:12]
+    )
 
 
 def _gen_longdoc_dir(spark) -> str:
@@ -315,6 +347,7 @@ def main() -> None:
     longdoc: dict[str, float] = {}
     longdoc_dir = _gen_longdoc_dir(spark)
     try:
+        fixture_rev = _fixture_rev(spark, longdoc_dir)
         for name in LONGDOC:
             if name not in qs:
                 continue
@@ -347,6 +380,9 @@ def main() -> None:
                 # round comparison (headline OR longdoc lane) may be
                 # made from this artifact — compare trusted runs only.
                 "trusted": trusted,
+                # content hash of the longdoc corpus: longdoc_* rows are
+                # comparable ONLY between artifacts with the same value
+                "longdoc_fixture": fixture_rev,
                 "load_start": [round(x, 2) for x in load_start],
                 "load_end": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),

@@ -27,8 +27,11 @@ Scale design (the 100 TB story):
   fingerprint with 4x16 bands (same pigeonhole guarantee, 2^-16 band
   specificity) — a different operator contract, not a banding tweak;
   at this repo's driver scales the 32-bit contract is exact and cheap.
-  (The embedding near-dup tier handles the corpus-scale regime with
-  size-aware hyperplane bands — `_emb_lsh_params`.)
+  That successor EXISTS as its own registered surface since r12:
+  `dedup_simhash64` (see its section below for the collision math and
+  the 1.2M-doc candidate-volume measurement). (The embedding near-dup
+  tier handles the corpus-scale regime with size-aware hyperplane
+  bands — `_emb_lsh_params`.)
 - Embedding near-dup is brute-force here (oracle-checkable); the ANN
   module (similarity/ann.py) carries the bucketed scale path.
 
@@ -572,6 +575,153 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# 64-bit SimHash scale tier (hamming <= 3 over a 64-bit signature,
+# 4 bands x 16 bits) — the successor contract the 32-bit header names
+# (VERDICT r11 'Next round' #2). Why it exists: two UNRELATED docs land
+# within hamming 3 of a w-bit fingerprint with p ~ (sum_{k<=3} C(w,k))
+# / 2^w — for w=32 that is ~5.5e3/2^32 ~ 1.3e-6, so a 1M-doc corpus
+# emits ~700k false near-dup PAIRS from hash collisions alone and the
+# 8-bit bands feed ~n^2/128 junk candidates to the verifier. At w=64
+# the same bound is ~4.4e4/2^64 ~ 2.4e-15 (false pairs expected: ~0.001
+# at 1M docs, ~12 at 100B docs) and the 16-bit bands cut junk
+# candidates 256x to ~n^2 * 4 / 2^16 (measured at 1.2M synthetic docs:
+# tools/bench_snapshots/r12_simhash64_probe.log). Same pigeonhole
+# recall guarantee: hamming <= 3 over 4 bands forces >= 1 identical
+# band. Registered as its own surface (like the forced-LSH precedent)
+# rather than silently rebanding dedup_simhash: the fingerprint IS the
+# operator's semantic, so widening it changes every emitted pair.
+# --------------------------------------------------------------------------
+
+# Per-token 64-bit hash: two md5 32-bit halves packed hi<<32 | lo.
+# DuckDB cannot cast >= 2^63 hex into BIGINT, so the oracle keeps the
+# halves separate and sums per-half bit_counts — bit-identical to the
+# packed 64-bit XOR popcount.
+_SIMHASH64_CTE_DUCK = f"""
+tok64 AS (
+  SELECT doc_id, t.tok AS tok, COUNT(*) AS cnt
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents) t
+  GROUP BY doc_id, t.tok
+),
+hashed64 AS (
+  SELECT doc_id, cnt,
+         ('0x' || substr(md5(tok), 1, 8))::UBIGINT::BIGINT AS hi,
+         ('0x' || substr(md5(tok), 9, 8))::UBIGINT::BIGINT AS lo
+  FROM tok64
+),
+bits64 AS (
+  SELECT doc_id, b.b AS b,
+         SUM(CASE WHEN ((CASE WHEN b.b < 32 THEN lo ELSE hi END)
+                        >> (b.b % 32)) & 1 = 1
+                  THEN cnt ELSE -cnt END) AS w
+  FROM hashed64, (SELECT unnest(range(0, 64)) AS b) b
+  GROUP BY doc_id, b.b
+),
+sim64 AS (
+  SELECT doc_id,
+         SUM(CASE WHEN w > 0 AND b < 32
+                  THEN 1::BIGINT << b ELSE 0 END) AS lo_sig,
+         SUM(CASE WHEN w > 0 AND b >= 32
+                  THEN 1::BIGINT << (b - 32) ELSE 0 END) AS hi_sig
+  FROM bits64 GROUP BY doc_id
+)
+"""
+
+_SIMHASH64_ORACLE = f"""
+WITH {_SIMHASH64_CTE_DUCK}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.lo_sig, b.lo_sig))
+            + bit_count(xor(a.hi_sig, b.hi_sig)) AS BIGINT) AS hamming
+FROM sim64 a JOIN sim64 b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.lo_sig, b.lo_sig))
+      + bit_count(xor(a.hi_sig, b.hi_sig)) <= {_HAMMING_MAX}
+ORDER BY doc_a, doc_b
+"""
+
+
+def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 64-bit simhash, same map-only fold shape as
+    ``_simhash_df``: md5 once per token (its own transform stage — the
+    packing lambda must reference the HASH, not recompute md5 per bit),
+    pack hi<<32 | lo (hi's top bit lands in the sign region — bits are
+    bits, and only `& 1`-masked shifts read them back), fold +-1 bit
+    weights, then OR the sign bits together (OR, not SUM: bit 63 is the
+    bigint sign bit and ANSI-mode addition ordering would be a trap the
+    bitwise fold sidesteps entirely)."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = (
+        "aggregate("
+        " transform(transform(toks, t -> md5(t)), hx ->"
+        "   shiftleft(cast(conv(substr(hx, 1, 8), 16, 10) as bigint), 32)"
+        "   | cast(conv(substr(hx, 9, 8), 16, 10) as bigint)),"
+        " array_repeat(cast(0 as bigint), 64),"
+        " (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->"
+        "   a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1"
+        "       ELSE -1 END),"
+        " acc -> aggregate(zip_with(acc, sequence(0, 63), (w, b) ->"
+        "   CASE WHEN w > 0 THEN shiftleft(cast(1 as bigint), b)"
+        "        ELSE cast(0 as bigint) END),"
+        "   cast(0 as bigint), (s, x) -> s | x))"
+    )
+    return (
+        d.select("doc_id", F.expr(_TOKENS).alias("toks"))
+        .where(F.size("toks") > 0)
+        .select("doc_id", F.expr(fold).alias("simhash"))
+    )
+
+
+@query("dedup_simhash64", oracle=_SIMHASH64_ORACLE)
+def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-scale simhash: identical query shape to
+    ``dedup_simhash`` with a 64-bit fingerprint and 4x16-bit bands —
+    2^-16 band specificity bounds junk candidates past the 32-bit
+    tier's ~1M-doc saturation (module header; golden-pinned against a
+    pure-Python reference in tests/test_kernel_golden.py)."""
+    sim = _simhash64_df(spark, sf_dir)
+    banded = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, 3), i ->"
+                " struct(i as band_id,"
+                " shiftright(simhash, i * 16) & 65535 as band_val))"
+            )
+        ).alias("band"),
+    ).select(
+        "doc_id", "simhash", "band.band_id", "band.band_val"
+    ).cache().transform(
+        register_session_cache
+    )  # tiny (4 rows/doc); self-joined below — fold hashes once
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(
+                F.col("sim_a").bitwiseXOR(F.col("sim_b"))
+            ).cast("long"),
+        )
+        .where(F.col("hamming") <= _HAMMING_MAX)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# --------------------------------------------------------------------------
 # Embedding-cosine near-dup pairs via BLOCK-MATRIX comparison.
 #
 # Per-pair HOF folds are interpreted (lambda HOFs never enter codegen), so
@@ -651,9 +801,18 @@ def _emb_lsh_params(n: int | None) -> tuple[str, int, int]:
     `_emb_lsh_pairs`."""
     if n is None or n <= _EMB_LSH_MIN:
         return ("windows", _EMB_BANDS, _EMB_BAND_BITS)
+    return _plane_policy(n)
+
+
+def _plane_policy(n: int) -> tuple[str, int, int]:
+    """The hyperplane-scheme sizing for a corpus of ``n`` vectors:
+    32 bands, ~log2(n) bits. Shared by the auto route (above the
+    cutover) and the forced `dedup_embedding_cosine_lsh_planes`
+    surface, so what the driver exercises at small n is parameter-
+    for-parameter the policy the scale tier runs at large n."""
     import math
 
-    bits = min(24, max(10, math.ceil(math.log2(n))))
+    bits = min(24, max(10, math.ceil(math.log2(max(n, 2)))))
     return ("planes", 32, bits)
 
 
@@ -700,7 +859,17 @@ def _emb_plane_signatures(n: DataFrame, bands: int, bits: int, dim: int):
         packed = bitmat.reshape(len(V), bands, bits) @ weights
         return pd.Series(list(packed.astype(np.int32)))
 
-    sig = n.select(
+    # null / ragged guard (ADVICE r11 #1): np.stack raises on a null or
+    # shorter-than-dim embedding (dim is the probed MAX size), killing
+    # the whole stage — where the legacy windows scheme just emitted a
+    # null band_val that dropped out of the equi-join. Such rows cannot
+    # be near-dups anyway (cosine against a full-dim vector is
+    # undefined/null and fails the threshold), so excluding them from
+    # signature generation changes no output pair.
+    full = n.where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == dim)
+    )
+    sig = full.select(
         "vec_id", band_vals(F.col("embedding")).alias("bv")
     ).select(
         "vec_id",
@@ -964,6 +1133,37 @@ def dedup_embedding_cosine_lsh(
             f" ({_EMB_BAND_BITS}); use dedup_embedding_cosine"
         )
     return _emb_lsh_pairs(emb, dim, int(probe["n"]))
+
+
+@query("dedup_embedding_cosine_lsh_planes")  # rows-only: hyperplane
+# bands are recall-limited below ~0.8 cosine by design, so no exact SQL
+# oracle — equality with the brute path on every colliding pair is
+# pinned against an independent NumPy recomputation of the SAME seeded
+# planes (tests/test_kernel_golden.py, both the synthetic-corpus kernel
+# test and the driver-corpus registered-surface test).
+def dedup_embedding_cosine_lsh_planes(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The hyperplane band scheme, FORCED at driver scale (VERDICT r11
+    'Next round' #4): `dedup_embedding_cosine_lsh` forces the legacy
+    coordinate-windows scheme below the cutover, so until r12 no
+    registered query ever executed the planes GEMM kernel + band join
+    under the driver's eye — its only coverage was a golden test.
+    Parameters come from `_plane_policy(n)`, the same sizing the auto
+    route applies above `_EMB_LSH_MIN`, so every rotation re-verifies
+    the exact code path (Arrow kernel, null/ragged guard, band
+    equi-join, exact-cosine verify) the 100 TB tier runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = emb.agg(
+        F.max(F.size("embedding")).alias("dim"),
+        F.count("*").alias("n"),
+    ).head()
+    dim = probe["dim"] or 0
+    if dim < 1:
+        raise ValueError("empty embeddings; nothing to hash")
+    return _emb_lsh_pairs(
+        emb, dim, params=_plane_policy(int(probe["n"]))
+    )
 
 
 # --------------------------------------------------------------------------
