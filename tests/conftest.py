@@ -193,11 +193,14 @@ def oracle_results(spark) -> dict[str, tuple[bool, str]]:
         )
 
         queries, oracles = all_queries(), all_oracles()
-        # selective runs (a debug loop on a few queries) compare only
-        # the selected names; the full-session sweep threshold keeps
-        # `pytest tests/` on the one-pass pooled path.
+        # the sweep covers exactly the SELECTED names: a full
+        # `pytest tests/` run selects everything (same one-pass pooled
+        # sweep as before), while any -k/-m/node-id narrowing — however
+        # wide — pays only its own queries. The old `<= 10` threshold
+        # made a -k matching 11+ names (e.g. `-k dedup`, 15 queries)
+        # silently pay the full 160-query sweep (VERDICT r11 #6).
         names = sorted(queries)
-        if _ORACLE_SELECTED and len(_ORACLE_SELECTED) <= 10:
+        if _ORACLE_SELECTED:
             names = sorted(_ORACLE_SELECTED & set(names))
         con = duckdb_cached(SF_DIR)
 
