@@ -590,6 +590,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band. Registered as its own surface (like the forced-LSH precedent)
 # rather than silently rebanding dedup_simhash: the fingerprint IS the
 # operator's semantic, so widening it changes every emitted pair.
+#
+# This tier's own contract bound: candidate volume is still quadratic
+# (n^2 * 4 / 2^16), so past ~10M docs (~6e9 candidates) the band join
+# drowns even though the FALSE-PAIR rate stays clean to ~100B docs.
+# The successor is again a semantic widening, not a rebanding: md5
+# already yields 128 bits, so a 128-bit fingerprint carries either
+# 4x32 bands (hamming <= 3 — but 3/128 is a much tighter similarity
+# notion than 3/64) or 7x18 bands (hamming <= 6, preserving the
+# ~5%-of-width threshold; candidates n^2 * 7 / 2^18). That threshold
+# choice changes which pairs count as "near-dups", so it belongs to
+# the operator contract a deployment picks — documented here rather
+# than silently chosen. At every scale this repo's driver exercises,
+# and through the 1.2M-doc probe, the 64-bit contract is exact.
 # --------------------------------------------------------------------------
 
 # Per-token 64-bit hash: two md5 32-bit halves packed hi<<32 | lo.
