@@ -104,3 +104,39 @@ def test_bench_importable_without_running(monkeypatch):
     mod = _load_bench()
     assert callable(mod.main)
     assert "bench" in sys.modules or True
+
+
+def test_fixture_rev_tracks_corpus_content(spark, tmp_path):
+    """`longdoc_fixture` (VERDICT r11 #5) must be a pure function of
+    the corpus CONTENT: same parquet -> same hash (row order must not
+    matter — the hash sorts per-doc digests), any doc edit -> a new
+    hash, so best-ever longdoc comparisons can restrict themselves to
+    same-fixture artifacts mechanically."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    bench = _load_bench()
+    d1 = str(tmp_path / "a")
+    d2 = str(tmp_path / "b")
+    base = spark.range(20).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id").cast("string")).alias("text"),
+    )
+    base.repartition(4).write.parquet(os.path.join(d1, "documents.parquet"))
+    # same content, different row order/partitioning
+    base.orderBy(F.col("doc_id").desc()).repartition(2).write.parquet(
+        os.path.join(d2, "documents.parquet")
+    )
+    r1 = bench._fixture_rev(spark, d1)
+    assert bench._fixture_rev(spark, d2) == r1
+    # one edited doc -> different revision
+    d3 = str(tmp_path / "c")
+    base.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 7, F.lit("edited")).otherwise(
+            F.col("text")
+        ),
+    ).write.parquet(os.path.join(d3, "documents.parquet"))
+    assert bench._fixture_rev(spark, d3) != r1
+    assert len(r1) == 12
