@@ -323,6 +323,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shingle sets (array_intersect), so the cap changes candidate RECALL
 # only: a pair sharing nothing but stop-phrases is (by design) not a
 # near-dup candidate. The DuckDB oracle applies the identical cap.
+#
+# The cap is the LESSER of the fraction and an ABSOLUTE bound (r12): a
+# purely fractional cap stops bounding fan-out as the corpus grows —
+# at 10B docs a shingle just under 10% df fans out ~1e18 intermediate
+# pairs (per-shingle pair volume is df^2, and the fraction scales df
+# WITH n). min(0.1*n, 10k) keeps worst-case per-shingle fan-out at
+# 1e8 pairs regardless of corpus size. No driver/test scale reaches
+# the absolute bound (0.1n = 500 at the sf0.1 corpus, 100 on the
+# longdoc lane), so the declared oracle — which applies the identical
+# min() — stays exact everywhere it runs. Past ~100k docs exact-NN
+# over capped postings is candidates-limited by design; the minhash
+# banding surface (`dedup_minhash_lsh`) is the corpus-scale near-dup
+# path.
 # --------------------------------------------------------------------------
 
 _NN_KEY = (
@@ -336,6 +349,8 @@ _NN_KEY_SPARK = (
 
 _DF_CAP_FRAC = 0.1
 _DF_CAP_MIN = 20.0
+_DF_CAP_ABS = 10_000.0  # absolute df ceiling: caps per-shingle pair
+# fan-out at ~1e8 regardless of corpus size (see section header)
 
 _NGRAM_NN_ORACLE = f"""
 WITH sh AS (
@@ -346,8 +361,8 @@ post AS (
 ),
 hot AS (
   SELECT shingle FROM post GROUP BY shingle
-  HAVING COUNT(*) > GREATEST({_DF_CAP_MIN!r},
-    {_DF_CAP_FRAC!r} * (SELECT COUNT(*) FROM documents))
+  HAVING COUNT(*) > LEAST({_DF_CAP_ABS!r}, GREATEST({_DF_CAP_MIN!r},
+    {_DF_CAP_FRAC!r} * (SELECT COUNT(*) FROM documents)))
 ),
 capped AS (
   SELECT * FROM post WHERE shingle NOT IN (SELECT shingle FROM hot)
@@ -383,13 +398,15 @@ def ngram_jaccard_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings = sh.select(
         "doc_id", F.explode("shingles").alias("shingle")
     )
-    # df cap: hot shingles (df > max(20, 10% of corpus)) leave candidate
-    # generation via a BROADCAST anti-join — the hot set is tiny by
-    # construction (only stop-phrases exceed the cap), so the postings
-    # frame itself never reshuffles for the filter. The corpus size that
-    # parameterizes the cap is a 1-row broadcast aggregate folded into
-    # the SAME job (not an eager .count() action) so the whole query
-    # stays single-job.
+    # df cap: hot shingles (df > min(10k, max(20, 10% of corpus)))
+    # leave candidate generation via a BROADCAST anti-join — the hot
+    # set is tiny by construction (only stop-phrases exceed the cap),
+    # so the postings frame itself never reshuffles for the filter. The
+    # absolute ceiling keeps per-shingle fan-out bounded when 10% of
+    # the corpus stops being small (section header). The corpus size
+    # that parameterizes the cap is a 1-row broadcast aggregate folded
+    # into the SAME job (not an eager .count() action) so the whole
+    # query stays single-job.
     n_docs = sh.agg(F.count("*").alias("n_docs"))
     hot = (
         postings.groupBy("shingle")
@@ -397,8 +414,12 @@ def ngram_jaccard_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .where(
             F.col("df")
-            > F.greatest(
-                F.lit(_DF_CAP_MIN), F.lit(_DF_CAP_FRAC) * F.col("n_docs")
+            > F.least(
+                F.lit(_DF_CAP_ABS),
+                F.greatest(
+                    F.lit(_DF_CAP_MIN),
+                    F.lit(_DF_CAP_FRAC) * F.col("n_docs"),
+                ),
             )
         )
         .select("shingle")

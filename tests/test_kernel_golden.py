@@ -666,6 +666,51 @@ def test_emb_cosine_sparse_id_space_uses_occupied_buckets(
     assert len(expected) >= n // 2  # every planted near-dup pair found
 
 
+def test_ngram_nn_absolute_df_cap_bounds_fanout(
+    spark, tmp_path, monkeypatch
+):
+    """r12: the df cap is min(ABS, max(20, 10% n)) — the absolute
+    ceiling is what keeps per-shingle pair fan-out bounded when 10% of
+    the corpus stops being a small number. Pinned by shrinking the
+    ceiling below a planted identical-doc cluster's df: every shingle
+    of the cluster then exceeds the cap, candidates vanish, and the
+    cluster drops out of the output; at the default ceiling the same
+    cluster is fully recalled."""
+    import random
+
+    from economic_data_project_spark.text import dedup
+
+    rng = random.Random(3)
+    vocab = [
+        "".join(rng.choice("abcdefghij") for _ in range(5))
+        for _ in range(300)
+    ]
+    texts = [
+        " ".join(rng.choice(vocab) for _ in range(40)) for _ in range(94)
+    ]
+    cluster = " ".join(rng.choice(vocab) for _ in range(40))
+    texts += [cluster] * 6  # doc_ids 94..99: identical cluster, df=6
+    pd.DataFrame(
+        {"doc_id": range(len(texts)), "text": texts}
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    def cluster_rows(df):
+        return [r for r in df.collect() if r.doc_id >= 94]
+
+    # default ceiling (10k): cap = max(20, 10) = 20 > 6 -> recalled
+    full = cluster_rows(
+        all_queries()["ngram_jaccard_nn"](spark, str(tmp_path))
+    )
+    assert len(full) == 6 and all(r.best_jaccard == 1.0 for r in full)
+    # ceiling shrunk below the cluster's df: candidates must vanish
+    monkeypatch.setattr(dedup, "_DF_CAP_ABS", 5.0)
+    spark.catalog.clearCache()
+    capped = cluster_rows(
+        all_queries()["ngram_jaccard_nn"](spark, str(tmp_path))
+    )
+    assert capped == []
+
+
 def _py_simhash64(text: str) -> int | None:
     """Independent pure-Python 64-bit simhash (re-derives the contract
     from scratch: md5 per token, hi<<32|lo packing, +-1 bit weights,
