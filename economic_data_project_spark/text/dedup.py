@@ -899,7 +899,11 @@ def _emb_plane_signatures(n: DataFrame, bands: int, bits: int, dim: int):
     # null band_val that dropped out of the equi-join. Such rows cannot
     # be near-dups anyway (cosine against a full-dim vector is
     # undefined/null and fails the threshold), so excluding them from
-    # signature generation changes no output pair.
+    # signature generation changes no output pair. CONTRACT: the
+    # embedding column is single-model, uniform-dim; rows of any other
+    # length are corrupt and excluded entirely (a mixed-dim corpus
+    # would need per-dim sub-corpora — pairs WITHIN a shorter-dim
+    # group are dropped here, not compared).
     full = n.where(
         F.col("embedding").isNotNull() & (F.size("embedding") == dim)
     )
