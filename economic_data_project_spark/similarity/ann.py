@@ -32,7 +32,12 @@ from ..catalog import load_table
 from ..functions.vectors import DOT_DUCK, DOT_SPARK, NORM_DUCK, NORM_SPARK
 from ..registry import query
 
-_N_QUERIES = 10  # probe set: vec_id < 10
+_N_QUERIES = 10  # probe set: vec_id < 10 — a DRIVER-CORPUS convention
+# (dense 0-based ids), not an index property: on an offset/sparse id
+# space the probe set is empty and every ANN query legitimately
+# returns zero rows. The index build itself is sparse-id-safe (IVF
+# seeds from the K smallest ids; tests monkeypatch this constant to
+# probe offset corpora).
 _TOP_K = 5
 
 

@@ -758,6 +758,12 @@ def test_simhash64_golden_vs_pure_python(spark, tmp_path):
     v[7] = "zzzzzz"  # one-token variant -> small hamming
     texts.append(" ".join(v))
     texts.append("")  # empty doc must drop out entirely
+    # weight-tie edge cases: w == 0 must resolve to bit 0 identically
+    # in the fold, the oracle, and the pure-Python reference
+    texts.append("lonetoken")  # single token: w = +-1 everywhere
+    texts.append("aaa bbb")  # two distinct tokens: w = 0 wherever
+    # their hash bits disagree (~32 tied bits)
+    texts.append("xyz xyz xyz")  # one token repeated: scaled weights
     pd.DataFrame(
         {"doc_id": range(len(texts)), "text": texts}
     ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
