@@ -83,6 +83,7 @@ def load_all() -> None:
     from .sources import files  # noqa: F401
     from .streaming import dedup as stream_dedup  # noqa: F401
     from .streaming import ingest  # noqa: F401
+    from .streaming import neardup as stream_neardup  # noqa: F401
     from .text import (  # noqa: F401
         analysis,
         cdc,

@@ -629,11 +629,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-token 64-bit hash: two md5 32-bit halves packed hi<<32 | lo.
 # DuckDB cannot cast >= 2^63 hex into BIGINT, so the oracle keeps the
 # halves separate and sums per-half bit_counts — bit-identical to the
-# packed 64-bit XOR popcount.
-_SIMHASH64_CTE_DUCK = f"""
+# packed 64-bit XOR popcount. Parameterized by source relation so the
+# streaming near-dup oracle (streaming/neardup.py) can run the same
+# signature math over documents-plus-planted-re-crawls.
+
+
+def simhash64_cte_duck(table: str = "documents") -> str:
+    return f"""
 tok64 AS (
   SELECT doc_id, t.tok AS tok, COUNT(*) AS cnt
-  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM documents) t
+  FROM (SELECT doc_id, unnest({_TOKENS_DUCK}) AS tok FROM {table}) t
   GROUP BY doc_id, t.tok
 ),
 hashed64 AS (
@@ -661,7 +666,7 @@ sim64 AS (
 """
 
 _SIMHASH64_ORACLE = f"""
-WITH {_SIMHASH64_CTE_DUCK}
+WITH {simhash64_cte_duck()}
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.lo_sig, b.lo_sig))
             + bit_count(xor(a.hi_sig, b.hi_sig)) AS BIGINT) AS hamming
@@ -672,34 +677,47 @@ ORDER BY doc_a, doc_b
 """
 
 
+#: 64-bit simhash as a fold over a BOUND ``toks`` column: md5 once per
+#: token (its own transform stage — the packing lambda must reference
+#: the HASH, not recompute md5 per bit), pack hi<<32 | lo (hi's top bit
+#: lands in the sign region — bits are bits, and only `& 1`-masked
+#: shifts read them back), fold +-1 bit weights, then OR the sign bits
+#: together (OR, not SUM: bit 63 is the bigint sign bit and ANSI-mode
+#: addition ordering would be a trap the bitwise fold sidesteps
+#: entirely). Module-level so the STREAMING near-dup operator
+#: (streaming/neardup.py) computes bit-identical signatures.
+SIMHASH64_FOLD = (
+    "aggregate("
+    " transform(transform(toks, t -> md5(t)), hx ->"
+    "   shiftleft(cast(conv(substr(hx, 1, 8), 16, 10) as bigint), 32)"
+    "   | cast(conv(substr(hx, 9, 8), 16, 10) as bigint)),"
+    " array_repeat(cast(0 as bigint), 64),"
+    " (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->"
+    "   a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1"
+    "       ELSE -1 END),"
+    " acc -> aggregate(zip_with(acc, sequence(0, 63), (w, b) ->"
+    "   CASE WHEN w > 0 THEN shiftleft(cast(1 as bigint), b)"
+    "        ELSE cast(0 as bigint) END),"
+    "   cast(0 as bigint), (s, x) -> s | x))"
+)
+
+#: 4x16-bit band explode over a bound ``simhash`` column (shared with
+#: the streaming operator for the same reason).
+SIMHASH64_BANDS = (
+    "transform(sequence(0, 3), i ->"
+    " struct(i as band_id,"
+    " shiftright(simhash, i * 16) & 65535 as band_val))"
+)
+
+
 def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit simhash, same map-only fold shape as
-    ``_simhash_df``: md5 once per token (its own transform stage — the
-    packing lambda must reference the HASH, not recompute md5 per bit),
-    pack hi<<32 | lo (hi's top bit lands in the sign region — bits are
-    bits, and only `& 1`-masked shifts read them back), fold +-1 bit
-    weights, then OR the sign bits together (OR, not SUM: bit 63 is the
-    bigint sign bit and ANSI-mode addition ordering would be a trap the
-    bitwise fold sidesteps entirely)."""
+    ``_simhash_df`` (see SIMHASH64_FOLD)."""
     d = load_table(spark, sf_dir, "documents")
-    fold = (
-        "aggregate("
-        " transform(transform(toks, t -> md5(t)), hx ->"
-        "   shiftleft(cast(conv(substr(hx, 1, 8), 16, 10) as bigint), 32)"
-        "   | cast(conv(substr(hx, 9, 8), 16, 10) as bigint)),"
-        " array_repeat(cast(0 as bigint), 64),"
-        " (acc, h) -> zip_with(acc, sequence(0, 63), (a, b) ->"
-        "   a + CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1"
-        "       ELSE -1 END),"
-        " acc -> aggregate(zip_with(acc, sequence(0, 63), (w, b) ->"
-        "   CASE WHEN w > 0 THEN shiftleft(cast(1 as bigint), b)"
-        "        ELSE cast(0 as bigint) END),"
-        "   cast(0 as bigint), (s, x) -> s | x))"
-    )
     return (
         d.select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.size("toks") > 0)
-        .select("doc_id", F.expr(fold).alias("simhash"))
+        .select("doc_id", F.expr(SIMHASH64_FOLD).alias("simhash"))
     )
 
 
@@ -714,13 +732,7 @@ def dedup_simhash64(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded = sim.select(
         "doc_id",
         "simhash",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, 3), i ->"
-                " struct(i as band_id,"
-                " shiftright(simhash, i * 16) & 65535 as band_val))"
-            )
-        ).alias("band"),
+        F.explode(F.expr(SIMHASH64_BANDS)).alias("band"),
     ).select(
         "doc_id", "simhash", "band.band_id", "band.band_val"
     ).cache().transform(

@@ -493,3 +493,46 @@ def run_available_now_update(stream_df, checkpoint, name):
             break
         time.sleep(0.5)
     return q
+
+
+def test_stream_neardup_census_equals_batch_simhash64(spark):
+    """Batch==stream equality for the in-ingest near-dup operator:
+    among ORIGINAL doc ids (the planted 900000+ re-crawls filtered
+    out), the streaming census' pair set must equal the batch
+    dedup_simhash64 answer over the same corpus — the streaming
+    band-bucket state is just the batch band join unrolled over
+    arrival order. The planted re-crawls themselves must each match
+    their original at hamming 0 (cross-micro-batch state: the
+    re-crawl shard arrives in a later batch than most originals), and
+    a second invocation must reproduce the census exactly (checkpoint
+    and sink hygiene)."""
+    from economic_data_project_spark.registry import all_queries
+    from economic_data_project_spark.streaming.neardup import _N_PLANTED
+
+    qs = all_queries()
+    census = qs["stream_neardup_census"](spark, SF_DIR).collect()
+    got_all = {(r.doc_a, r.doc_b, r.hamming) for r in census}
+
+    batch = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in qs["dedup_simhash64"](spark, SF_DIR).collect()
+    }
+    stream_originals = {
+        t for t in got_all if t[0] < 900000 and t[1] < 900000
+    }
+    assert stream_originals == batch
+
+    # every planted re-crawl with a tokenizable original matched it
+    docs = load_table(spark, SF_DIR, "documents")
+    planted_ids = [
+        r.doc_id
+        for r in docs.orderBy("doc_id").limit(_N_PLANTED).collect()
+    ]
+    for i in planted_ids:
+        assert (i, 900000 + i, 0) in got_all
+
+    rerun = {
+        (r.doc_a, r.doc_b, r.hamming)
+        for r in qs["stream_neardup_census"](spark, SF_DIR).collect()
+    }
+    assert rerun == got_all

@@ -915,6 +915,7 @@ _BUILD_JOB_EXEMPT = {
     "jsonl_corpus_ingest": "writes JSONL shards at build",
     "jsonl_stream_ingest": "streaming drain at build",
     "stream_dedup_census": "streaming drain at build",
+    "stream_neardup_census": "streaming drain at build",
 }
 
 
