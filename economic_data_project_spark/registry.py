@@ -80,6 +80,7 @@ def load_all() -> None:
         volatility,
     )
     from .similarity import ann, quant  # noqa: F401
+    from .sources import bucketed  # noqa: F401
     from .sources import files  # noqa: F401
     from .streaming import dedup as stream_dedup  # noqa: F401
     from .streaming import ingest  # noqa: F401

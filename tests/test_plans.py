@@ -283,6 +283,24 @@ def test_ivf_centroids_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_bucketed_join_has_no_join_input_exchange(spark):
+    """The point of bucketing: the fact-fact join consumes the
+    bucketed scans DIRECTLY — no Exchange may sit between either
+    FileScan and the SortMergeJoin (the write paid that shuffle once).
+    Only the post-join aggregation and the display sort may exchange.
+    The scans themselves must be bucket-selected, or the catalog
+    metadata silently stopped applying."""
+    df = all_queries()["bucketed_colocated_join"](spark, SF_DIR)
+    phys = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in phys
+    assert phys.count("Exchange") == 2, phys
+    assert "SelectedBucketsCount" in phys
+    # children of the join print BELOW it in the tree string: no
+    # Exchange line may appear after the SortMergeJoin line
+    below_join = phys.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in below_join, below_join
+
+
 def test_frame_sample_fanout_stays_map_side(spark):
     """The video frame fan-out is an explode over a computed count —
     payload bytes must never cross a shuffle; the display sort's range
@@ -910,6 +928,7 @@ _BUILD_JOB_EXEMPT = {
     "ann_ivf_topk": "IVF sizing probe (1-row agg)",
     # side-effecting by design: shards/sinks written at build, the
     # returned frame reads them back (double-invoke tested)
+    "bucketed_colocated_join": "writes bucketed tables at build",
     "csv_corpus_roundtrip": "writes CSV shards at build",
     "orc_corpus_roundtrip": "writes ORC shards at build",
     "jsonl_corpus_ingest": "writes JSONL shards at build",
