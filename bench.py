@@ -80,6 +80,7 @@ HEADLINE = [
     # round 12 additions
     "dedup_simhash64",          # 64-bit simhash scale tier (4x16 bands)
     "dedup_embedding_cosine_lsh_planes",  # forced hyperplane GEMM tier
+    "ann_ivf_topk_int8",        # IVF + scalar-quantizer composed index
 ]
 
 

@@ -316,3 +316,189 @@ def ann_cosine_topk_int8(
         )
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------------
+# IVF over the int8 store — the FAISS "IVF + scalar quantizer" index
+# shape: quantized inverted lists + integer scoring. Composes the two
+# scale paths this module and ann.py carry separately: the coarse
+# quantizer bounds the fraction of the corpus a query touches
+# (~nprobe/K), the int8 codes bound the bytes per touched vector (4x).
+# At 100 TB both bounds are needed at once — that is what a production
+# vector index IS.
+#
+# Contract kept oracle-exact by construction:
+# - centroids = the K smallest vec_ids' int8 CODES, NO Lloyd step (the
+#   decimal-exact distributed Lloyd iteration is demonstrated by
+#   ann_ivf_topk; this surface demonstrates the storage/scoring
+#   composition, and a 0-iteration quantizer keeps every number on
+#   both engines a pure integer-arithmetic consequence of the codes);
+# - assignment, probe ranking and candidate scoring all use the
+#   bigint-dot cosine (scales cancel, see header above), so there is
+#   no float fold anywhere and DuckDB reproduces every value exactly;
+# - K/nprobe sizing: same driver-side 1-row probe + sqrt policy as
+#   ann_ivf_topk (documented-exempt from the zero-jobs gate); the
+#   declared oracle implements the fixed-K regime, exact at every
+#   driver/test scale.
+# --------------------------------------------------------------------------
+
+_IVF8_K = 16
+_IVF8_NPROBE = 4
+_IVF8_SCALE_MIN = 200_000
+_IVF8_K_CAP = 65_536
+
+
+def _ivf8_oracle() -> str:
+    dot_vc = _IDOT_DUCK.format(a="v.qv", b="i.qv")
+    dot_qc = _IDOT_DUCK.format(a="q.qv", b="i.qv")
+    dot_qx = _IDOT_DUCK.format(a="q.qv", b="x.qv")
+    return f"""
+WITH qc AS ({_QCODES_DUCK}),
+n AS (
+  SELECT vec_id, qv, {_QNORM_DUCK.format(v="qv")} AS qnorm FROM qc
+),
+nn AS (SELECT * FROM n WHERE qnorm > 0),
+init AS (
+  SELECT vec_id AS cluster, qv, qnorm FROM nn WHERE vec_id < {_IVF8_K}
+),
+assign AS (
+  SELECT vec_id, cluster FROM (
+    SELECT v.vec_id, i.cluster,
+      ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+        ({dot_vc} / (v.qnorm * i.qnorm)) DESC, i.cluster) AS rn
+    FROM nn v CROSS JOIN init i
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cluster FROM (
+    SELECT q.vec_id AS query_id, i.cluster,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+        ({dot_qc} / (q.qnorm * i.qnorm)) DESC, i.cluster) AS pr
+    FROM nn q CROSS JOIN init i
+    WHERE q.vec_id < {_N_QUERIES}
+  ) WHERE pr <= {_IVF8_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id,
+         CAST({dot_qx} AS BIGINT) AS dot_q,
+         {dot_qx} / (q.qnorm * x.qnorm) AS cosine_q
+  FROM probes p
+  JOIN assign a ON p.cluster = a.cluster
+  JOIN nn x ON a.vec_id = x.vec_id
+  JOIN nn q ON p.query_id = q.vec_id
+  WHERE x.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, dot_q, cosine_q, rnk AS rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rnk
+  FROM scored
+)
+WHERE rnk <= {_TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+@query("ann_ivf_topk_int8", oracle=_ivf8_oracle())
+def ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    codes = warm(
+        register_session_cache(_quantized_codes(spark, sf_dir).cache())
+    )
+    probe = codes.agg(F.count("*").alias("n")).head()
+    n_corpus = int(probe["n"])
+    if n_corpus <= _IVF8_SCALE_MIN:
+        ivf_k, ivf_nprobe = _IVF8_K, _IVF8_NPROBE
+    else:
+        import math
+
+        ivf_k = max(_IVF8_K, min(_IVF8_K_CAP, math.isqrt(n_corpus)))
+        ivf_nprobe = max(_IVF8_NPROBE, ivf_k // 32)
+    # smallest-K seeding (sparse-id-safe, same as ann_ivf_topk); on the
+    # dense driver ids this equals the oracle's `vec_id < K`
+    cents = (
+        codes.orderBy("vec_id")
+        .limit(ivf_k)
+        .select(
+            F.col("vec_id").alias("cluster"),
+            F.col("qv").alias("c_qv"),
+            F.col("qnorm").alias("c_qnorm"),
+        )
+    )
+    cos_vc = (
+        _IDOT_SPARK.format(a="qv", b="c_qv") + " / (qnorm * c_qnorm)"
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("cluster")
+    )
+    assign = (
+        codes.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cluster", F.expr(cos_vc).alias("c"))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+    queries = codes.where(F.col("vec_id") < _N_QUERIES)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("c").desc(), F.col("cluster")
+    )
+    probes = (
+        queries.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cluster",
+            F.expr(cos_vc).alias("c"),
+        )
+        .withColumn("pr", F.row_number().over(w_probe))
+        .where(F.col("pr") <= ivf_nprobe)
+        .select("query_id", "cluster")
+    )
+    cand = (
+        probes.join(assign, on="cluster")
+        .select("query_id", "vec_id")
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("qnorm").alias("q_qnorm"),
+    )
+    x = codes.select(
+        "vec_id",
+        F.col("qv").alias("x_qv"),
+        F.col("qnorm").alias("x_qnorm"),
+    )
+    scored = (
+        cand.join(F.broadcast(q), on="query_id")
+        .join(x, on="vec_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(_IDOT_SPARK.format(a="q_qv", b="x_qv")).alias(
+                "dot_q"
+            ),
+            (F.col("q_qnorm") * F.col("x_qnorm")).alias("_norms"),
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot_q",
+            (F.col("dot_q") / F.col("_norms")).alias("cosine_q"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "dot_q",
+            "cosine_q",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -926,6 +926,7 @@ _BUILD_JOB_EXEMPT = {
     # scan doubles as the corpus cache fill (VERDICT r11 #3 — the lazy
     # broadcast-agg alternative re-ran the sizing pass at execution)
     "ann_ivf_topk": "IVF sizing probe (1-row agg)",
+    "ann_ivf_topk_int8": "IVF sizing probe (1-row agg)",
     # side-effecting by design: shards/sinks written at build, the
     # returned frame reads them back (double-invoke tested)
     "bucketed_colocated_join": "writes bucketed tables at build",

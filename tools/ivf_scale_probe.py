@@ -59,28 +59,35 @@ def main() -> None:
     spark.createDataFrame(pdf).repartition(32).write.mode(
         "overwrite"
     ).parquet(os.path.join(out, "embeddings.parquet"))
-    t0 = time.time()
-    rows = (
-        all_queries()["ann_ivf_topk"](spark, out)
-        .orderBy("query_id", "rank")
-        .collect()
-    )
-    sec = round(time.time() - t0, 1)
-    top1 = {r.query_id: r.neighbor_id for r in rows if r.rank == 1}
-    hits = sum(1 for i in range(10) if top1.get(i) == 10 + i)
-    rec = [
-        {"n": N, "sec": sec, "rows": len(rows)},
-        {"top1_planted_hits": hits, "eligible": 10},
-    ]
+    failures = []
     with open(LOG, "a") as fh:
-        for r in rec:
-            fh.write(json.dumps(r) + "\n")
-            print(json.dumps(r), flush=True)
+        # the float IVF (Lloyd-refined) and the int8 IVF-SQ composition
+        # both carry the sqrt-K sizing above the cutover — probe both
+        for qname in ("ann_ivf_topk", "ann_ivf_topk_int8"):
+            t0 = time.time()
+            rows = (
+                all_queries()[qname](spark, out)
+                .orderBy("query_id", "rank")
+                .collect()
+            )
+            sec = round(time.time() - t0, 1)
+            top1 = {
+                r.query_id: r.neighbor_id for r in rows if r.rank == 1
+            }
+            hits = sum(1 for i in range(10) if top1.get(i) == 10 + i)
+            for r in (
+                {"q": qname, "n": N, "sec": sec, "rows": len(rows)},
+                {"q": qname, "top1_planted_hits": hits, "eligible": 10},
+            ):
+                fh.write(json.dumps(r) + "\n")
+                print(json.dumps(r), flush=True)
+            if hits != 10:
+                failures.append(f"{qname}: planted top-1 {hits}/10")
     import shutil
 
     shutil.rmtree(out, ignore_errors=True)
     spark.stop()
-    assert hits == 10, f"planted top-1 recall {hits}/10"
+    assert not failures, failures
 
 
 if __name__ == "__main__":
