@@ -536,3 +536,55 @@ def test_stream_neardup_census_equals_batch_simhash64(spark):
         for r in qs["stream_neardup_census"](spark, SF_DIR).collect()
     }
     assert rerun == got_all
+
+
+def test_neardup_bucket_timeout_branch_evicts_state():
+    """The idle-bucket eviction branch removes state and emits nothing.
+    Driven directly with a fake GroupState: the census drain stops at
+    data-complete, so this branch (like the stateful-totals one) needs
+    its own deterministic exercise. Also pins the in-batch semantics:
+    a batch arriving into existing state emits pairs against BOTH the
+    stored signatures and earlier rows of the same batch, exactly
+    once each, canonicalized small-id-first."""
+    import pandas as pd
+
+    from economic_data_project_spark.streaming.neardup import (
+        _probe_bucket,
+    )
+
+    class FakeState:
+        def __init__(self, value, timed_out=False):
+            self._v = value
+            self.exists = value is not None
+            self.hasTimedOut = timed_out
+            self.removed = False
+            self.updated = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    st = FakeState(([1], [0]), timed_out=True)
+    assert list(_probe_bucket((0, 7), iter([]), st)) == []
+    assert st.removed
+
+    # stored sig 0 for doc 1; batch brings doc 5 (sig 0, hamming 0 vs
+    # doc 1) and doc 9 (sig 1, hamming 1 vs both) -> three pairs
+    st2 = FakeState(([1], [0]))
+    batch = pd.DataFrame({"doc_id": [9, 5], "simhash": [1, 0]})
+    out = list(_probe_bucket((0, 7), iter([batch]), st2))
+    pairs = sorted(
+        map(tuple, out[0][["doc_a", "doc_b", "hamming"]].values.tolist())
+    )
+    assert pairs == [(1, 5, 0), (1, 9, 1), (5, 9, 1)]
+    assert st2.updated == ([1, 5, 9], [0, 0, 1])
+    assert st2.timeout_ms > 0
