@@ -611,16 +611,15 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    # size-aware coarse quantizer (see _IVF_SCALE_MIN): one 1-row probe
-    # (count + id bound) sizes K and nprobe driver-side — documented
-    # exempt from the zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT,
-    # same precedent as dedup_embedding_cosine's routing probe). The
-    # probe's scan fills the session cache the six downstream corpus
-    # consumers read, so it costs no extra pass overall.
-    probe = corpus.agg(
-        F.count("*").alias("n"), F.max("vec_id").alias("max_id")
-    ).head()
-    n_corpus = int(probe["n"])
+    # size-aware coarse quantizer (see _IVF_SCALE_MIN): one 1-row count
+    # sizes K and nprobe driver-side — documented exempt from the
+    # zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT, same
+    # precedent as dedup_embedding_cosine's routing probe). The probe's
+    # scan fills the session cache the six downstream corpus consumers
+    # read, so it costs no extra pass overall. Sparse-id safety needs
+    # no id bound here — it comes entirely from the orderBy/limit
+    # seeding below.
+    n_corpus = int(corpus.count())
     if n_corpus <= _IVF_SCALE_MIN:
         ivf_k, ivf_nprobe = _IVF_K, _IVF_NPROBE
     else:

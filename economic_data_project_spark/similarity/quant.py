@@ -359,7 +359,12 @@ n AS (
 ),
 nn AS (SELECT * FROM n WHERE qnorm > 0),
 init AS (
-  SELECT vec_id AS cluster, qv, qnorm FROM nn WHERE vec_id < {_IVF8_K}
+  -- the K smallest SURVIVING ids, mirroring the engine's
+  -- orderBy/limit seeding exactly: `vec_id < K` would seed fewer
+  -- than K centroids whenever a zero vector (qnorm = 0, filtered
+  -- above) occupies an id below K (review finding r12)
+  SELECT vec_id AS cluster, qv, qnorm FROM nn
+  ORDER BY vec_id LIMIT {_IVF8_K}
 ),
 assign AS (
   SELECT vec_id, cluster FROM (
@@ -403,11 +408,14 @@ ORDER BY query_id, rank
 def ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    codes = warm(
-        register_session_cache(_quantized_codes(spark, sf_dir).cache())
+    # the sizing count IS the cache fill (no warm(): a warm() count
+    # followed by a probe aggregate would scan the quantization
+    # pipeline twice per cold build — review finding r12; same
+    # one-action discipline as ann_ivf_topk's probe)
+    codes = register_session_cache(
+        _quantized_codes(spark, sf_dir).cache()
     )
-    probe = codes.agg(F.count("*").alias("n")).head()
-    n_corpus = int(probe["n"])
+    n_corpus = int(codes.count())
     if n_corpus <= _IVF8_SCALE_MIN:
         ivf_k, ivf_nprobe = _IVF8_K, _IVF8_NPROBE
     else:

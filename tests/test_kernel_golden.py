@@ -842,6 +842,46 @@ def test_planes_registered_surface_equals_brute_on_driver_corpus(spark):
     assert got == expected
 
 
+def test_ivf_int8_oracle_parity_with_zero_vector_in_seed_range(
+    spark, tmp_path
+):
+    """Review finding r12: a zero embedding (qnorm 0, filtered from the
+    code store) at a vec_id below K used to desync the engines — Spark
+    seeds the K smallest SURVIVING ids while the oracle's old
+    `vec_id < K` init seeded fewer than K centroids. Pinned by running
+    the full driver-style compare on a corpus with a zero vector
+    planted inside the seed range."""
+    import pandas as pd
+
+    from economic_data_project_spark.registry import all_oracles
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    rng = np.random.RandomState(31)
+    n, dim = 60, 8
+    vecs = [rng.normal(size=dim) for _ in range(n)]
+    vecs[3] = np.zeros(dim)  # inside the K=16 seed range
+    pd.DataFrame(
+        {
+            "vec_id": range(n),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [i % 3 for i in range(n)],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+
+    con = duckdb_connect(str(tmp_path))
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["ann_ivf_topk_int8"],
+            all_oracles()["ann_ivf_topk_int8"],
+            str(tmp_path),
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+
+
 def test_ivf_sparse_id_space_builds_full_index(
     spark, tmp_path, monkeypatch
 ):

@@ -922,11 +922,12 @@ _BUILD_JOB_EXEMPT = {
     "dedup_embedding_cosine": "size/dim routing probe (1-row agg)",
     "dedup_embedding_cosine_lsh": "dim guard probe (1-row agg)",
     "dedup_embedding_cosine_lsh_planes": "plane sizing probe (1-row agg)",
-    # same pattern: K/nprobe sizing + sparse-id seed bound; the probe's
-    # scan doubles as the corpus cache fill (VERDICT r11 #3 — the lazy
-    # broadcast-agg alternative re-ran the sizing pass at execution)
-    "ann_ivf_topk": "IVF sizing probe (1-row agg)",
-    "ann_ivf_topk_int8": "IVF sizing probe (1-row agg)",
+    # same pattern: K/nprobe sizing count; the probe's scan doubles as
+    # the corpus cache fill (VERDICT r11 #3 — the lazy broadcast-agg
+    # alternative re-ran the sizing pass at execution). Sparse-id
+    # safety lives in the orderBy/limit centroid seeding, not here.
+    "ann_ivf_topk": "IVF sizing count (cache fill)",
+    "ann_ivf_topk_int8": "IVF sizing count (cache fill)",
     # side-effecting by design: shards/sinks written at build, the
     # returned frame reads them back (double-invoke tested)
     "bucketed_colocated_join": "writes bucketed tables at build",
