@@ -521,9 +521,12 @@ def _ivf_oracle() -> str:
     dot_qx = DOT_DUCK.format(a="q.embedding", b="x.embedding")
     return f"""
 WITH init AS (
+  -- K smallest ids, mirroring the engine's orderBy/limit seeding
+  -- exactly (a `vec_id < K` filter agrees only for dense-from-0 ids
+  -- — same latent trap as the int8 variant's review finding)
   SELECT vec_id AS cluster0, embedding AS cent0,
          {NORM_DUCK.format(v="embedding")} AS norm0
-  FROM embeddings WHERE vec_id < {_IVF_K}
+  FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
 ),
 corpus AS (
   SELECT vec_id, embedding, label,
