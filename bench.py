@@ -81,6 +81,9 @@ HEADLINE = [
     "dedup_simhash64",          # 64-bit simhash scale tier (4x16 bands)
     "dedup_embedding_cosine_lsh_planes",  # forced hyperplane GEMM tier
     "ann_ivf_topk_int8",        # IVF + scalar-quantizer composed index
+    "dedup_semantic_semdedup",  # within-cluster semantic dedup (SemDeDup)
+    "dsir_importance_weights",  # hashed-ngram importance resampling (DSIR)
+    "nb_quality_classifier",    # NB curated-vs-raw quality filter
 ]
 
 
@@ -117,6 +120,11 @@ LONGDOC = [
     # round 12 addition: the 64-bit fingerprint fold is per-token work
     # exactly like the 32-bit one the lane already watches
     "dedup_simhash64",
+    # round 12 late additions: both explode unigrams+bigrams per doc —
+    # linear in doc length by design, which is exactly what this lane
+    # verifies (a re-inlined gram lambda would read quadratic here)
+    "dsir_importance_weights",
+    "nb_quality_classifier",
 ]
 _LONGDOC_DOCS = 1000
 _LONGDOC_TOKENS = 2000

@@ -79,7 +79,7 @@ def load_all() -> None:
         momentum,
         volatility,
     )
-    from .similarity import ann, quant  # noqa: F401
+    from .similarity import ann, quant, semdedup  # noqa: F401
     from .sources import bucketed  # noqa: F401
     from .sources import files  # noqa: F401
     from .streaming import dedup as stream_dedup  # noqa: F401
@@ -88,8 +88,10 @@ def load_all() -> None:
     from .text import (  # noqa: F401
         analysis,
         cdc,
+        classifier,
         dedup,
         documents,
+        dsir,
         extraction,
         lm_quality,
         mentions,

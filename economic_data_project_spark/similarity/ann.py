@@ -492,7 +492,6 @@ def ann_cosine_topk_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_K = 16
 _IVF_NPROBE = 4
-_DIM = 64
 # Above this corpus size the fixed K=16 coarse quantizer stops being an
 # index: each inverted list holds n/16 of the corpus, so probing
 # nprobe=4 lists scans 25% of ALL vectors regardless of n. Past the
@@ -513,20 +512,22 @@ _IVF_SCALE_MIN = 200_000
 _IVF_K_CAP = 65_536
 
 
-def _ivf_oracle() -> str:
-    dot_qc = DOT_DUCK.format(a="q.embedding", b="c.centroid")
-    norm_c = NORM_DUCK.format(v="c.centroid")
+def kmeans_cte_duck(k: int = _IVF_K) -> str:
+    """CTE prefix for the deterministic one-Lloyd-step k-means over the
+    ``embeddings`` view: defines ``corpus`` (vec_id, embedding, label,
+    vnorm), ``centroids`` (cluster, centroid) and ``final_assign``
+    (vec_id, cluster). Shared by the IVF oracle and the SemDeDup oracle
+    (similarity/semdedup.py) so both contracts rebuild bit-identical
+    clusters."""
     dot_vc = DOT_DUCK.format(a="v.embedding", b="c.centroid")
-    norm_v = NORM_DUCK.format(v="v.embedding")
-    dot_qx = DOT_DUCK.format(a="q.embedding", b="x.embedding")
-    return f"""
-WITH init AS (
+    norm_c = NORM_DUCK.format(v="c.centroid")
+    return f"""init AS (
   -- K smallest ids, mirroring the engine's orderBy/limit seeding
   -- exactly (a `vec_id < K` filter agrees only for dense-from-0 ids
   -- — same latent trap as the int8 variant's review finding)
   SELECT vec_id AS cluster0, embedding AS cent0,
          {NORM_DUCK.format(v="embedding")} AS norm0
-  FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+  FROM embeddings ORDER BY vec_id LIMIT {k}
 ),
 corpus AS (
   SELECT vec_id, embedding, label,
@@ -543,10 +544,17 @@ assign0 AS (
   ) WHERE rn = 1
 ),
 dims AS (
-  SELECT a.cluster, t.i, CAST(v.embedding[t.i] AS DOUBLE) AS val
+  -- parallel unnest zips (value, ordinal) — dimension count comes
+  -- from the DATA, not a constant (a fixed generate_series bound
+  -- NULLed every centroid on corpora narrower than the driver's
+  -- 64 dims; caught by the SemDeDup planted-fixture test)
+  SELECT a.cluster, t.i, CAST(t.val AS DOUBLE) AS val
   FROM assign0 a
-  JOIN corpus v USING (vec_id)
-  CROSS JOIN generate_series(1, {_DIM}) AS t(i)
+  JOIN (
+    SELECT vec_id, unnest(embedding) AS val,
+           unnest(range(1, len(embedding) + 1)) AS i
+    FROM corpus
+  ) t USING (vec_id)
 ),
 centroids AS (
   SELECT cluster, list(mean_val ORDER BY i) AS centroid
@@ -564,7 +572,15 @@ final_assign AS (
         ({dot_vc} / (v.vnorm * {norm_c})) DESC, c.cluster) AS rn
     FROM corpus v CROSS JOIN centroids c
   ) WHERE rn = 1
-),
+)"""
+
+
+def _ivf_oracle() -> str:
+    dot_qc = DOT_DUCK.format(a="q.embedding", b="c.centroid")
+    norm_c = NORM_DUCK.format(v="c.centroid")
+    dot_qx = DOT_DUCK.format(a="q.embedding", b="x.embedding")
+    return f"""
+WITH {kmeans_cte_duck()},
 probes AS (
   SELECT query_id, cluster, probe_rank FROM (
     SELECT q.vec_id AS query_id, c.cluster,
@@ -595,16 +611,25 @@ ORDER BY query_id, rank
 """
 
 
-@query("ann_ivf_topk", oracle=_ivf_oracle())
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cached (r9): the normed corpus is read by SIX consumers (seed
-    # centroids, both assignment passes, the Lloyd dimension explode,
-    # the query slice, the candidate verify side) and the HOF norm
-    # fold re-ran with each — 10 embeddings scans in the cold plan.
-    # Corpus-sized like the dedup shingle cache (text/dedup._shingled,
-    # the documented precedent): at scale this is the materialized
-    # vector+norm table an IVF index build writes once.
-    corpus = register_session_cache(
+# cosine of a corpus row against a Lloyd centroid row (bound columns:
+# embedding/vnorm from the corpus, centroid/cnorm from kmeans_once).
+_COS_CENTROID = (
+    DOT_SPARK.format(a="embedding", b="centroid") + " / (vnorm * cnorm)"
+)
+
+
+def ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normed vector corpus with labels, cached (r9): an index build
+    reads this frame many times (seed centroids, both assignment
+    passes, the Lloyd dimension explode, the query slice, the
+    candidate verify side) and the HOF norm fold re-ran with each —
+    10 embeddings scans in the cold IVF plan. Corpus-sized like the
+    dedup shingle cache (text/dedup._shingled, the documented
+    precedent): at scale this is the materialized vector+norm table
+    an IVF index build writes once. Shared by ann_ivf_topk and the
+    SemDeDup query (similarity/semdedup.py) — the identical analyzed
+    plan means CacheManager serves both from one entry."""
+    return register_session_cache(
         load_table(spark, sf_dir, "embeddings")
         .select(
             "vec_id",
@@ -614,22 +639,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
-    # size-aware coarse quantizer (see _IVF_SCALE_MIN): one 1-row count
-    # sizes K and nprobe driver-side — documented exempt from the
-    # zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT, same
-    # precedent as dedup_embedding_cosine's routing probe). The probe's
-    # scan fills the session cache the six downstream corpus consumers
-    # read, so it costs no extra pass overall. Sparse-id safety needs
-    # no id bound here — it comes entirely from the orderBy/limit
-    # seeding below.
-    n_corpus = int(corpus.count())
-    if n_corpus <= _IVF_SCALE_MIN:
-        ivf_k, ivf_nprobe = _IVF_K, _IVF_NPROBE
-    else:
-        import math
 
-        ivf_k = max(_IVF_K, min(_IVF_K_CAP, math.isqrt(n_corpus)))
-        ivf_nprobe = max(_IVF_NPROBE, ivf_k // 32)
+
+def argmin_assign(
+    vectors: DataFrame, cents: DataFrame, cos_expr: str, cluster_col: str
+) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the (K-bounded) centroid
+    set, score per vector, keep the argmax cosine (ties on cluster id).
+    Map-side at scale — the corpus never shuffles for assignment."""
+    scored = vectors.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col(cluster_col).alias("cluster"),
+        F.expr(cos_expr).alias("c"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c").desc(), F.col("cluster")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "cluster")
+    )
+
+
+def kmeans_once(
+    corpus: DataFrame, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic one-Lloyd-step k-means over a normed corpus
+    (vec_id, embedding, vnorm): seed = the K SMALLEST vec_ids, one
+    relational Lloyd iteration with decimal-exact per-dimension means,
+    final assignment tiebroken on cluster id. Returns
+    ``(centroids [cluster, centroid, cnorm], final_assign [vec_id,
+    cluster])``. Mirrored bit-for-bit by :func:`kmeans_cte_duck` so
+    oracle contracts are exact (see the IVF header comment)."""
     # centroid seeds = the K SMALLEST vec_ids (TakeOrderedAndProject —
     # per-partition K-heaps, never a global sort), not `vec_id < K`:
     # with an offset/sparse id space the literal filter selects fewer
@@ -639,30 +681,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # matches bit-for-bit.
     init = (
         corpus.orderBy("vec_id")
-        .limit(ivf_k)
+        .limit(k)
         .select(
             F.col("vec_id").alias("cluster0"),
             F.col("embedding").alias("cent0"),
             F.col("vnorm").alias("norm0"),
         )
     )
-
-    def argmin_assign(vectors: DataFrame, cents: DataFrame,
-                      cos_expr: str, cluster_col: str) -> DataFrame:
-        scored = vectors.crossJoin(F.broadcast(cents)).select(
-            "vec_id",
-            F.col(cluster_col).alias("cluster"),
-            F.expr(cos_expr).alias("c"),
-        )
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("c").desc(), F.col("cluster")
-        )
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("vec_id", "cluster")
-        )
-
     cos0 = (
         DOT_SPARK.format(a="embedding", b="cent0")
         + " / (vnorm * norm0)"
@@ -699,17 +724,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnorm", F.expr(NORM_SPARK.format(v="centroid"))
         )
     )
-    cos1 = (
-        DOT_SPARK.format(a="embedding", b="centroid")
-        + " / (vnorm * cnorm)"
-    )
-    final_assign = argmin_assign(corpus, centroids, cos1, "cluster")
+    final_assign = argmin_assign(corpus, centroids, _COS_CENTROID, "cluster")
+    return centroids, final_assign
+
+
+@query("ann_ivf_topk", oracle=_ivf_oracle())
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = ivf_corpus(spark, sf_dir)
+    # size-aware coarse quantizer (see _IVF_SCALE_MIN): one 1-row count
+    # sizes K and nprobe driver-side — documented exempt from the
+    # zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT, same
+    # precedent as dedup_embedding_cosine's routing probe). The probe's
+    # scan fills the session cache the six downstream corpus consumers
+    # read, so it costs no extra pass overall. Sparse-id safety needs
+    # no id bound here — it comes entirely from the orderBy/limit
+    # seeding below.
+    n_corpus = int(corpus.count())
+    if n_corpus <= _IVF_SCALE_MIN:
+        ivf_k, ivf_nprobe = _IVF_K, _IVF_NPROBE
+    else:
+        import math
+
+        ivf_k = max(_IVF_K, min(_IVF_K_CAP, math.isqrt(n_corpus)))
+        ivf_nprobe = max(_IVF_NPROBE, ivf_k // 32)
+    centroids, final_assign = kmeans_once(corpus, ivf_k)
 
     queries = corpus.where(F.col("vec_id") < _N_QUERIES)
     probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
         F.col("vec_id").alias("query_id"),
         "cluster",
-        F.expr(cos1).alias("c"),
+        F.expr(_COS_CENTROID).alias("c"),
     )
     wq = Window.partitionBy("query_id").orderBy(
         F.col("c").desc(), F.col("cluster")

@@ -1,0 +1,173 @@
+"""SemDeDup: semantic deduplication by within-cluster embedding cosine.
+
+Implements the SemDeDup method (Abbas et al. 2023, arXiv:2303.09540 —
+"SemDeDup: Data-efficient learning at web-scale through semantic
+deduplication"): k-means the embedding corpus, then inside each cluster
+mark as a semantic duplicate every vector that has a higher-priority
+neighbor with cosine >= eps. Where the MinHash/SimHash family catches
+lexical near-duplicates, this catches *paraphrases* — same meaning,
+different surface form — which lexical shingles never collide on.
+
+Deterministic adaptation (same discipline as the IVF contract,
+similarity/ann.py): the paper clusters with faiss k-means and breaks
+within-group ties randomly; here clustering is the repo's seeded
+one-Lloyd-step relational k-means (bit-identical in Spark and the
+DuckDB oracle) and the kept representative of every >=eps pair is the
+member closest to its cluster centroid (ties on smaller vec_id). The
+paper reports the keep-choice barely matters (its §3 ablates random /
+closest / farthest); determinism is what makes the oracle exact.
+
+Duplicate semantic is the standard dominated-row form (one anti-join
+shape, no iterative component search): vector b is a duplicate iff some
+same-cluster vector a has cosine(a, b) >= eps and a outranks b
+(higher centroid cosine, then smaller vec_id). For a group of mutually
+similar vectors exactly the top-priority member survives — the paper's
+keep-one-per-group on cliques — while chains that only pairwise-touch
+keep their local maxima, erring toward keeping data.
+
+Scale design (100 TB):
+- The pair space is *within-cluster only*: k-means partitions the
+  corpus so the quadratic term is sum(|cluster|^2), not n^2. The paper
+  runs K ~ 11k clusters on 100M+ embeddings for exactly this reason;
+  here K is fixed at the IVF driver-scale default (16) with the same
+  documented sqrt(n) growth policy above the IVF cutover
+  (similarity/ann.py:_IVF_SCALE_MIN) — K ~ sqrt(n) bounds expected
+  within-cluster pair volume at ~n^1.5 for balanced clusters.
+- Centroids are K-bounded and broadcast; assignment is map-side
+  (argmin over broadcast centroids — no corpus shuffle).
+- The self-join shuffles the corpus ONCE on cluster id; both sides of
+  the pair join read the cached member frame (embeddings scanned once).
+
+Reference counterpart: none — the reference ships brute-force cosine
+search only (macro_agents/.../domains/sec/semantic_search.py:80-84).
+This is a beyond-reference LLM-training-pipeline operator, first-class
+per the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..caches import register_session_cache
+from ..functions.ta import emit, sql_emit
+from ..functions.vectors import DOT_DUCK, DOT_SPARK
+from ..registry import query
+from .ann import _COS_CENTROID, ivf_corpus, kmeans_cte_duck, kmeans_once
+
+# Cosine threshold for "same meaning". The paper sweeps eps in
+# [0.95, 1.0] on real (highly anisotropic) LM embeddings; the driver's
+# synthetic corpus is near-isotropic (max pairwise cosine ~0.51 at
+# sf0.01), so the declared contract threshold sits at 0.40 to keep the
+# operator's dominated-row semantics exercised end-to-end rather than
+# vacuously true (measured dup rate: 2.8% of sf0.01, 10.4% of sf0.1 —
+# the paper's 3-50% removal regime). The threshold is a deployment
+# knob, not an algorithmic constant.
+_EPS = 0.40
+_K = 16
+
+
+def _semdedup_oracle() -> str:
+    dot_ab = DOT_DUCK.format(a="a.embedding", b="b.embedding")
+    dot_mc = DOT_DUCK.format(a="v.embedding", b="c.centroid")
+    return f"""
+WITH {kmeans_cte_duck(_K)},
+cents AS (
+  SELECT cluster, centroid,
+         sqrt({DOT_DUCK.format(a="centroid", b="centroid")}) AS cnorm
+  FROM centroids
+),
+member AS (
+  SELECT v.vec_id, fa.cluster, v.embedding, v.vnorm,
+         ({dot_mc} / (v.vnorm * c.cnorm)) AS cc
+  FROM final_assign fa
+  JOIN corpus v USING (vec_id)
+  JOIN cents c ON fa.cluster = c.cluster
+),
+dups AS (
+  SELECT DISTINCT b.vec_id
+  FROM member a JOIN member b
+    ON a.cluster = b.cluster
+   AND a.vec_id <> b.vec_id
+   AND ({dot_ab} / (a.vnorm * b.vnorm)) >= {_EPS}
+   AND (a.cc > b.cc OR (a.cc = b.cc AND a.vec_id < b.vec_id))
+)
+SELECT m.vec_id, m.cluster,
+       {sql_emit("m.cc")} AS cos_centroid,
+       (d.vec_id IS NOT NULL) AS is_dup
+FROM member m LEFT JOIN dups d ON m.vec_id = d.vec_id
+ORDER BY m.vec_id
+"""
+
+
+@query("dedup_semantic_semdedup", oracle=_semdedup_oracle())
+def dedup_semantic_semdedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: cluster id, centroid cosine, and
+    whether a higher-priority >=eps neighbor in the same cluster marks
+    it a semantic duplicate."""
+    corpus = ivf_corpus(spark, sf_dir)
+    centroids, assign = kmeans_once(corpus, _K)
+    # cached: the member frame feeds both sides of the pair join plus
+    # the final verdict left-join (3 reads); cluster-keyed, one row per
+    # vector. At scale this is the materialized (vector, cluster,
+    # centroid-cosine) assignment table a SemDeDup pass writes once.
+    member = register_session_cache(
+        assign.join(corpus, "vec_id")
+        .join(F.broadcast(centroids), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            "vnorm",
+            F.expr(_COS_CENTROID).alias("cc"),
+        )
+        .cache()
+    )
+    a = member.select(
+        F.col("cluster").alias("cluster_a"),
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("vnorm").alias("norm_a"),
+        F.col("cc").alias("cc_a"),
+    )
+    b = member.select(
+        F.col("cluster").alias("cluster_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("vnorm").alias("norm_b"),
+        F.col("cc").alias("cc_b"),
+    )
+    cos_ab = (
+        F.expr(DOT_SPARK.format(a="emb_a", b="emb_b"))
+        / (F.col("norm_a") * F.col("norm_b"))
+    )
+    dups = (
+        a.join(b, F.col("cluster_a") == F.col("cluster_b"))
+        .where(
+            (F.col("id_a") != F.col("id_b"))
+            & (cos_ab >= F.lit(_EPS))
+            & (
+                (F.col("cc_a") > F.col("cc_b"))
+                | (
+                    (F.col("cc_a") == F.col("cc_b"))
+                    & (F.col("id_a") < F.col("id_b"))
+                )
+            )
+        )
+        .select(F.col("id_b").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        member.join(
+            dups, member.vec_id == dups.dup_id, "left"
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            emit(F.col("cc")).alias("cos_centroid"),
+            F.col("dup_id").isNotNull().alias("is_dup"),
+        )
+        .orderBy("vec_id")
+    )

@@ -1,0 +1,361 @@
+"""Semantic golden tests for the round-12 selection/dedup additions:
+DSIR importance weights, the NB quality classifier, and SemDeDup.
+
+The oracle sweep proves cross-engine parity; these prove the
+*semantics* against independent pure-Python/NumPy reimplementations on
+crafted fixtures (the test_kernel_golden.py discipline) — a bug
+present in both the Spark query and its oracle SQL passes the sweep
+but fails here."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from economic_data_project_spark.registry import all_oracles, all_queries
+
+B = 4096  # text/dsir.py bucket count
+EPS = 0.40  # similarity/semdedup.py threshold
+K = 16  # similarity/semdedup.py cluster count
+
+
+def _write_docs(tmp_path, rows):
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def _grams(text: str) -> list[str]:
+    toks = re.findall(r"[a-z]+", text.lower())
+    return toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _bucket(g: str) -> int:
+    return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % B
+
+
+# ---------------------------------------------------------------- DSIR
+
+
+def _dsir_reference(rows):
+    """Pure-Python DSIR: hashed-n-gram importance log-weights with the
+    engine's per-term DECIMAL(28,6) quantization."""
+    inst = {}  # doc_id -> Counter(bucket)
+    tgt = {}
+    for doc_id, text, lang, _src, _n in rows:
+        inst[doc_id] = Counter(_bucket(g) for g in _grams(text))
+        tgt[doc_id] = lang == "en"
+    c_r, c_t = Counter(), Counter()
+    for doc_id, cnts in inst.items():
+        c_r.update(cnts)
+        if tgt[doc_id]:
+            c_t.update(cnts)
+    n_r, n_t = sum(c_r.values()), sum(c_t.values())
+    lw = {}
+    for doc_id, cnts in inst.items():
+        if not cnts:
+            lw[doc_id] = None
+            continue
+        s = sum(
+            round(
+                cnt
+                * math.log(
+                    ((c_t[b] + 1.0) * (n_r + B))
+                    / ((c_r[b] + 1.0) * (n_t + B))
+                ),
+                6,
+            )
+            for b, cnt in cnts.items()
+        )
+        lw[doc_id] = s / sum(cnts.values())
+    scored = [v for v in lw.values() if v is not None]
+    mean = sum(round(v, 6) for v in scored) / len(scored)
+    sel = {
+        d: (None if v is None else round(v, 6) > round(mean, 6))
+        for d, v in lw.items()
+    }
+    return lw, sel
+
+
+def test_dsir_matches_pure_python_reference(spark, tmp_path):
+    rows = [
+        (0, "alpha beta alpha beta alpha", "en", "s", 1),
+        (1, "alpha beta gamma alpha beta", "en", "s", 1),
+        (2, "gamma delta gamma delta gamma", "fr", "s", 1),
+        (3, "delta gamma delta delta gamma", "fr", "s", 1),
+        (4, "alpha beta alpha gamma delta", "zh", "s", 1),
+        (5, "omega omega omega", "en", "s", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dsir_importance_weights"](
+            spark, sf
+        ).collect()
+    }
+    lw, sel = _dsir_reference(rows)
+    for doc_id, _t, _l, _s, _n in rows:
+        assert got[doc_id].dsir_logweight == pytest.approx(
+            lw[doc_id], abs=2e-6
+        )
+        assert got[doc_id].selected == sel[doc_id]
+    # the estimator's point: target-shaped docs outrank raw-shaped
+    assert got[0].dsir_logweight > got[2].dsir_logweight
+    assert got[1].dsir_logweight > got[3].dsir_logweight
+
+
+def test_dsir_tokenless_doc_has_null_weight(spark, tmp_path):
+    rows = [
+        (0, "alpha beta alpha", "en", "s", 1),
+        (1, "gamma delta", "fr", "s", 1),
+        (2, "12345 !!!", "en", "s", 1),  # no [a-z]+ tokens
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["dsir_importance_weights"](
+            spark, sf
+        ).collect()
+    }
+    assert got[2].n_feats == 0
+    assert got[2].dsir_logweight is None
+    assert got[2].selected is None
+
+
+# ------------------------------------------------- NB quality classifier
+
+
+def _nb_reference(rows, curated=("src0", "src1", "src2", "src3")):
+    inst, pos = {}, {}
+    for doc_id, text, _lang, src, _n in rows:
+        inst[doc_id] = Counter(_grams(text))
+        pos[doc_id] = src in curated
+    c_p, c_n = Counter(), Counter()
+    for doc_id, cnts in inst.items():
+        (c_p if pos[doc_id] else c_n).update(cnts)
+    n_p, n_n = sum(c_p.values()), sum(c_n.values())
+    v = len(set(c_p) | set(c_n))
+    dp = sum(1 for x in pos.values() if x)
+    dn = len(pos) - dp
+    prior = round(math.log(dp / dn), 6)
+    out = {}
+    for doc_id, cnts in inst.items():
+        s = sum(
+            round(
+                cnt
+                * math.log(
+                    ((c_p[g] + 1.0) * (n_n + v))
+                    / ((c_n[g] + 1.0) * (n_p + v))
+                ),
+                6,
+            )
+            for g, cnt in cnts.items()
+        )
+        out[doc_id] = round(prior + s, 6)
+    return out
+
+
+def test_nb_matches_pure_python_reference(spark, tmp_path):
+    rows = [
+        (0, "good clean prose good clean", "en", "src0", 1),
+        (1, "clean good prose clean good", "en", "src1", 1),
+        (2, "spam junk spam junk spam", "en", "srcX", 1),
+        (3, "junk spam junk junk spam", "en", "srcY", 1),
+        (4, "good clean prose prose good", "en", "srcZ", 1),
+        (5, "spam junk good clean spam", "en", "src2", 1),
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["nb_quality_classifier"](
+            spark, sf
+        ).collect()
+    }
+    ref = _nb_reference(rows)
+    for doc_id, _t, _l, src, _n in rows:
+        assert got[doc_id].nb_logodds == pytest.approx(
+            ref[doc_id], abs=2e-6
+        )
+        assert got[doc_id].is_curated == (
+            src in ("src0", "src1", "src2", "src3")
+        )
+        assert got[doc_id].nb_label == (
+            "keep" if got[doc_id].nb_logodds > 0 else "drop"
+        )
+    # curated-vocabulary doc 4 classifies keep despite a raw source;
+    # raw-vocabulary docs 2/3 classify drop
+    assert got[4].nb_label == "keep"
+    assert got[2].nb_label == "drop" and got[3].nb_label == "drop"
+
+
+def test_nb_empty_doc_scores_exactly_the_prior(spark, tmp_path):
+    rows = [
+        (0, "good clean good", "en", "src0", 1),
+        (1, "spam junk spam", "en", "srcX", 1),
+        (2, "junk junk spam", "en", "srcY", 1),
+        (3, "###", "en", "srcZ", 1),  # tokenless
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = {
+        r.doc_id: r
+        for r in all_queries()["nb_quality_classifier"](
+            spark, sf
+        ).collect()
+    }
+    assert got[3].n_grams == 0
+    assert got[3].nb_logodds == pytest.approx(
+        round(math.log(1 / 3), 6), abs=1e-6
+    )
+    assert got[3].nb_label == "drop"
+
+
+# ----------------------------------------------------------- SemDeDup
+
+
+def _write_vecs(tmp_path, vecs):
+    pd.DataFrame(
+        {
+            "vec_id": range(len(vecs)),
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [i % 3 for i in range(len(vecs))],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    return str(tmp_path)
+
+
+def _semdedup_reference(vecs, k=K, eps=EPS):
+    """NumPy SemDeDup mirroring the engine's deterministic k-means
+    (seed = first k ids, one Lloyd step with 6dp-quantized means,
+    ties on smaller cluster id) and dominated-row duplicate rule.
+    Returns (assignment, cc, is_dup) and margin diagnostics so the
+    caller can assert the fixture sits nowhere near a tie/threshold
+    boundary (which would make float-vs-decimal drift meaningful)."""
+    X = np.asarray(vecs, dtype=np.float64)
+    norms = np.linalg.norm(X, axis=1)
+    n = len(X)
+
+    def assign(cents, cnorms):
+        cos = (X @ cents.T) / np.outer(norms, cnorms)
+        a = cos.argmax(axis=1)  # first max = smallest cluster index
+        top2 = np.sort(cos, axis=1)[:, -2:]
+        return a, float(np.min(top2[:, 1] - top2[:, 0]))
+
+    seeds = X[:k]
+    a0, margin0 = assign(seeds, norms[:k])
+    cents = np.stack(
+        [
+            np.round(X[a0 == c], 6).sum(axis=0) / max((a0 == c).sum(), 1)
+            for c in range(k)
+        ]
+    )
+    cnorms = np.linalg.norm(cents, axis=1)
+    a1, margin1 = assign(cents, cnorms)
+    cc = (X * cents[a1]).sum(axis=1) / (norms * cnorms[a1])
+    pair_cos = (X @ X.T) / np.outer(norms, norms)
+    same = a1[:, None] == a1[None, :]
+    eye = np.eye(n, dtype=bool)
+    near = same & ~eye & (pair_cos >= eps)
+    ids = np.arange(n)
+    better = (cc[:, None] > cc[None, :]) | (
+        (cc[:, None] == cc[None, :]) & (ids[:, None] < ids[None, :])
+    )
+    is_dup = (near & better).any(axis=0)
+    thresh_margin = float(
+        np.min(np.abs(pair_cos[same & ~eye] - eps))
+    )
+    return a1, cc, is_dup, min(margin0, margin1), thresh_margin
+
+
+def test_semdedup_matches_numpy_reference(spark, tmp_path):
+    rng = np.random.RandomState(7)
+    base = rng.normal(size=(34, 32))
+    # planted duplicates: exact copies (ids 34, 35) and a near-copy
+    # (id 36, tiny perturbation -> cosine ~0.9999)
+    vecs = list(base) + [
+        base[5].copy(),
+        base[20].copy(),
+        base[9] + 1e-3 * rng.normal(size=32),
+    ]
+    a1, cc, is_dup, assign_margin, thresh_margin = _semdedup_reference(
+        vecs
+    )
+    # fixture robustness: no assignment tie or eps-boundary pair is
+    # close enough for decimal-vs-float drift to flip a decision
+    assert assign_margin > 1e-4 and thresh_margin > 1e-3
+    sf = _write_vecs(tmp_path, vecs)
+    got = {
+        r.vec_id: r
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, sf
+        ).collect()
+    }
+    assert len(got) == len(vecs)
+    for i in range(len(vecs)):
+        assert got[i].is_dup == bool(is_dup[i]), i
+        # engine cluster ids are the SEED vec_ids; with dense 0-based
+        # ids the seeds are vec_ids 0..K-1, identical to the numpy
+        # positional cluster index
+        assert got[i].cluster == int(a1[i]), i
+        assert got[i].cos_centroid == pytest.approx(
+            float(cc[i]), abs=1e-4
+        )
+    # exact copies tie on centroid cosine -> the original (smaller id)
+    # survives and the copy is the duplicate
+    assert got[34].is_dup and not got[5].is_dup
+    assert got[35].is_dup and not got[20].is_dup
+    # the near-copy pair keeps whichever member is CLOSER to the
+    # centroid (here the perturbed copy) — exactly one survives
+    assert got[36].is_dup != got[9].is_dup
+
+
+def test_semdedup_keeps_exactly_one_of_identical_clique(
+    spark, tmp_path
+):
+    rng = np.random.RandomState(11)
+    base = rng.normal(size=(20, 16))
+    # ids 20, 21: exact copies of id 2 -> a 3-clique of cosine-1.0
+    vecs = list(base) + [base[2].copy(), base[2].copy()]
+    _a, _cc, is_dup, assign_margin, thresh_margin = (
+        _semdedup_reference(vecs)
+    )
+    assert assign_margin > 1e-4 and thresh_margin > 1e-3
+    sf = _write_vecs(tmp_path, vecs)
+    got = {
+        r.vec_id: r
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, sf
+        ).collect()
+    }
+    # identical vectors tie on centroid cosine -> smallest vec_id wins
+    assert not got[2].is_dup
+    assert got[20].is_dup and got[21].is_dup
+
+
+def test_semdedup_cross_engine_on_planted_fixture(spark, tmp_path):
+    """Full driver-style compare on the planted-duplicate corpus —
+    the sf0.01 oracle run never sees a true near-dup pair, this does."""
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    rng = np.random.RandomState(13)
+    base = rng.normal(size=(30, 16))
+    vecs = list(base) + [base[4].copy(), base[17].copy()]
+    sf = _write_vecs(tmp_path, vecs)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["dedup_semantic_semdedup"],
+            all_oracles()["dedup_semantic_semdedup"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
