@@ -28,11 +28,23 @@ keep their local maxima, erring toward keeping data.
 Scale design (100 TB):
 - The pair space is *within-cluster only*: k-means partitions the
   corpus so the quadratic term is sum(|cluster|^2), not n^2. The paper
-  runs K ~ 11k clusters on 100M+ embeddings for exactly this reason;
-  here K is fixed at the IVF driver-scale default (16) with the same
-  documented sqrt(n) growth policy above the IVF cutover
-  (similarity/ann.py:_IVF_SCALE_MIN) — K ~ sqrt(n) bounds expected
-  within-cluster pair volume at ~n^1.5 for balanced clusters.
+  runs K ~ 11k clusters on 100M+ embeddings for exactly this reason.
+  K here targets a FIXED cluster size (n / 1024, the fastText-scale
+  bucket the HOF pair join absorbs comfortably), NOT the IVF tier's
+  sqrt(n): for a pair join, expected within-cluster pair volume is
+  n^2/(2K) — sqrt(n) sizing leaves it at n^1.5 (1.25e9 pairs already
+  at 200k vectors with the pre-cutover K=16), while fixed-target
+  sizing bounds it at ~512·n, linear (measured at 60k vectors:
+  tools/bench_snapshots/r12_semdedup_scale.log). The sizing comes
+  from the same documented-exempt 1-row driver probe as the IVF
+  build, whose scan fills the shared corpus cache. The declared
+  oracle implements the FIXED-K algorithm, exact at every
+  driver/test scale (all below the 16384-vector cutover) — the same
+  contract shape as ann_ivf_topk's. Past K = 65536 (cap shared with
+  IVF; n ~ 67M at the target size), clusters grow past the target
+  again and the within-cluster compare should move to a per-cluster
+  GEMM kernel (the dedup_embedding_cosine block-matrix precedent) —
+  documented successor, same discipline as the simhash 128-bit note.
 - Centroids are K-bounded and broadcast; assignment is map-side
   (argmin over broadcast centroids — no corpus shuffle).
 - The self-join shuffles the corpus ONCE on cluster id; both sides of
@@ -53,7 +65,13 @@ from ..caches import register_session_cache
 from ..functions.ta import emit, sql_emit
 from ..functions.vectors import DOT_DUCK, DOT_SPARK
 from ..registry import query
-from .ann import _COS_CENTROID, ivf_corpus, kmeans_cte_duck, kmeans_once
+from .ann import (
+    _COS_CENTROID,
+    _IVF_K_CAP,
+    ivf_corpus,
+    kmeans_cte_duck,
+    kmeans_once,
+)
 
 # Cosine threshold for "same meaning". The paper sweeps eps in
 # [0.95, 1.0] on real (highly anisotropic) LM embeddings; the driver's
@@ -65,6 +83,11 @@ from .ann import _COS_CENTROID, ivf_corpus, kmeans_cte_duck, kmeans_once
 # knob, not an algorithmic constant.
 _EPS = 0.40
 _K = 16
+# target vectors per cluster above the cutover (module docstring);
+# cutover = the corpus size where n / _TARGET_CLUSTER first exceeds
+# the fixed driver-scale K.
+_TARGET_CLUSTER = 1024
+_SCALE_MIN = _K * _TARGET_CLUSTER  # 16384
 
 
 def _semdedup_oracle() -> str:
@@ -108,7 +131,16 @@ def dedup_semantic_semdedup(
     whether a higher-priority >=eps neighbor in the same cluster marks
     it a semantic duplicate."""
     corpus = ivf_corpus(spark, sf_dir)
-    centroids, assign = kmeans_once(corpus, _K)
+    # size-aware K (module docstring): one 1-row count, documented
+    # exempt from the zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT
+    # — the ann_ivf_topk precedent; the probe's scan fills the shared
+    # session cache every downstream consumer reads).
+    n_corpus = int(corpus.count())
+    if n_corpus <= _SCALE_MIN:
+        k = _K
+    else:
+        k = min(_IVF_K_CAP, n_corpus // _TARGET_CLUSTER)
+    centroids, assign = kmeans_once(corpus, k)
     # cached: the member frame feeds both sides of the pair join plus
     # the final verdict left-join (3 reads); cluster-keyed, one row per
     # vector. At scale this is the materialized (vector, cluster,

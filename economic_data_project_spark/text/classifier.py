@@ -19,7 +19,9 @@ the classifier and importance-resampling stages of the same selection
 pipeline, trained on RAW n-grams here vs HASHED buckets there).
 Add-one smoothing over the joint vocabulary; the class prior rides the
 score so empty documents get exactly the prior log-odds rather than a
-silent NULL.
+silent NULL. A corpus with an empty class (no curated docs, or all
+curated) has no defined prior — ln(0) yields NULL log-odds per row in
+Spark, the honest "classifier undefined" answer, not a crash.
 
 Determinism (the lm_quality.py contract): counts are integers; each
 per-(doc, gram) term is ONE ln of an exactly-identical double ratio —

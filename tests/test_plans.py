@@ -920,6 +920,8 @@ _BUILD_JOB_EXEMPT = {
     "signal_mst_network": "driver-side MST build (bounded panel)",
     # bounded routing probe: 1-row agg head() picks brute vs LSH path
     "dedup_embedding_cosine": "size/dim routing probe (1-row agg)",
+    "dedup_semantic_semdedup": "size-aware K probe (1-row count; "
+    "fills the shared IVF corpus cache — ann_ivf_topk precedent)",
     "dedup_embedding_cosine_lsh": "dim guard probe (1-row agg)",
     "dedup_embedding_cosine_lsh_planes": "plane sizing probe (1-row agg)",
     # same pattern: K/nprobe sizing count; the probe's scan doubles as
