@@ -84,6 +84,7 @@ HEADLINE = [
     "dedup_semantic_semdedup",  # within-cluster semantic dedup (SemDeDup)
     "dsir_importance_weights",  # hashed-ngram importance resampling (DSIR)
     "nb_quality_classifier",    # NB curated-vs-raw quality filter
+    "dsir_gumbel_topk",         # seeded Gumbel-top-k weighted resample
 ]
 
 

@@ -10,14 +10,19 @@ them. The hashing (n-grams -> B buckets) is the method's core trick:
 the feature space is FIXED-SIZE regardless of vocabulary, so the model
 is broadcastable by construction at any corpus scale.
 
-Deterministic adaptation (documented like the other stochastic-paper
-adaptations in this repo): the paper resamples with Gumbel noise; the
-declared contract selects every document whose per-feature average log
-ratio exceeds the corpus mean of that statistic — a noise-free
-top-fraction proxy (the raw pool CONTAINS the target, so absolute
-weights skew negative and a sign test degenerates: measured 0/500
-selected at sf0.01), and the mean rides the repo's decimal-exact
-aggregation so the DuckDB oracle is exact. Target domain on
+Two selection surfaces, both deterministic (documented like the other
+stochastic-paper adaptations in this repo):
+- ``dsir_importance_weights`` flags every document whose per-feature
+  average log ratio exceeds the corpus mean of that statistic — a
+  noise-free top-fraction proxy (the raw pool CONTAINS the target, so
+  absolute weights skew negative and a sign test degenerates: measured
+  0/500 selected at sf0.01); the mean rides the repo's decimal-exact
+  aggregation so the DuckDB oracle is exact.
+- ``dsir_gumbel_topk`` is the paper's ACTUAL sampling step with the
+  noise pinned: a seeded Gumbel draw per document plus top-k by
+  perturbed weight (the Gumbel-top-k trick = weighted sampling without
+  replacement), selected through the bucket-decomposed global cumsum
+  so no corpus-wide sort or global window exists in the plan. Target domain on
 the driver corpus: ``lang = 'en'`` (the paper's target is "looks like
 Wikipedia+books"; any declared subset works — the estimator only needs
 the two empirical distributions).
@@ -92,8 +97,9 @@ _TERM = (
     f" / ((CAST(c_r AS DOUBLE) + 1) * (n_t + {_B})))"
 )
 
-_DSIR_ORACLE = f"""
-WITH toked AS (
+# CTE prefix through ``scored`` (doc_id, n_feats, lw) — shared by the
+# weight query's oracle and the Gumbel top-k resampling oracle below.
+_DSIR_SCORED_CTE = f"""toked AS (
   SELECT doc_id, (lang = 'en') AS tgt, {_TOKENS_DUCK} AS toks
   FROM documents
 ),
@@ -123,7 +129,10 @@ scored AS (
           / SUM(i.cnt)) AS lw
   FROM inst i JOIN model m USING (bucket) CROSS JOIN tot
   GROUP BY i.doc_id
-),
+)"""
+
+_DSIR_ORACLE = f"""
+WITH {_DSIR_SCORED_CTE},
 stats AS (
   SELECT CAST(SUM(CAST(lw AS DECIMAL(28,6))) AS DOUBLE) / COUNT(lw)
          AS mean_lw
@@ -140,12 +149,11 @@ ORDER BY d.doc_id
 """
 
 
-@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
-def dsir_importance_weights(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-document DSIR importance log-weight against the ``lang='en'``
-    target distribution, with the noise-free selection flag."""
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_feats, lw): per-document DSIR average log importance
+    ratio — the Spark twin of ``_DSIR_SCORED_CTE``, shared by the
+    weight query and the Gumbel resampling query (the inst cache makes
+    the corpus text scan happen once per session either way)."""
     d = load_table(spark, sf_dir, "documents")
     inst = (
         d.select(
@@ -175,7 +183,7 @@ def dsir_importance_weights(
             F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t")
         )
     )
-    scored = (
+    return (
         inst.join(F.broadcast(model), "bucket")
         .crossJoin(tot)
         .groupBy("doc_id")
@@ -189,6 +197,16 @@ def dsir_importance_weights(
             ).alias("lw"),
         )
     )
+
+
+@query("dsir_importance_weights", oracle=_DSIR_ORACLE)
+def dsir_importance_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-document DSIR importance log-weight against the ``lang='en'``
+    target distribution, with the noise-free selection flag."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = _scored(spark, sf_dir)
     stats = F.broadcast(
         scored.agg(
             (
@@ -212,3 +230,92 @@ def dsir_importance_weights(
         )
         .orderBy("doc_id")
     )
+
+
+# --------------------------------------------------------------------------
+# Gumbel top-k resampling — the paper's actual sampling step.
+# DSIR samples WITHOUT replacement with probability ~ exp(weight); the
+# Gumbel-top-k trick makes that a deterministic ORDER BY once the noise
+# is pinned: adding an independent Gumbel(0,1) draw to each log-weight
+# and keeping the top k IS a weighted sample (Vieira 2014; Kim et al.).
+# The draw here is seeded — u = 52 md5 bits of (doc_id, salt) mapped to
+# (0,1), g = -ln(-ln(u)) — so both engines sample the identical subset
+# and the oracle is exact. Selection runs through the bucket-decomposed
+# global cumsum (text/selection._budget_select with unit weights and a
+# count budget): no corpus-wide single-task sort, no global window.
+# The selection score is quantized to 4 decimals (not 6) so the bucket
+# table stays <=~10^5 rows per score unit — gumbel scores span ~[-4,37],
+# keeping the broadcast offsets table bounded by the GRID, not by n;
+# ties on the coarser grid break by doc_id in both engines.
+# --------------------------------------------------------------------------
+
+_GUMBEL_SALT = "gumbel0"
+_SAMPLE_DEN = 5  # keep n_scored // 5 documents, the paper's-shape budget
+
+# 52 md5 bits -> exact double in (0, 1); 0.5e0/4503599627370496e0 are
+# DOUBLE literals in both engines (a bare 0.5 parses as DECIMAL with
+# engine-specific promotion — the _TERM lesson above).
+_U_SPARK = (
+    "(cast(conv(substr(md5(concat(cast(doc_id as string),"
+    f" ':{_GUMBEL_SALT}')), 1, 13), 16, 10) as bigint) + 0.5e0)"
+    " / 4503599627370496e0"
+)
+_U_DUCK = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) ||"
+    f" ':{_GUMBEL_SALT}'), 1, 13))::UBIGINT AS BIGINT) + 0.5e0)"
+    " / 4503599627370496e0"
+)
+
+_GUMBEL_ORACLE = f"""
+WITH {_DSIR_SCORED_CTE},
+gum AS (
+  SELECT doc_id, {sql_emit("lw")} AS lw6, {_U_DUCK} AS u
+  FROM scored
+),
+sc AS (
+  SELECT doc_id,
+         {sql_emit("lw6 + (-ln(-ln(u)))", 4)} AS gumbel_score
+  FROM gum
+),
+budget AS (SELECT COUNT(*) // {_SAMPLE_DEN} AS sample_budget FROM sc),
+c AS (
+  SELECT doc_id, gumbel_score,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY gumbel_score DESC, doc_id
+         ) AS BIGINT) AS pick_rank
+  FROM sc
+)
+SELECT c.doc_id, c.gumbel_score, c.pick_rank,
+       CAST(budget.sample_budget AS BIGINT) AS sample_budget
+FROM c CROSS JOIN budget
+WHERE c.pick_rank <= budget.sample_budget
+ORDER BY c.pick_rank
+"""
+
+
+@query("dsir_gumbel_topk", oracle=_GUMBEL_ORACLE)
+def dsir_gumbel_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The seeded Gumbel-top-k resample over the DSIR weights: the
+    n_scored // 5 documents with the largest (log-weight + Gumbel
+    noise), i.e. one deterministic epoch of the paper's importance
+    resampling. Docs with no features carry no weight and are not in
+    the pool (they are absent from the scored frame by construction)."""
+    from .selection import _budget_select
+
+    scored = _scored(spark, sf_dir)
+    g = -F.expr("ln(-ln(u))")
+    sc = (
+        scored.select("doc_id", F.expr(_U_SPARK).alias("u"), "lw")
+        .select(
+            "doc_id",
+            emit(emit(F.col("lw")) + g, 4).alias("score"),
+            F.lit(1).cast("long").alias("n_tokens"),
+        )
+    )
+    picked = _budget_select(sc, num=1, den=_SAMPLE_DEN)
+    return picked.select(
+        "doc_id",
+        F.col("score").alias("gumbel_score"),
+        F.col("cum_tokens").alias("pick_rank"),
+        F.col("token_budget").alias("sample_budget"),
+    ).orderBy("pick_rank")

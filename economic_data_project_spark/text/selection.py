@@ -196,7 +196,11 @@ def corpus_budget_selection(
     return _budget_select(scored)
 
 
-def _budget_select(scored: DataFrame) -> DataFrame:
+def _budget_select(
+    scored: DataFrame,
+    num: int = _BUDGET_NUM,
+    den: int = _BUDGET_DEN,
+) -> DataFrame:
     """The bucket-decomposed global-cumsum core, factored out of
     ``corpus_budget_selection`` so the Hypothesis property test
     (tests/test_selection.py) can drive the EXACT production plan with
@@ -234,14 +238,14 @@ def _budget_select(scored: DataFrame) -> DataFrame:
         (
             F.sum("bucket_tokens").over(wb) - F.col("bucket_tokens")
         ).alias("tokens_before_bucket"),
-        (F.sum("bucket_tokens").over(wall) * _BUDGET_NUM).alias("_tot3"),
+        (F.sum("bucket_tokens").over(wall) * num).alias("_tot3"),
     ).select(
         "score",
         "tokens_before_bucket",
         # integer division end-to-end: no float ever decides membership
         # at the budget boundary (total*3 stays in bigint range — 100 TB
         # of text is ~2.5e13 tokens, 3x that is far below 2^63)
-        F.expr(f"_tot3 div {_BUDGET_DEN}").alias("token_budget"),
+        F.expr(f"_tot3 div {den}").alias("token_budget"),
     )
     ww = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

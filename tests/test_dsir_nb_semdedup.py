@@ -111,6 +111,51 @@ def test_dsir_matches_pure_python_reference(spark, tmp_path):
     assert got[1].dsir_logweight > got[3].dsir_logweight
 
 
+def test_dsir_gumbel_topk_matches_pure_python(spark, tmp_path):
+    rows = [
+        (i, t, lang, "s", 1)
+        for i, (t, lang) in enumerate(
+            [
+                ("alpha beta alpha beta alpha", "en"),
+                ("alpha beta gamma alpha beta", "en"),
+                ("gamma delta gamma delta gamma", "fr"),
+                ("delta gamma delta delta gamma", "fr"),
+                ("alpha beta alpha gamma delta", "zh"),
+                ("omega omega omega", "en"),
+                ("beta alpha beta alpha beta", "en"),
+                ("delta delta gamma gamma delta", "fr"),
+                ("alpha gamma beta delta alpha", "zh"),
+                ("omega alpha omega beta omega", "en"),
+            ]
+        )
+    ]
+    sf = _write_docs(tmp_path, rows)
+    got = (
+        all_queries()["dsir_gumbel_topk"](spark, sf).collect()
+    )
+    lw, _sel = _dsir_reference(rows)
+
+    def gumbel(doc_id):
+        h = hashlib.md5(f"{doc_id}:gumbel0".encode()).hexdigest()
+        u = (int(h[:13], 16) + 0.5) / 2**52
+        return -math.log(-math.log(u))
+
+    scores = {
+        d: round(round(w, 6) + gumbel(d), 4)
+        for d, w in lw.items()
+        if w is not None
+    }
+    k = len(scores) // 5
+    expect = sorted(scores, key=lambda d: (-scores[d], d))[:k]
+    assert [r.doc_id for r in got] == expect
+    for r in got:
+        assert r.gumbel_score == pytest.approx(
+            scores[r.doc_id], abs=2e-4
+        )
+        assert r.sample_budget == k
+    assert [r.pick_rank for r in got] == list(range(1, k + 1))
+
+
 def test_dsir_tokenless_doc_has_null_weight(spark, tmp_path):
     rows = [
         (0, "alpha beta alpha", "en", "s", 1),
