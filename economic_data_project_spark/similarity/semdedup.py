@@ -40,15 +40,31 @@ Scale design (100 TB):
   build, whose scan fills the shared corpus cache. The declared
   oracle implements the FIXED-K algorithm, exact at every
   driver/test scale (all below the 16384-vector cutover) — the same
-  contract shape as ann_ivf_topk's. Past K = 65536 (cap shared with
-  IVF; n ~ 67M at the target size), clusters grow past the target
-  again and the within-cluster compare should move to a per-cluster
-  GEMM kernel (the dedup_embedding_cosine block-matrix precedent) —
-  documented successor, same discipline as the simhash 128-bit note.
+  contract shape as ann_ivf_topk's. The named successor boundary is
+  NOT the pair join (GEMM absorbs it) but ASSIGNMENT: one-level
+  k-means costs n·K = n^2/1024 broadcast-argmin evaluations under
+  this sizing (measured superlinear: 21.9M evals at 150k vs 3.5M at
+  60k, r12_semdedup_scale.log [3]) — past ~1M vectors the honest fix
+  is a two-level coarse quantizer (assign to sqrt(K) coarse cells,
+  then refine within the cell's centroids) or GEMM-batched
+  assignment, documented here rather than silently chosen (the
+  simhash 128-bit discipline). The K = 65536 cap (shared with IVF,
+  n ~ 67M at target size) also re-grows clusters past the target.
 - Centroids are K-bounded and broadcast; assignment is map-side
   (argmin over broadcast centroids — no corpus shuffle).
-- The self-join shuffles the corpus ONCE on cluster id; both sides of
-  the pair join read the cached member frame (embeddings scanned once).
+- BELOW the cutover the dominated-pair compare is the relational HOF
+  self-join (bit-identical to the declared oracle). ABOVE it, the
+  compare routes through a per-cluster NumPy GEMM kernel
+  (applyInPandas grouped on cluster): each ~1024-vector cluster is a
+  dense (c x dim) @ (dim x c) block — the canonical case where GEMM
+  beats interpreted per-pair HOF folds ~100x (the plane-signature
+  precedent, text/dedup.py). GEMM reduction order differs from the
+  sequential HOF fold in the last ulp, so the scale tier is NOT
+  oracle-exact at the eps boundary — the same declared trade as
+  dedup_embedding_cosine's brute->LSH routing; equality away from the
+  boundary is pinned by a forced-path golden test and the scale probe.
+- Either path shuffles the corpus ONCE on cluster id; every reader
+  consumes the cached member frame (embeddings scanned once).
 
 Reference counterpart: none — the reference ships brute-force cosine
 search only (macro_agents/.../domains/sec/semantic_search.py:80-84).
@@ -123,40 +139,9 @@ ORDER BY m.vec_id
 """
 
 
-@query("dedup_semantic_semdedup", oracle=_semdedup_oracle())
-def dedup_semantic_semdedup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    """Per-vector SemDeDup verdict: cluster id, centroid cosine, and
-    whether a higher-priority >=eps neighbor in the same cluster marks
-    it a semantic duplicate."""
-    corpus = ivf_corpus(spark, sf_dir)
-    # size-aware K (module docstring): one 1-row count, documented
-    # exempt from the zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT
-    # — the ann_ivf_topk precedent; the probe's scan fills the shared
-    # session cache every downstream consumer reads).
-    n_corpus = int(corpus.count())
-    if n_corpus <= _SCALE_MIN:
-        k = _K
-    else:
-        k = min(_IVF_K_CAP, n_corpus // _TARGET_CLUSTER)
-    centroids, assign = kmeans_once(corpus, k)
-    # cached: the member frame feeds both sides of the pair join plus
-    # the final verdict left-join (3 reads); cluster-keyed, one row per
-    # vector. At scale this is the materialized (vector, cluster,
-    # centroid-cosine) assignment table a SemDeDup pass writes once.
-    member = register_session_cache(
-        assign.join(corpus, "vec_id")
-        .join(F.broadcast(centroids), "cluster")
-        .select(
-            "vec_id",
-            "cluster",
-            "embedding",
-            "vnorm",
-            F.expr(_COS_CENTROID).alias("cc"),
-        )
-        .cache()
-    )
+def _dups_hof(member: DataFrame) -> DataFrame:
+    """Dominated-row duplicates via the relational HOF self-join —
+    bit-identical to the declared oracle (driver-scale path)."""
     a = member.select(
         F.col("cluster").alias("cluster_a"),
         F.col("vec_id").alias("id_a"),
@@ -175,7 +160,7 @@ def dedup_semantic_semdedup(
         F.expr(DOT_SPARK.format(a="emb_a", b="emb_b"))
         / (F.col("norm_a") * F.col("norm_b"))
     )
-    dups = (
+    return (
         a.join(b, F.col("cluster_a") == F.col("cluster_b"))
         .where(
             (F.col("id_a") != F.col("id_b"))
@@ -190,6 +175,89 @@ def dedup_semantic_semdedup(
         )
         .select(F.col("id_b").alias("dup_id"))
         .distinct()
+    )
+
+
+def _dups_gemm(member: DataFrame) -> DataFrame:
+    """Dominated-row duplicates via a per-cluster NumPy GEMM kernel —
+    the scale tier (module docstring). Each cluster arrives as one
+    Arrow batch (~_TARGET_CLUSTER rows by the sizing policy); the pair
+    block is a dense (c x dim) @ (dim x c) product. Ragged/null
+    embeddings are excluded exactly like the plane-signature kernel
+    (they cannot form a valid cosine pair; uniform-dim contract,
+    text/dedup.py:_emb_plane_signatures)."""
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"dup_id": pd.Series([], dtype="int64")})
+        dim_counts = pdf.embedding.map(
+            lambda e: -1 if e is None else len(e)
+        )
+        pos = dim_counts[dim_counts > 0]
+        if len(pos) < 2:
+            return empty
+        good = pdf[dim_counts == pos.max()]
+        if len(good) < 2:
+            return empty
+        X = np.stack(good.embedding.to_numpy()).astype(np.float64)
+        norms = good.vnorm.to_numpy().astype(np.float64)
+        cc = good.cc.to_numpy().astype(np.float64)
+        ids = good.vec_id.to_numpy()
+        S = (X @ X.T) / np.outer(norms, norms)
+        near = S >= _EPS
+        np.fill_diagonal(near, False)
+        better = (cc[:, None] > cc[None, :]) | (
+            (cc[:, None] == cc[None, :])
+            & (ids[:, None] < ids[None, :])
+        )
+        dropped = ids[(near & better).any(axis=0)]
+        return pd.DataFrame({"dup_id": dropped.astype("int64")})
+
+    return member.groupBy("cluster").applyInPandas(
+        kernel, schema="dup_id long"
+    )
+
+
+@query("dedup_semantic_semdedup", oracle=_semdedup_oracle())
+def dedup_semantic_semdedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector SemDeDup verdict: cluster id, centroid cosine, and
+    whether a higher-priority >=eps neighbor in the same cluster marks
+    it a semantic duplicate."""
+    corpus = ivf_corpus(spark, sf_dir)
+    # size-aware K (module docstring): one 1-row count, documented
+    # exempt from the zero-jobs gate (tests/test_plans._BUILD_JOB_EXEMPT
+    # — the ann_ivf_topk precedent; the probe's scan fills the shared
+    # session cache every downstream consumer reads).
+    n_corpus = int(corpus.count())
+    if n_corpus <= _SCALE_MIN:
+        k = _K
+    else:
+        k = min(_IVF_K_CAP, n_corpus // _TARGET_CLUSTER)
+    centroids, assign = kmeans_once(corpus, k)
+    # cached: the member frame feeds both sides of the pair compare
+    # plus the final verdict left-join (3 reads); cluster-keyed, one
+    # row per vector. At scale this is the materialized (vector,
+    # cluster, centroid-cosine) assignment table a SemDeDup pass
+    # writes once.
+    member = register_session_cache(
+        assign.join(corpus, "vec_id")
+        .join(F.broadcast(centroids), "cluster")
+        .select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            "vnorm",
+            F.expr(_COS_CENTROID).alias("cc"),
+        )
+        .cache()
+    )
+    dups = (
+        _dups_hof(member)
+        if n_corpus <= _SCALE_MIN
+        else _dups_gemm(member)
     )
     return (
         member.join(
