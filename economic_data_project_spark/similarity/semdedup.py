@@ -40,16 +40,19 @@ Scale design (100 TB):
   build, whose scan fills the shared corpus cache. The declared
   oracle implements the FIXED-K algorithm, exact at every
   driver/test scale (all below the 16384-vector cutover) — the same
-  contract shape as ann_ivf_topk's. The named successor boundary is
-  NOT the pair join (GEMM absorbs it) but ASSIGNMENT: one-level
-  k-means costs n·K = n^2/1024 broadcast-argmin evaluations under
-  this sizing (measured superlinear: 21.9M evals at 150k vs 3.5M at
-  60k, r12_semdedup_scale.log [3]) — past ~1M vectors the honest fix
-  is a two-level coarse quantizer (assign to sqrt(K) coarse cells,
-  then refine within the cell's centroids) or GEMM-batched
-  assignment, documented here rather than silently chosen (the
-  simhash 128-bit discipline). The K = 65536 cap (shared with IVF,
-  n ~ 67M at target size) also re-grows clusters past the target.
+  contract shape as ann_ivf_topk's. The second boundary is NOT the
+  pair join (GEMM absorbs it) but ASSIGNMENT: one-level k-means costs
+  n·K = n^2/1024 broadcast-argmin evaluations under this sizing
+  (measured superlinear: 21.9M evals at 150k vs 3.5M at 60k,
+  r12_semdedup_scale.log [3]) — so past _TWO_LEVEL_MIN (the n where
+  assignment evals overtake pair volume) clustering runs the
+  TWO-LEVEL tier: relational coarse assignment to sqrt(K) cells, then
+  the same seeded one-Lloyd-step algorithm per cell inside a NumPy
+  kernel. Assignment work falls to ~n·2·sqrt(K) and the whole pass is
+  near-linear again (A/B at 600k vectors in
+  r12_semdedup_scale.log [4]). The K = 65536 cap (shared with IVF,
+  n ~ 67M at target size) re-grows clusters past the target — the
+  remaining documented bound.
 - Centroids are K-bounded and broadcast; assignment is map-side
   (argmin over broadcast centroids — no corpus shuffle).
 - BELOW the cutover the dominated-pair compare is the relational HOF
@@ -104,6 +107,15 @@ _K = 16
 # the fixed driver-scale K.
 _TARGET_CLUSTER = 1024
 _SCALE_MIN = _K * _TARGET_CLUSTER  # 16384
+# Above this corpus size, one-level assignment cost (n*K = n^2/1024
+# argmin evaluations) overtakes pair volume (~512n) — the crossover is
+# n = 512*1024 — and clustering moves to the two-level coarse
+# quantizer: assign to sqrt(K) coarse cells relationally (n*sqrt(K)
+# evals), then sub-cluster each ~sqrt(K)*1024-vector cell inside one
+# NumPy kernel (seeded, one Lloyd step — the same algorithm, GEMM
+# arithmetic). Total assignment work ~ n*2*sqrt(K), restoring
+# near-linear scaling; sub-cluster ids are (coarse << 20 | sub).
+_TWO_LEVEL_MIN = 512 * _TARGET_CLUSTER  # 524288
 
 
 def _semdedup_oracle() -> str:
@@ -178,6 +190,76 @@ def _dups_hof(member: DataFrame) -> DataFrame:
     )
 
 
+def _subcluster_kernel(pdf):
+    """Per-coarse-cell sub-clustering (two-level tier): the same
+    seeded one-Lloyd-step k-means the relational path runs, in NumPy
+    arithmetic — seeds = the K2 smallest vec_ids of the cell,
+    cosine-argmax assignment with first-index (= smallest seed id)
+    tie-break, one mean step, reassign. Invalid (null/ragged)
+    embeddings keep the cell's sub_id 0 with NULL centroid-cosine —
+    never compared, never dropped (uniform-dim contract)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    coarse = int(pdf["coarse"].iloc[0])
+    base = coarse << 20
+    dims = pdf.embedding.map(lambda e: -1 if e is None else len(e))
+    pos = dims[dims > 0]
+    dim = int(pos.max()) if len(pos) else 0
+    valid = (dims == dim) & (dim > 0)
+    out_cluster = np.full(len(pdf), base, dtype="int64")
+    out_cc = np.full(len(pdf), np.nan)
+    vidx = np.flatnonzero(valid.to_numpy())
+    if len(vidx) > 0:
+        X = np.stack(pdf.embedding.iloc[vidx].to_numpy()).astype(
+            np.float64
+        )
+        norms = pdf.vnorm.iloc[vidx].to_numpy().astype(np.float64)
+        k2 = max(1, len(vidx) // _TARGET_CLUSTER)
+        seeds, snorms = X[:k2], norms[:k2]
+        a0 = (
+            (X @ seeds.T) / np.outer(norms, snorms)
+        ).argmax(axis=1)
+        cents = np.stack(
+            [
+                X[a0 == c].mean(axis=0) if (a0 == c).any() else seeds[c]
+                for c in range(k2)
+            ]
+        )
+        cnorms = np.linalg.norm(cents, axis=1)
+        cos1 = (X @ cents.T) / np.outer(norms, cnorms)
+        a1 = cos1.argmax(axis=1)
+        out_cluster[vidx] = base + a1
+        out_cc[vidx] = cos1[np.arange(len(vidx)), a1]
+    return pd.DataFrame(
+        {
+            "vec_id": pdf.vec_id.astype("int64"),
+            "cluster": out_cluster,
+            "cc": out_cc,
+        }
+    )
+
+
+def _member_two_level(corpus: DataFrame, k: int) -> DataFrame:
+    """Two-level member frame (module docstring): relational coarse
+    assignment to sqrt(K) cells, NumPy sub-clustering per cell, then
+    re-attach vectors from the cached corpus for the pair GEMM."""
+    import math
+
+    k1 = max(2, math.isqrt(k))
+    _cents, coarse = kmeans_once(corpus, k1)
+    cells = coarse.withColumnRenamed("cluster", "coarse").join(
+        corpus.select("vec_id", "embedding", "vnorm"), "vec_id"
+    )
+    assigned = cells.groupBy("coarse").applyInPandas(
+        _subcluster_kernel, schema="vec_id long, cluster long, cc double"
+    )
+    return assigned.join(
+        corpus.select("vec_id", "embedding", "vnorm"), "vec_id"
+    ).select("vec_id", "cluster", "embedding", "vnorm", "cc")
+
+
 def _dups_gemm(member: DataFrame) -> DataFrame:
     """Dominated-row duplicates via a per-cluster NumPy GEMM kernel —
     the scale tier (module docstring). Each cluster arrives as one
@@ -236,24 +318,27 @@ def dedup_semantic_semdedup(
         k = _K
     else:
         k = min(_IVF_K_CAP, n_corpus // _TARGET_CLUSTER)
-    centroids, assign = kmeans_once(corpus, k)
+    if n_corpus <= _TWO_LEVEL_MIN:
+        centroids, assign = kmeans_once(corpus, k)
+        member = (
+            assign.join(corpus, "vec_id")
+            .join(F.broadcast(centroids), "cluster")
+            .select(
+                "vec_id",
+                "cluster",
+                "embedding",
+                "vnorm",
+                F.expr(_COS_CENTROID).alias("cc"),
+            )
+        )
+    else:
+        member = _member_two_level(corpus, k)
     # cached: the member frame feeds both sides of the pair compare
     # plus the final verdict left-join (3 reads); cluster-keyed, one
     # row per vector. At scale this is the materialized (vector,
     # cluster, centroid-cosine) assignment table a SemDeDup pass
     # writes once.
-    member = register_session_cache(
-        assign.join(corpus, "vec_id")
-        .join(F.broadcast(centroids), "cluster")
-        .select(
-            "vec_id",
-            "cluster",
-            "embedding",
-            "vnorm",
-            F.expr(_COS_CENTROID).alias("cc"),
-        )
-        .cache()
-    )
+    member = register_session_cache(member.cache())
     dups = (
         _dups_hof(member)
         if n_corpus <= _SCALE_MIN

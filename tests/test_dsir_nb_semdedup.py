@@ -434,6 +434,46 @@ def test_semdedup_gemm_tier_equals_hof_path(
     }
 
 
+def test_semdedup_two_level_tier_behavior(spark, tmp_path, monkeypatch):
+    """The two-level quantizer tier (relational coarse cells + NumPy
+    sub-clustering) has no oracle — its contract is behavioral: full
+    row coverage, planted exact copies flagged with exactly the
+    smallest id of each identical clique surviving (identical vectors
+    co-assign at BOTH levels: identical cosine rows take the same
+    argmax), and synthetic cluster ids decomposing as
+    (coarse << 20 | sub)."""
+    from economic_data_project_spark.similarity import semdedup as sd
+
+    rng = np.random.RandomState(37)
+    base = rng.normal(size=(60, 16))
+    vecs = list(base) + [base[7].copy(), base[7].copy(),
+                         base[30].copy()]
+    sf = _write_vecs(tmp_path, vecs)
+    monkeypatch.setattr(sd, "_SCALE_MIN", 1)
+    monkeypatch.setattr(sd, "_TWO_LEVEL_MIN", 1)
+    monkeypatch.setattr(sd, "_TARGET_CLUSTER", 4)  # K=15, K1=3
+    got = {
+        r.vec_id: r
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, sf
+        ).collect()
+    }
+    assert len(got) == len(vecs)
+    # an exact copy ties its original on centroid cosine and loses the
+    # id tie-break, so every planted copy is GUARANTEED dropped (the
+    # originals may themselves be dominated by third vectors on this
+    # dense forced-tiny-cluster fixture — that is legitimate, see
+    # test_semdedup_matches_numpy_reference's near-copy note)
+    assert got[60].is_dup and got[61].is_dup and got[62].is_dup
+    # identical vectors co-assign at both levels
+    assert got[7].cluster == got[60].cluster == got[61].cluster
+    assert got[30].cluster == got[62].cluster
+    for r in got.values():
+        coarse, sub = r.cluster >> 20, r.cluster & ((1 << 20) - 1)
+        assert 0 <= coarse < 60 and sub >= 0
+        assert r.cos_centroid is not None
+
+
 def test_semdedup_cross_engine_on_planted_fixture(spark, tmp_path):
     """Full driver-style compare on the planted-duplicate corpus —
     the sf0.01 oracle run never sees a true near-dup pair, this does."""

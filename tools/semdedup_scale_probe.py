@@ -4,10 +4,13 @@ semantic duplicates, and measure what the sizing policy is for —
 within-cluster candidate-pair volume staying ~linear in n instead of
 the fixed-K quadratic.
 
-Usage: python tools/semdedup_scale_probe.py [n_vectors] [n_planted] [--fixed-k]
+Usage: python tools/semdedup_scale_probe.py [n_vectors] [n_planted]
+           [--fixed-k] [--one-level]
 Defaults: 60000 vectors (K = 58 past the cutover), 200 planted
 near-duplicates; --fixed-k monkeypatches the cutover away to measure
-the counterfactual K=16 cost on the same corpus. Writes nothing
+the counterfactual K=16 cost on the same corpus; --one-level
+monkeypatches the two-level boundary away so a >524k corpus runs the
+one-level assignment counterfactual. Writes nothing
 outside /tmp; log the printed lines to tools/bench_snapshots/ when
 recording a run.
 
@@ -38,8 +41,10 @@ sys.path.insert(0, _ROOT)
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--fixed-k"]
+    flags = {"--fixed-k", "--one-level"}
+    args = [a for a in sys.argv[1:] if a not in flags]
     fixed_k = "--fixed-k" in sys.argv[1:]
+    one_level = "--one-level" in sys.argv[1:]
     n = int(args[0]) if len(args) > 0 else 60_000
     n_dup = int(args[1]) if len(args) > 1 else 200
     dim = 64
@@ -51,6 +56,8 @@ def main() -> None:
 
     if fixed_k:
         sd._SCALE_MIN = n + 1  # counterfactual: keep K at 16
+    if one_level:
+        sd._TWO_LEVEL_MIN = n + 1  # counterfactual: one-level assign
 
     base = rng.normal(size=(n - n_dup, dim)).astype(np.float32)
     dup_src = rng.choice(n - n_dup, size=n_dup, replace=False)
@@ -72,8 +79,13 @@ def main() -> None:
         if n <= sd._SCALE_MIN
         else min(sd._IVF_K_CAP, n // sd._TARGET_CLUSTER)
     )
+    tier = (
+        "fixed-K16" if fixed_k
+        else "one-level" if (n <= sd._TWO_LEVEL_MIN or one_level)
+        else "two-level"
+    )
     print(
-        f"n={n} planted={n_dup} -> K={k} "
+        f"n={n} planted={n_dup} -> K={k} tier={tier} "
         f"(expected within-cluster pairs ~ n^2/2K = "
         f"{n * n // (2 * k):,}; fixed-K16 would be {n * n // 32:,})"
     )
