@@ -50,9 +50,25 @@ Scale design (100 TB):
   the same seeded one-Lloyd-step algorithm per cell inside a NumPy
   kernel. Assignment work falls to ~n·2·sqrt(K) and the whole pass is
   near-linear again (A/B at 600k vectors in
-  r12_semdedup_scale.log [4]). The K = 65536 cap (shared with IVF,
-  n ~ 67M at target size) re-grows clusters past the target — the
-  remaining documented bound.
+  r12_semdedup_scale.log [4]).
+- THE K = 65536 CAP REGIME (shared with IVF; n ~ 67M vectors at the
+  1024 target): past ~67M vectors K pins at the cap and clusters
+  RE-GROW linearly — mean size n/65536, so pair volume rises from
+  ~512·n to n²/131072 (at n=1e9: ~7.6e12 pair evals spread over 65536
+  independent GEMM groups). This is ACCEPTED re-growth, not a cliff:
+  the tiled GEMM bounds kernel memory at O(tile·c) regardless of
+  cluster size (see _dups_gemm), assignment stays ~n·2·sqrt(K), and
+  compute grows smoothly — the paper itself runs K≈11k on 100M+
+  embeddings (mean cluster ~10k) in this regime. A deployment that
+  needs sub-quadratic growth past ~1e9 vectors raises the cap (the
+  two-level quantizer's id-space supports k1·2^20 clusters) or adds a
+  third quantizer level; behavior AT the cap is pinned by
+  tests/test_dsir_nb_semdedup.py's cap-regime test.
+- Composite cluster ids are (dense_coarse << 20 | sub): coarse cell
+  ids are densely remapped 0..k1-1 before the shift (seed vec_ids can
+  be sparse/offset — ann.py contract), and the low 20 bits bound
+  sub-clusters per cell at 2^20 (~2^30 vectors per cell at target,
+  never approached by the ~sqrt(K)·1024 cell sizing).
 - Centroids are K-bounded and broadcast; assignment is map-side
   (argmin over broadcast centroids — no corpus shuffle).
 - BELOW the cutover the dominated-pair compare is the relational HOF
@@ -79,6 +95,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..caches import register_session_cache
 from ..functions.ta import emit, sql_emit
@@ -195,9 +212,21 @@ def _subcluster_kernel(pdf):
     seeded one-Lloyd-step k-means the relational path runs, in NumPy
     arithmetic — seeds = the K2 smallest vec_ids of the cell,
     cosine-argmax assignment with first-index (= smallest seed id)
-    tie-break, one mean step, reassign. Invalid (null/ragged)
-    embeddings keep the cell's sub_id 0 with NULL centroid-cosine —
-    never compared, never dropped (uniform-dim contract)."""
+    tie-break, one mean step, reassign.
+
+    ``coarse`` is the DENSE 0..k1-1 cell index (_member_two_level's
+    remap), so ``coarse << 20`` never overflows int64 regardless of
+    the corpus's vec_id space. Id-space bound: sub ids occupy the low
+    20 bits, so a cell supports < 2^20 sub-clusters = a cell of up to
+    ~2^30 vectors at the 1024 target — far above the ~sqrt(K)*1024
+    cell size the sizing policy produces (~256k at the K cap).
+
+    Invalid (null/ragged) embeddings keep the cell's sub_id 0 —
+    mirroring the one-level argmin, where a NULL cosine row ties every
+    centroid and the cluster-id tie-break hands it the smallest id —
+    with NULL (None, not NaN) centroid-cosine, matching the one-level
+    path's NULL; they are never compared, never dropped (uniform-dim
+    contract, and the GEMM kernel excludes them the same way)."""
     import numpy as np
     import pandas as pd
 
@@ -232,11 +261,16 @@ def _subcluster_kernel(pdf):
         a1 = cos1.argmax(axis=1)
         out_cluster[vidx] = base + a1
         out_cc[vidx] = cos1[np.arange(len(vidx)), a1]
+    # nullable Float64: invalid rows must arrive in Spark as NULL, not
+    # NaN — plain float64 NaN survives Arrow as NaN and diverges from
+    # the one-level path.
+    cc_out = pd.array(out_cc, dtype="Float64")
+    cc_out[~valid.to_numpy()] = pd.NA
     return pd.DataFrame(
         {
             "vec_id": pdf.vec_id.astype("int64"),
             "cluster": out_cluster,
-            "cc": out_cc,
+            "cc": cc_out,
         }
     )
 
@@ -244,13 +278,32 @@ def _subcluster_kernel(pdf):
 def _member_two_level(corpus: DataFrame, k: int) -> DataFrame:
     """Two-level member frame (module docstring): relational coarse
     assignment to sqrt(K) cells, NumPy sub-clustering per cell, then
-    re-attach vectors from the cached corpus for the pair GEMM."""
+    re-attach vectors from the cached corpus for the pair GEMM.
+
+    Coarse cell ids are remapped to a DENSE 0..k1-1 index before the
+    kernel shifts them into the (coarse << 20 | sub) composite:
+    kmeans_once labels clusters by their SEED's vec_id, and the repo
+    explicitly supports sparse/offset id spaces (the ann.py seeding
+    contract) — a seed vec_id >= 2^43 would overflow the int64 shift.
+    The remap table is k1 rows (<= 256 at the K cap), broadcast."""
     import math
 
     k1 = max(2, math.isqrt(k))
-    _cents, coarse = kmeans_once(corpus, k1)
-    cells = coarse.withColumnRenamed("cluster", "coarse").join(
-        corpus.select("vec_id", "embedding", "vnorm"), "vec_id"
+    cents, coarse = kmeans_once(corpus, k1)
+    # dense remap: rank the (K1-bounded) centroid ids; series_window
+    # would be overkill — the frame is k1 rows, one partition is fine
+    # and explicit.
+    dense = cents.select("cluster").withColumn(
+        "coarse",
+        F.row_number().over(
+            Window.partitionBy(F.lit(1)).orderBy("cluster")
+        )
+        - 1,
+    )
+    cells = (
+        coarse.join(F.broadcast(dense), "cluster")
+        .drop("cluster")
+        .join(corpus.select("vec_id", "embedding", "vnorm"), "vec_id")
     )
     assigned = cells.groupBy("coarse").applyInPandas(
         _subcluster_kernel, schema="vec_id long, cluster long, cc double"
@@ -260,11 +313,26 @@ def _member_two_level(corpus: DataFrame, k: int) -> DataFrame:
     ).select("vec_id", "cluster", "embedding", "vnorm", "cc")
 
 
+# Row-tile budget for the per-cluster pair GEMM: each tile
+# materializes (rows x c) float64 similarity + two bool masks, so the
+# peak kernel temporary is ~10 bytes/element; 2^25 elements keeps it
+# ~330 MB regardless of cluster size. At the ~1024 target the whole
+# cluster fits one tile and the tiling is a no-op.
+_GEMM_TILE_ELEMS = 1 << 25
+
+
 def _dups_gemm(member: DataFrame) -> DataFrame:
     """Dominated-row duplicates via a per-cluster NumPy GEMM kernel —
     the scale tier (module docstring). Each cluster arrives as one
-    Arrow batch (~_TARGET_CLUSTER rows by the sizing policy); the pair
-    block is a dense (c x dim) @ (dim x c) product. Ragged/null
+    Arrow group (~_TARGET_CLUSTER rows by the sizing policy); the pair
+    block is a dense (c x dim) @ (dim x c) product, computed in fixed
+    row tiles against the full cluster so a SKEWED cluster costs
+    O(tile·c) kernel memory, not O(c²) — one-Lloyd-step k-means bounds
+    the MEAN cluster size, not the max, and an m-row hot cluster's
+    dense m×m block would be ~8·m² bytes (m=500k → ~2 TB) in a single
+    executor without the tiling. The residual per-group footprint is
+    the group itself, O(c·dim) (m=500k, dim=64 → ~256 MB) — the Arrow
+    group bound, stated here rather than hidden. Ragged/null
     embeddings are excluded exactly like the plane-signature kernel
     (they cannot form a valid cosine pair; uniform-dim contract,
     text/dedup.py:_emb_plane_signatures)."""
@@ -286,15 +354,27 @@ def _dups_gemm(member: DataFrame) -> DataFrame:
         norms = good.vnorm.to_numpy().astype(np.float64)
         cc = good.cc.to_numpy().astype(np.float64)
         ids = good.vec_id.to_numpy()
-        S = (X @ X.T) / np.outer(norms, norms)
-        near = S >= _EPS
-        np.fill_diagonal(near, False)
-        better = (cc[:, None] > cc[None, :]) | (
-            (cc[:, None] == cc[None, :])
-            & (ids[:, None] < ids[None, :])
+        c = len(good)
+        tile = max(1, _GEMM_TILE_ELEMS // c)
+        # column j is dropped iff ANY row i dominates it; OR-accumulate
+        # over row tiles — identical to the one-shot (near & better)
+        # .any(axis=0) on the full matrix.
+        dropped_mask = np.zeros(c, dtype=bool)
+        for lo in range(0, c, tile):
+            hi = min(lo + tile, c)
+            S = (X[lo:hi] @ X.T) / np.outer(norms[lo:hi], norms)
+            near = S >= _EPS
+            # zero the diagonal block's self-pairs
+            rng = np.arange(lo, hi)
+            near[rng - lo, rng] = False
+            better = (cc[lo:hi, None] > cc[None, :]) | (
+                (cc[lo:hi, None] == cc[None, :])
+                & (ids[lo:hi, None] < ids[None, :])
+            )
+            dropped_mask |= (near & better).any(axis=0)
+        return pd.DataFrame(
+            {"dup_id": ids[dropped_mask].astype("int64")}
         )
-        dropped = ids[(near & better).any(axis=0)]
-        return pd.DataFrame({"dup_id": dropped.astype("int64")})
 
     return member.groupBy("cluster").applyInPandas(
         kernel, schema="dup_id long"

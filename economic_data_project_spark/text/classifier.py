@@ -20,8 +20,12 @@ pipeline, trained on RAW n-grams here vs HASHED buckets there).
 Add-one smoothing over the joint vocabulary; the class prior rides the
 score so empty documents get exactly the prior log-odds rather than a
 silent NULL. A corpus with an empty class (no curated docs, or all
-curated) has no defined prior — ln(0) yields NULL log-odds per row in
-Spark, the honest "classifier undefined" answer, not a crash.
+curated) has no defined prior — the prior expression guards BOTH
+degenerate cases explicitly (``CASE WHEN dp = 0 OR dn = 0 THEN NULL``)
+so every row gets NULL log-odds, the honest "classifier undefined"
+answer, in BOTH engines: without the guard the all-raw corpus (dp=0)
+reaches ``ln(0.0)``, which Spark maps to NULL but DuckDB raises on —
+a cross-engine divergence, not just a crash.
 
 Determinism (the lm_quality.py contract): counts are integers; each
 per-(doc, gram) term is ONE ln of an exactly-identical double ratio —
@@ -69,8 +73,16 @@ _TERM = (
     "ln(((CAST(c_p AS DOUBLE) + 1) * (n_n + v))"
     " / ((CAST(c_n AS DOUBLE) + 1) * (n_p + v)))"
 )
-# class-prior log-odds, exact-double then quantized once.
-_PRIOR = "CAST(ln(CAST(dp AS DOUBLE) / dn) AS DECIMAL(28,6))"
+# class-prior log-odds, exact-double then quantized once. Guarded
+# SYMMETRICALLY on both degenerate corpora: dn=0 (all curated) is a
+# double div-by-zero -> NULL in both engines, but dp=0 (all raw)
+# reaches ln(0.0), which DuckDB raises on ("Out of Range Error")
+# while Spark returns NULL — the CASE keeps the two engines on the
+# same NULL answer for BOTH empty-class cases.
+_PRIOR = (
+    "CAST(CASE WHEN dp = 0 OR dn = 0 THEN NULL"
+    " ELSE ln(CAST(dp AS DOUBLE) / dn) END AS DECIMAL(28,6))"
+)
 
 _NB_ORACLE = f"""
 WITH toked AS (

@@ -207,8 +207,13 @@ def _budget_select(
     adversarial score/token distributions — quantized-score ties,
     zero-token docs, budget landing exactly on a row boundary — and
     assert equality with the naive global-window semantics the DuckDB
-    oracle states. ``scored`` = (doc_id, n_tokens long, score on the
-    6-decimal grid); returns rows kept within budget in
+    oracle states. ``scored`` = (doc_id, n_tokens long, score
+    CALLER-QUANTIZED onto a fixed decimal grid with a bounded span —
+    corpus_budget_selection feeds 6dp scores in [0, 1],
+    dsir_gumbel_topk feeds 4dp Gumbel keys spanning a few tens of
+    units — so the distinct-score bucket table stays bounded at
+    ~(span · 10^dp) rows regardless of corpus size); the kept budget
+    is ``floor(total_tokens · num / den)`` and rows come back in
     (score DESC, doc_id) order.
 
     ``scored`` is consumed TWICE in one plan — the bucket aggregate
@@ -220,10 +225,13 @@ def _budget_select(
     derives from; at 100 TB it is a materialized scoring table written
     once and read twice."""
     scored = register_session_cache(scored.cache())
-    # Bucket table: one row per distinct quantized score (<= 1e6 + 1
-    # rows by construction — scores live on the 6-decimal grid in
-    # [0, 1]). The constant partition spec makes the single-partition
-    # exchange explicit; it moves the bucket table, never the corpus.
+    # Bucket table: one row per distinct quantized score. Every caller
+    # quantizes onto a fixed decimal grid over a bounded span (see
+    # docstring), so the table is bounded by the grid — ~1e6 rows for
+    # the 6dp [0,1] budget scores, ~4e5 for the 4dp Gumbel keys —
+    # never by corpus size. The constant partition spec makes the
+    # single-partition exchange explicit; it moves the bucket table,
+    # never the corpus.
     buckets = scored.groupBy("score").agg(
         F.sum("n_tokens").alias("bucket_tokens")
     )
@@ -238,14 +246,15 @@ def _budget_select(
         (
             F.sum("bucket_tokens").over(wb) - F.col("bucket_tokens")
         ).alias("tokens_before_bucket"),
-        (F.sum("bucket_tokens").over(wall) * num).alias("_tot3"),
+        (F.sum("bucket_tokens").over(wall) * num).alias("_tot_num"),
     ).select(
         "score",
         "tokens_before_bucket",
         # integer division end-to-end: no float ever decides membership
-        # at the budget boundary (total*3 stays in bigint range — 100 TB
-        # of text is ~2.5e13 tokens, 3x that is far below 2^63)
-        F.expr(f"_tot3 div {den}").alias("token_budget"),
+        # at the budget boundary (total*num stays in bigint range —
+        # 100 TB of text is ~2.5e13 tokens, and every caller's num is a
+        # single digit, far below 2^63)
+        F.expr(f"_tot_num div {den}").alias("token_budget"),
     )
     ww = Window.partitionBy("score").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
