@@ -256,6 +256,84 @@ def _skew_join(spark, sf_dir: str, salted: bool):
 _QUIET_1MIN = 1.0
 _QUIET_5MIN = 1.5
 
+# End-of-run contention gate (VERDICT r12 'What's wrong' #3): the
+# start gate cannot see contention that ARRIVES mid-run — the r12
+# driver artifact started quiet (stamped trusted) yet its tail rows ran
+# 30-40% inflated. Raw load_end cannot adjudicate this either: bench's
+# OWN local[32] saturation pushes the 1-min end average to ~10-18 on
+# provably quiet runs (every r11/r12 trusted snapshot), exactly the
+# band the contended driver artifact landed in. The measurable
+# discriminator is EXTERNAL cpu share — /proc/stat total busy jiffies
+# over the run window minus the jiffies consumed by THIS process tree
+# (python driver + JVM + pyspark.daemon workers; reaped children roll
+# into cutime/cstime) — which is ~0 for a bench-only box regardless of
+# how hard bench itself drives it. Above the threshold the artifact
+# self-reports contended_end=true and drops its trusted stamp.
+_EXT_SHARE_MAX = 0.10
+
+
+def _system_busy_sec() -> float | None:
+    """Total non-idle CPU seconds across all cores since boot."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        # fields: user nice system idle iowait irq softirq steal ...
+        busy = sum(vals) - vals[3] - (vals[4] if len(vals) > 4 else 0)
+        return busy / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
+def _proc_tree_cpu_sec() -> float | None:
+    """CPU seconds consumed by this process and every live descendant
+    (utime+stime), plus their already-reaped children (cutime+cstime)."""
+    try:
+        children: dict[int, list[int]] = {}
+        stats: dict[int, float] = {}
+        for pid_dir in os.listdir("/proc"):
+            if not pid_dir.isdigit():
+                continue
+            try:
+                with open(f"/proc/{pid_dir}/stat") as fh:
+                    raw = fh.read()
+            except OSError:
+                continue
+            # comm may contain spaces/parens: split after the LAST ')'
+            rest = raw.rsplit(")", 1)[1].split()
+            ppid = int(rest[1])
+            utime, stime, cutime, cstime = (
+                int(rest[11]), int(rest[12]), int(rest[13]), int(rest[14])
+            )
+            pid = int(pid_dir)
+            children.setdefault(ppid, []).append(pid)
+            stats[pid] = utime + stime + cutime + cstime
+        total, stack = 0.0, [os.getpid()]
+        while stack:
+            pid = stack.pop()
+            total += stats.get(pid, 0)
+            stack.extend(children.get(pid, ()))
+        return total / os.sysconf("SC_CLK_TCK")
+    except Exception:
+        return None
+
+
+def _external_cpu_share(
+    busy0: float | None,
+    ours0: float | None,
+    busy1: float | None,
+    ours1: float | None,
+    elapsed_sec: float,
+    cpus: int,
+) -> float | None:
+    """Fraction of the box's total CPU capacity consumed by processes
+    OUTSIDE this bench's tree over the run window; None = unmeasurable
+    (fail-open: the flag stamps null rather than guessing)."""
+    if None in (busy0, ours0, busy1, ours1) or elapsed_sec <= 0:
+        return None
+    external = max(0.0, (busy1 - busy0) - (ours1 - ours0))
+    return external / (elapsed_sec * max(1, cpus))
+
 
 def _wait_for_quiet(max_wait_sec: int) -> tuple[float, ...]:
     """Block until the 1-min load average falls under 1.0 AND the 5-min
@@ -314,6 +392,11 @@ def main() -> None:
         )
     spark = get_spark(app_name="econ-spark-bench")
     qs = registry.all_queries()
+
+    # end-contention probe window opens after the session exists (JVM
+    # startup CPU is ours either way) and closes after the last lane.
+    probe_t0 = time.monotonic()
+    busy0, ours0 = _system_busy_sec(), _proc_tree_cpu_sec()
 
     names = [n for n in HEADLINE if n in qs]
     # Warm the JVM/catalog once (excluded from timings).
@@ -374,6 +457,28 @@ def main() -> None:
         shutil.rmtree(longdoc_dir, ignore_errors=True)
     timings.update(longdoc)
 
+    ext_share = _external_cpu_share(
+        busy0,
+        ours0,
+        _system_busy_sec(),
+        _proc_tree_cpu_sec(),
+        time.monotonic() - probe_t0,
+        os.cpu_count() or 1,
+    )
+    # contended_end: None = probe unmeasurable (fail-open, trusted
+    # unaffected); True = external work above the envelope mid-run —
+    # the artifact loses its trusted stamp even with a quiet start.
+    contended_end = (
+        None if ext_share is None else ext_share > _EXT_SHARE_MAX
+    )
+    if contended_end:
+        print(
+            f"WARNING: external CPU share {ext_share:.3f} above the"
+            f" {_EXT_SHARE_MAX} envelope — another workload ran during"
+            " the bench; artifact stamped trusted=false.",
+            file=sys.stderr,
+        )
+
     excluded = set(skew) | set(longdoc)
     total = round(
         sum(t for n, t in timings.items() if n not in excluded), 3
@@ -389,7 +494,12 @@ def main() -> None:
                 # trusted=false => contention-inflated: NO round-over-
                 # round comparison (headline OR longdoc lane) may be
                 # made from this artifact — compare trusted runs only.
-                "trusted": trusted,
+                # Requires BOTH a quiet start and a clean end-probe.
+                "trusted": trusted and not contended_end,
+                "external_cpu_share": (
+                    None if ext_share is None else round(ext_share, 4)
+                ),
+                "contended_end": contended_end,
                 # content hash of the longdoc corpus: longdoc_* rows are
                 # comparable ONLY between artifacts with the same value
                 "longdoc_fixture": fixture_rev,

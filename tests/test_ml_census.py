@@ -1,0 +1,88 @@
+"""Driver-visible censuses over the rows-only ML surfaces (VERDICT r12
+brief #4): the oracle sweep (tests/test_oracle.py) already runs each
+census against DuckDB at the sweep scale; these pin the pieces the
+sweep can't see — the embedded stop list's identity with the production
+default, and the featurization-census semantics on a crafted corpus
+that exercises the tokenizer/df boundaries."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from economic_data_project_spark.registry import all_oracles, all_queries
+from economic_data_project_spark.text.ml import _ENGLISH_STOPWORDS
+
+
+def _write_docs(tmp_path, texts):
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": ["s"] * len(texts),
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(str(tmp_path / "documents.parquet"), index=False)
+    return str(tmp_path)
+
+
+def test_embedded_stoplist_is_the_production_default(spark):
+    """The oracle's embedded stop list must be byte-identical to
+    StopWordsRemover's default English resource — the census certifies
+    the PRODUCTION pipeline, so drift here would silently verify a
+    different filter than the one the ML queries run."""
+    from pyspark.ml.feature import StopWordsRemover
+
+    assert list(_ENGLISH_STOPWORDS) == (
+        StopWordsRemover.loadDefaultStopWords("english")
+    )
+
+
+def test_vocab_census_tokenizer_and_df_boundaries(spark, tmp_path):
+    """Crafted corpus driving every boundary the census certifies:
+    - a 26-letter run splits 20+6 (greedy non-overlapping {3,20});
+    - 1-2 letter fragments never tokenize;
+    - stopwords drop BEFORE bigram formation (bigrams bridge them);
+    - df=1 grams are excluded (minDF=2);
+    - a gram in >85% of docs is excluded (maxDF), one at exactly 80%
+      is kept."""
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    common = "sharedword "  # in all 10 docs -> df=10 > 8.5 -> excluded
+    mostly = "mostlyword "  # in 8 docs -> 8 <= 8.5 -> kept
+    texts = []
+    for i in range(10):
+        t = common
+        if i < 8:
+            t += mostly
+        if i < 2:
+            # stopword 'the' between alpha/beta: the bigram must form
+            # over the FILTERED sequence ('alpha beta')
+            t += "alpha the beta "
+        if i == 0:
+            t += "abcdefghijklmnopqrstuvwxyz ab x "  # 20+6 split, frags
+            t += "uniquegram "  # df=1 -> excluded
+        texts.append(t.strip())
+    sf = _write_docs(tmp_path, texts)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["doc_ml_vocab_census"],
+            all_oracles()["doc_ml_vocab_census"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+    row = all_queries()["doc_ml_vocab_census"](spark, sf).collect()[0]
+    assert row.n_docs == 10
+    # eligible (6): mostlyword (df=8), alpha/beta/'alpha beta' (df=2),
+    # and the bigrams 'sharedword mostlyword' (df=8 — the maxDF
+    # exclusion of sharedword does NOT remove bigrams containing it)
+    # and 'mostlyword alpha' (df=2). Excluded: sharedword (df=10 >
+    # 8.5), uniquegram / abcdefghijklmnopqrst / uvwxyz and the doc-0
+    # tail bigrams (df=1), ab/x (under 3 chars), 'the' (stopword —
+    # and 'alpha beta' proves the bigram bridged it).
+    assert row.vocab_size == 6

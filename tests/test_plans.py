@@ -915,6 +915,11 @@ _BUILD_JOB_EXEMPT = {
     "doc_kmeans_clusters": "KMeans fit at build",
     "doc_topics_lda": "LDA fit at build",
     "doc_nmf_topics": "NMF/LDA fit at build",
+    # censuses over the ML surfaces compose the fits above
+    "doc_ml_vocab_census": "CountVectorizer/IDF fit at build",
+    "doc_kmeans_census": "composes doc_kmeans_clusters",
+    "doc_topics_census": "composes doc_topics_lda",
+    "doc_nmf_census": "composes doc_nmf_topics",
     "signal_turbulence": "driver-side covariance fit (bounded panel)",
     "signal_absorption_ratio": "driver-side PCA fit (bounded panel)",
     "signal_mst_network": "driver-side MST build (bounded panel)",

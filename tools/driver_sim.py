@@ -1,70 +1,187 @@
 """Driver simulation: load __spark_entry__.py fresh BY FILE PATH (as the
 driver does), smoke entry(), then run every queries()[name] at sf0.01 and
 compare against oracle_sql()[name] on DuckDB (order-insensitive,
-column-name-sorted value compare). Thread-parallel like the pytest sweep."""
+column-name-sorted value compare). Thread-parallel like the pytest sweep.
+
+Runs as TWO processes (VERDICT r12 'What's wrong' #5): the outer
+wrapper re-execs itself with --inner, tees the merged stdout+stderr
+live, and at exit scans the full capture for exception incidents — each
+is reported by its HEADLINE (first line + the query context nearest
+above it), never as a bare stack tail, and classified against the
+documented streaming-teardown allowlist (the state-store unload race a
+stopped streaming query can log AFTER its census already matched, and
+the benign 'Aborting job' from neardup's data-complete stop). The
+wrapper exits nonzero on any UNATTRIBUTED incident even when all
+queries matched, so noise and failure can never be confused in a saved
+log."""
 
 import importlib.util
+import re
 import sys
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
+
+# stderr-noise allowlist: incidents whose headline-or-body matches one
+# of these are the DOCUMENTED benign teardown signatures.
+ALLOWED_INCIDENTS = [
+    # state-store unload / task-completion listener race after a
+    # streaming query is stopped (streaming/neardup.py drain contract)
+    r"StateStore|state store|invokeTaskCompletionListeners"
+    r"|onTaskCompletion|mapPartitionsWithStateStore",
+    # neardup's data-complete stop aborts one in-flight empty batch by
+    # design; that write never enters _spark_metadata. The same abort
+    # event logs three shapes: 'FileFormatWriter: Aborting job <uuid>',
+    # per-task 'Utils: Aborting task', and the task-attempt notice
+    # 'FileFormatWriter: Job: job_N, Task: task_N, Task attempt ...
+    # aborted' (observed as one cluster in the r13 sim, all within the
+    # same second as the allowed job abort).
+    r"Aborting job|SparkException.*[Jj]ob aborted"
+    r"|FileFormatWriter: Job: job_\d+.*Task.*abort",
+    # executor interrupted while the session shuts down
+    r"InterruptedException",
+]
+
+_INCIDENT_START = re.compile(
+    r"^Traceback \(most recent call last\)"
+    r"|^\d\d/\d\d/\d\d \d\d:\d\d:\d\d ERROR "
+    r"|^(Caused by: )?[A-Za-z_$][\w.$]*(Exception|Error)(:|$)"
+)
+_INCIDENT_CONT = re.compile(
+    r"^\s+at |^Caused by: |^\s+\.\.\. \d+ more|^\s+File \"|^    "
+)
+_QUERY_LINE = re.compile(r"^\[\s*\d+/\d+\] ")
+
+
+def _scan_incidents(lines):
+    """Group captured lines into exception incidents; return a list of
+    (headline, query_context, attributed_rule_or_None)."""
+    incidents = []
+    last_query = "(before first query)"
+    i = 0
+    while i < len(lines):
+        line = lines[i]
+        if _QUERY_LINE.match(line):
+            last_query = line.split("]", 1)[1].strip()[:80]
+        if _INCIDENT_START.match(line) and not line.startswith(
+            "Caused by"
+        ):
+            block = [line]
+            j = i + 1
+            while j < len(lines) and (
+                _INCIDENT_CONT.match(lines[j])
+                or _INCIDENT_START.match(lines[j])
+            ):
+                block.append(lines[j])
+                j += 1
+            text = "\n".join(block)
+            rule = next(
+                (p for p in ALLOWED_INCIDENTS if re.search(p, text)),
+                None,
+            )
+            incidents.append((line.strip()[:160], last_query, rule))
+            i = j
+        else:
+            i += 1
+    return incidents
+
+
+def _outer() -> int:
+    """Tee the inner run; attribute every stderr incident at exit."""
+    import subprocess
+
+    proc = subprocess.Popen(
+        [sys.executable, __file__, "--inner"],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT,
+        text=True,
+        errors="replace",
+    )
+    captured = []
+    for line in proc.stdout:
+        sys.stdout.write(line)
+        sys.stdout.flush()
+        captured.append(line.rstrip("\n"))
+    rc = proc.wait()
+
+    incidents = _scan_incidents(captured)
+    unattributed = [x for x in incidents if x[2] is None]
+    print(f"\nstderr incidents: {len(incidents)} total,"
+          f" {len(incidents) - len(unattributed)} attributed"
+          f" (teardown allowlist), {len(unattributed)} unattributed",
+          flush=True)
+    for headline, ctx, rule in incidents:
+        tag = "ALLOWED" if rule else "UNATTRIBUTED"
+        print(f"  [{tag}] near '{ctx}': {headline}", flush=True)
+    if unattributed and rc == 0:
+        print("FAIL: unattributed stderr incident(s) above", flush=True)
+        return 1
+    return rc
+
 
 sys.path.insert(0, "/root/repo")
 sys.path.insert(0, "/root/repo/tests")
 
 SF = "/root/testdata/sf0.01"
 
-spec = importlib.util.spec_from_file_location(
-    "__spark_entry__", "/root/repo/__spark_entry__.py"
-)
-mod = importlib.util.module_from_spec(spec)
-spec.loader.exec_module(mod)
 
-from economic_data_project_spark.session import get_spark  # noqa: E402
-from tests.conftest import compare_with_oracle, duckdb_connect  # noqa: E402
+def _inner() -> int:
 
-spark = get_spark(app_name="driver-sim")
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
 
-t0 = time.time()
-edf = mod.entry(spark)
-rows = edf.collect()
-print(f"entry(): {len(rows)} rows, schema={edf.schema.simpleString()[:120]}", flush=True)
+    from economic_data_project_spark.session import get_spark  # noqa: E402
+    from tests.conftest import compare_with_oracle, duckdb_connect  # noqa: E402
 
-queries = mod.queries()
-oracles = mod.oracle_sql()
-con = duckdb_connect(SF)
-lock = threading.Lock()
-results = {}
+    spark = get_spark(app_name="driver-sim")
+
+    t0 = time.time()
+    edf = mod.entry(spark)
+    rows = edf.collect()
+    print(f"entry(): {len(rows)} rows, schema={edf.schema.simpleString()[:120]}", flush=True)
+
+    queries = mod.queries()
+    oracles = mod.oracle_sql()
+    con = duckdb_connect(SF)
+    lock = threading.Lock()
+    results = {}
 
 
-def run(name):
-    cur = con.cursor()
-    try:
-        if name in oracles:
-            ok, msg = compare_with_oracle(
-                spark, queries[name], oracles[name], SF, con=cur
+    def run(name):
+        cur = con.cursor()
+        try:
+            if name in oracles:
+                ok, msg = compare_with_oracle(
+                    spark, queries[name], oracles[name], SF, con=cur
+                )
+            else:
+                n = queries[name](spark, SF).count()
+                ok, msg = n >= 0, f"rows-only ({n} rows)"
+        except Exception as e:  # noqa: BLE001
+            ok, msg = False, f"EXC {type(e).__name__}: {e}"
+        with lock:
+            results[name] = (ok, msg)
+            tag = "MATCH" if (ok and name in oracles) else (
+                "ROWS" if ok else "FAIL"
             )
-        else:
-            n = queries[name](spark, SF).count()
-            ok, msg = n >= 0, f"rows-only ({n} rows)"
-    except Exception as e:  # noqa: BLE001
-        ok, msg = False, f"EXC {type(e).__name__}: {e}"
-    with lock:
-        results[name] = (ok, msg)
-        tag = "MATCH" if (ok and name in oracles) else (
-            "ROWS" if ok else "FAIL"
-        )
-        print(f"[{len(results):3}/{len(queries)}] {tag:5} {name}: {msg}"[:200], flush=True)
+            print(f"[{len(results):3}/{len(queries)}] {tag:5} {name}: {msg}"[:200], flush=True)
 
 
-with ThreadPoolExecutor(max_workers=2) as ex:
-    list(ex.map(run, sorted(queries)))
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        list(ex.map(run, sorted(queries)))
 
-n_fail = sum(1 for ok, _ in results.values() if not ok)
-n_match = sum(1 for n, (ok, _) in results.items() if ok and n in oracles)
-n_rows = sum(1 for n, (ok, _) in results.items() if ok and n not in oracles)
-print(
-    f"\nTOTAL {len(results)} queries: {n_match} MATCH, {n_rows} rows-only,"
-    f" {n_fail} FAIL in {time.time()-t0:.0f}s"
-)
-sys.exit(1 if n_fail else 0)
+    n_fail = sum(1 for ok, _ in results.values() if not ok)
+    n_match = sum(1 for n, (ok, _) in results.items() if ok and n in oracles)
+    n_rows = sum(1 for n, (ok, _) in results.items() if ok and n not in oracles)
+    print(
+        f"\nTOTAL {len(results)} queries: {n_match} MATCH, {n_rows} rows-only,"
+        f" {n_fail} FAIL in {time.time()-t0:.0f}s"
+    )
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(_inner() if "--inner" in sys.argv else _outer())
