@@ -63,7 +63,11 @@ Scale design (100 TB):
   needs sub-quadratic growth past ~1e9 vectors raises the cap (the
   two-level quantizer's id-space supports k1·2^20 clusters) or adds a
   third quantizer level; behavior AT the cap is pinned by
-  tests/test_dsir_nb_semdedup.py's cap-regime test.
+  tests/test_dsir_nb_semdedup.py's cap-regime test, and the tiled
+  kernel's skew survival is MEASURED, not assumed: a 120,410-row hot
+  cluster (117x the mean target; one-shot temporaries ~144 GB, tiled
+  ~0.33 GB) processed with 200/200 planted recall
+  (tools/bench_snapshots/r13_semdedup_skew_probe.log).
 - Composite cluster ids are (dense_coarse << 20 | sub): coarse cell
   ids are densely remapped 0..k1-1 before the shift (seed vec_ids can
   be sparse/offset — ann.py contract), and the low 20 bits bound
