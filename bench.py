@@ -483,13 +483,31 @@ def main() -> None:
     total = round(
         sum(t for n, t in timings.items() if n not in excluded), 3
     )
+    # The driver records only the LAST ~2000 chars of this process's
+    # output and json-parses the JSON line found there: r11's 50-query
+    # line fit and BENCH_r11.json carries machine-readable `parsed`
+    # data; r12's 60-query line overflowed the window and the driver
+    # recorded `parsed: None` with a head-truncated tail (VERDICT r12
+    # 'What's wrong' #3's unreadable artifact). So the CONTRACT line —
+    # printed LAST, compact separators — carries the headline+skew
+    # rows and metadata (~1600 chars, size-gated by
+    # tests/test_bench_gate.py), and the per-row longdoc detail rides
+    # a prefixed line just above it (same stdout, snapshot tooling
+    # captures both; longdoc rows remain excluded from the total and
+    # comparable only within one longdoc_fixture).
+    print(
+        "longdoc_detail: "
+        + json.dumps(longdoc, separators=(",", ":"), sort_keys=True)
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {
+                    n: t for n, t in timings.items() if n not in longdoc
+                },
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 # trusted=false => contention-inflated: NO round-over-
                 # round comparison (headline OR longdoc lane) may be
@@ -500,13 +518,15 @@ def main() -> None:
                     None if ext_share is None else round(ext_share, 4)
                 ),
                 "contended_end": contended_end,
+                "longdoc_total": round(sum(longdoc.values()), 3),
                 # content hash of the longdoc corpus: longdoc_* rows are
                 # comparable ONLY between artifacts with the same value
                 "longdoc_fixture": fixture_rev,
                 "load_start": [round(x, 2) for x in load_start],
                 "load_end": [round(x, 2) for x in os.getloadavg()],
                 "cpus": os.cpu_count(),
-            }
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

@@ -180,3 +180,41 @@ def test_cpu_probes_measure_this_box():
     assert busy is not None and busy > 0
     assert ours is not None and ours > 0
     assert ours <= busy
+
+
+def test_contract_line_fits_the_driver_tail_window():
+    """The driver records only the last ~2000 chars of bench output and
+    json-parses the JSON line found there: r11's 50-query line fit
+    (BENCH_r11.json has machine-readable `parsed`), r12's 60-query line
+    overflowed and the driver recorded `parsed: None` with a truncated
+    tail. The contract line must stay inside the window with headroom —
+    if this gate trips, move more detail to a prefixed line the way the
+    longdoc rows were."""
+    import json
+
+    bench = _load_bench()
+    queries = {n: 123.456 for n in bench.HEADLINE}
+    queries["skew_join_plain"] = 123.456
+    queries["skew_join_salted"] = 123.456
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": 123.456,
+            "unit": "sec",
+            "queries": queries,
+            "sf": 0.1,
+            "trusted": False,
+            "external_cpu_share": 0.1234,
+            "contended_end": False,
+            "longdoc_total": 123.456,
+            "longdoc_fixture": "82477c87dd01",
+            "load_start": [10.12, 10.12, 10.12],
+            "load_end": [10.12, 10.12, 10.12],
+            "cpus": 32,
+        },
+        separators=(",", ":"),
+    )
+    assert len(line) < 1900, (
+        f"contract line {len(line)} chars — the driver's 2000-char"
+        " tail window truncates it; split detail off the final line"
+    )

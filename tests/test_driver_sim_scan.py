@@ -94,6 +94,21 @@ def test_task_attempt_abort_notice_is_attributed():
     assert incidents[0][2] is not None
 
 
+def test_bare_task_abort_line_is_attributed():
+    """Two-worker interleaving can detach a per-task abort headline
+    from its (attributable) stack block; the bare line is a documented
+    shape of the streaming-stop abort event and must not fail a clean
+    run (r13 final-sim observation)."""
+    sim = _load_sim()
+    lines = [
+        "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/16 09:40:21 ERROR Utils: Aborting task",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 1
+    assert incidents[0][2] is not None
+
+
 def test_outer_flags_unattributed_incident_in_clean_run(tmp_path):
     """End-to-end: a clean-exit inner run whose log carries an
     unattributed trace must fail the wrapper (rc 1) and print the

@@ -36,7 +36,11 @@ ALLOWED_INCIDENTS = [
     # 'FileFormatWriter: Job: job_N, Task: task_N, Task attempt ...
     # aborted' (observed as one cluster in the r13 sim, all within the
     # same second as the allowed job abort).
-    r"Aborting job|SparkException.*[Jj]ob aborted"
+    # 'Utils: Aborting task' is listed explicitly: under two-worker
+    # interleaving its stack block (which carries the attributable
+    # StateStore/write frames) can detach from the headline, leaving
+    # the bare per-task abort line — r13 final-sim observation.
+    r"Aborting job|Aborting task|SparkException.*[Jj]ob aborted"
     r"|FileFormatWriter: Job: job_\d+.*Task.*abort",
     # executor interrupted while the session shuts down
     r"InterruptedException",
