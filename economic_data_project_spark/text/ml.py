@@ -68,8 +68,12 @@ SEED = 0
 NMF_MAX_DOCS = 20000  # reference max_objects cap (sec_filings.yml:19)
 
 
-def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
-    """Distributed 1-2gram TF-IDF featurization; returns (df, vocab)."""
+def _cv_stage(docs: DataFrame):
+    """Tokenize -> stop-filter -> bigram -> CountVectorizer fit; the
+    stage every consumer shares. Returns (tokens_df, cv_model). The
+    fit SUCCEEDS on an all-excluded corpus (empty vocabulary, warning
+    only) — it is the later cv_model.transform that requires a
+    non-empty vocabulary, which is why the vocab census stops here."""
     tok = RegexTokenizer(
         inputCol="text",
         outputCol="raw_tokens",
@@ -86,30 +90,101 @@ def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
         minDF=MIN_DF,
         maxDF=MAX_DF,
     )
-    idf = IDF(inputCol="tf", outputCol="tfidf")
-    norm = Normalizer(inputCol="tfidf", outputCol="features", p=2.0)
-
     grams = bigram.transform(stop.transform(tok.transform(docs)))
     tokens = grams.withColumn(
         "tokens", F.concat(F.col("unigrams"), F.col("bigrams"))
     )
-    cv_model = cv.fit(tokens)
+    return tokens, cv.fit(tokens)
+
+
+def _finish_tfidf(tokens: DataFrame, cv_model) -> DataFrame:
+    idf = IDF(inputCol="tf", outputCol="tfidf")
+    norm = Normalizer(inputCol="tfidf", outputCol="features", p=2.0)
     tf = cv_model.transform(tokens)
-    idf_model = idf.fit(tf)
-    feats = norm.transform(idf_model.transform(tf))
-    return feats, list(cv_model.vocabulary)
+    return norm.transform(idf.fit(tf).transform(tf))
+
+
+def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
+    """Distributed 1-2gram TF-IDF featurization; returns (df, vocab)."""
+    tokens, cv_model = _cv_stage(docs)
+    return _finish_tfidf(tokens, cv_model), list(cv_model.vocabulary)
+
+
+# Fitted-surface memo (review r13): every census composes its
+# underlying ML query, and without memoization a sweep that runs both
+# pays the iterative fit (KMeans + silhouette, LDA maxIter=20, the
+# 60-step NMF loop, CountVectorizer/IDF) TWICE. Keyed by
+# (applicationId, resolved documents path, dir mtime) — the catalog
+# schema-cache invalidation discipline: a rewritten scratch corpus
+# re-fits, a dead session's entries are unreachable garbage, and a
+# same-key reinsert evicts, so the memo stays bounded by live
+# (session, corpus) pairs. Memoized values are lazy DataFrames (plus
+# the vocab list for the featurization entry): freeing the session
+# caches under them is safe — the plan recomputes with the SAME
+# already-fitted JVM model captured in it.
+_ML_MEMO: dict[tuple, tuple] = {}
+
+
+def _memoized(spark: SparkSession, sf_dir: str, name: str, build):
+    import os
+
+    from ..catalog import table_path
+
+    real = os.path.realpath(table_path(sf_dir, "documents"))
+    try:
+        mtime = os.stat(os.path.dirname(real) or ".").st_mtime_ns
+        mtime ^= os.stat(real).st_mtime_ns
+    except OSError:
+        return build()
+    key = (spark.sparkContext.applicationId, real, name)
+    hit = _ML_MEMO.get(key)
+    if hit is not None and hit[0] == mtime:
+        return hit[1]
+    val = build()
+    _ML_MEMO[key] = (mtime, val)
+    return val
+
+
+def _features(spark: SparkSession, sf_dir: str):
+    """Memoized (feats, vocab) of the production TF-IDF pipeline; the
+    feats frame arrives already cache-registered."""
+
+    def build():
+        tokens, cv_model = _cv_fit(spark, sf_dir)
+        # registered (r11): the cache outlives the builder — the
+        # returned frames read `feats` lazily (every other
+        # session-lifetime cache registers; this predates the registry).
+        return (
+            register_session_cache(
+                _finish_tfidf(tokens, cv_model).cache()
+            ),
+            list(cv_model.vocabulary),
+        )
+
+    return _memoized(spark, sf_dir, "tfidf", build)
+
+
+def _cv_fit(spark: SparkSession, sf_dir: str):
+    """Memoized (tokens, cv_model) — the vocab census consumes this
+    directly (it is total even on an empty vocabulary), the full
+    featurization builds on it."""
+    return _memoized(
+        spark,
+        sf_dir,
+        "cv",
+        lambda: _cv_stage(load_table(spark, sf_dir, "documents")),
+    )
 
 
 @query("doc_kmeans_clusters")  # rows-only: iterative ML, no SQL oracle
 def doc_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    feats, vocab = tfidf_features(docs)
-    # registered (r11): both caches outlive the builder — the returned
-    # frame reads `out` (reps + sizes subtrees) and `out` reads `feats`
-    # lazily — so unregistered they leaked one generation per sf_dir
-    # until session end (every other session-lifetime cache registers;
-    # these two predate the registry).
-    feats = register_session_cache(feats.cache())
+    return _memoized(
+        spark, sf_dir, "kmeans", lambda: _kmeans_clusters(spark, sf_dir)
+    )
+
+
+def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats, vocab = _features(spark, sf_dir)
     km = KMeans(k=K_CLUSTERS, seed=SEED, featuresCol="features")
     model = km.fit(feats)
     out = register_session_cache(model.transform(feats).cache())
@@ -199,7 +274,7 @@ def doc_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lda_topics(spark: SparkSession, docs: DataFrame) -> DataFrame:
+def _lda_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed topic model over term counts: the scale path above the
     NMF driver-side cap (SURVEY §2.10 names Spark LDA as the substitute
     for sklearn NMF at corpus sizes where a driver collect is wrong).
@@ -208,7 +283,7 @@ def _lda_topics(spark: SparkSession, docs: DataFrame) -> DataFrame:
     ``reconstruction_error`` carries the corpus log-perplexity (the LDA
     fit-quality analogue of NMF's Frobenius error — documented, not
     comparable across the two algorithms)."""
-    feats, vocab = tfidf_features(docs)
+    feats, vocab = _features(spark, sf_dir)
     lda = LDA(k=K_CLUSTERS, seed=SEED, maxIter=20, featuresCol="tf")
     model = lda.fit(feats)
     out = model.transform(feats)
@@ -247,19 +322,27 @@ def _lda_topics(spark: SparkSession, docs: DataFrame) -> DataFrame:
 
 @query("doc_topics_lda")  # rows-only: iterative ML, no SQL oracle
 def doc_topics_lda(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _lda_topics(spark, load_table(spark, sf_dir, "documents"))
+    return _memoized(
+        spark, sf_dir, "lda", lambda: _lda_topics(spark, sf_dir)
+    )
 
 
 @query("doc_nmf_topics")  # rows-only: iterative ML, no SQL oracle
 def doc_nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _memoized(
+        spark, sf_dir, "nmf", lambda: _nmf_topics(spark, sf_dir)
+    )
+
+
+def _nmf_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
     if n_docs > NMF_MAX_DOCS:
         # Above the reference's max_objects bound a driver-side collect
         # is wrong at scale — dispatch to the distributed LDA path
         # (identical schema) instead of refusing.
-        return _lda_topics(spark, docs)
-    feats, vocab = tfidf_features(docs)
+        return doc_topics_lda(spark, sf_dir)
+    feats, vocab = _features(spark, sf_dir)
     rows = feats.select("doc_id", "tfidf").collect()
     doc_ids = [r.doc_id for r in rows]
     V = np.zeros((len(rows), len(vocab)))
@@ -412,11 +495,11 @@ def doc_ml_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab cap. The oracle recomputes both from the parquet corpus in
     pure SQL, certifying the tokenizer, stop filter, bigram formation,
     document-frequency semantics and boundary arithmetic cross-engine."""
-    docs = load_table(spark, sf_dir, "documents")
-    _feats, vocab = tfidf_features(docs)
-    n_docs = docs.count()
+    _tokens, cv_model = _cv_fit(spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
     return spark.createDataFrame(
-        [(int(n_docs), len(vocab))], "n_docs long, vocab_size long"
+        [(int(n_docs), len(cv_model.vocabulary))],
+        "n_docs long, vocab_size long",
     )
 
 
@@ -436,7 +519,11 @@ def doc_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     all K clusters are non-empty under the fixed seed, and cluster ids
     close the 0..K-1 range. The oracle states each invariant from the
     corpus alone — a dropped row, an empty cluster, or an out-of-range
-    id breaks the hash match at the driver."""
+    id breaks the hash match at the driver. The non-empty-K and range
+    constants are DATA-PINNED under the fixed seed (verified at
+    sf0.001/0.01/0.1 and gated per-sweep), not a k-means theorem — a
+    new corpus that legitimately leaves a cluster empty should update
+    this census's expectation, not the engine."""
     per_cluster = doc_kmeans_clusters(spark, sf_dir)
     return per_cluster.agg(
         F.sum("n_docs").cast("long").alias("n_docs_assigned"),

@@ -143,18 +143,24 @@ def test_fixture_rev_tracks_corpus_content(spark, tmp_path):
 
 
 def test_external_share_math_and_clamp():
-    """External share = (system busy - our tree busy) / capacity; our
-    own work never makes the box look contended (clamped at 0), and an
-    unmeasurable probe propagates None (fail-open)."""
+    """External share = (system busy - our tree busy) / capacity, with
+    hypervisor steal split into its own component; our own work never
+    makes the box look contended (clamped at 0), and an unmeasurable
+    probe propagates None (fail-open)."""
     bench = _load_bench()
-    # 120 busy cpu-sec on the box, 100 of them ours, 10s on 32 cpus
-    share = bench._external_cpu_share(1000, 500, 1120, 600, 10.0, 32)
-    assert share == (120 - 100) / (10.0 * 32)
+    # 120 busy cpu-sec on the box (plus 16 stolen by the host), 100 of
+    # the busy ours, 10s window on 32 cpus
+    shares = bench._external_cpu_share(
+        (1000, 50), 500, (1120, 66), 600, 10.0, 32
+    )
+    assert shares == ((120 - 100) / 320.0, 16 / 320.0)
     # bench-only box: ours >= busy delta (accounting jitter) -> 0
-    assert bench._external_cpu_share(0, 0, 100, 110, 10.0, 32) == 0.0
+    assert bench._external_cpu_share(
+        (0, 0), 0, (100, 0), 110, 10.0, 32
+    ) == (0.0, 0.0)
     # any missing sample or a degenerate window -> None
-    assert bench._external_cpu_share(None, 0, 1, 1, 10.0, 32) is None
-    assert bench._external_cpu_share(0, 0, 1, 1, 0.0, 32) is None
+    assert bench._external_cpu_share(None, 0, (1, 0), 1, 10.0, 32) is None
+    assert bench._external_cpu_share((0, 0), 0, (1, 0), 1, 0.0, 32) is None
 
 
 def test_end_contention_drops_trusted_stamp():
@@ -175,9 +181,11 @@ def test_cpu_probes_measure_this_box():
     """Live smoke: both probes read /proc successfully and our own
     process tree accounts for a subset of total system busy time."""
     bench = _load_bench()
-    busy = bench._system_busy_sec()
+    sysv = bench._system_busy_sec()
     ours = bench._proc_tree_cpu_sec()
-    assert busy is not None and busy > 0
+    assert sysv is not None
+    busy, steal = sysv
+    assert busy > 0 and steal >= 0
     assert ours is not None and ours > 0
     assert ours <= busy
 
@@ -205,6 +213,7 @@ def test_contract_line_fits_the_driver_tail_window():
             "sf": 0.1,
             "trusted": False,
             "external_cpu_share": 0.1234,
+            "steal_share": 0.1234,
             "contended_end": False,
             "longdoc_total": 123.456,
             "longdoc_fixture": "82477c87dd01",

@@ -138,3 +138,46 @@ def test_outer_flags_unattributed_incident_in_clean_run(tmp_path):
     assert "UNATTRIBUTED" in res.stdout
     assert "ValueError: boom" in res.stdout
     assert "FAIL: unattributed" in res.stdout
+
+
+def test_adjacent_distinct_incidents_do_not_share_attribution():
+    """An allowed teardown line logged in the same second as an
+    UNRELATED failure must not attribute it: a timestamped ERROR (or a
+    fresh Traceback) always opens a NEW block (review finding r13 —
+    the old scanner absorbed it as a continuation and one allowlist
+    match tagged the merged block ALLOWED)."""
+    sim = _load_sim()
+    lines = [
+        "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/16 09:40:21 ERROR Utils: Aborting task",
+        "26/08/16 09:40:21 ERROR Executor: Exception in task 1.0",
+        "java.lang.NullPointerException: boom",
+        "\tat com.example.RealBug.run(RealBug.java:5)",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 2
+    assert incidents[0][2] is not None  # the abort: allowed
+    assert incidents[1][2] is None  # the NPE: unattributed
+
+
+def test_interrupted_broadcast_store_is_attributed():
+    """The streaming stop's job-group cancel can interrupt an in-flight
+    broadcast write; TorrentBroadcast logs the store failure on its own
+    timestamped ERROR line (a single-line block under the same-second
+    split), followed by separate abort/interrupt blocks — all three
+    shapes of the one documented cancel event must attribute."""
+    sim = _load_sim()
+    lines = [
+        "[140/171] MATCH stream_dedup_census: ok (40 rows)",
+        "26/08/16 10:50:38 ERROR TorrentBroadcast: Store broadcast"
+        " broadcast_2050 fail, remove all pieces of the broadcast",
+        "26/08/16 10:50:38 ERROR FileFormatWriter: Aborting job"
+        " 20f1f608-c5e6-4bc4-9a72-2b2e8f04ed32.",
+        "java.lang.InterruptedException",
+        "\tat java.base/java.util.concurrent.locks."
+        "AbstractQueuedSynchronizer.tryAcquireSharedNanos"
+        "(AbstractQueuedSynchronizer.java:1081)",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 2
+    assert all(rule is not None for _h, _c, rule in incidents)

@@ -86,3 +86,52 @@ def test_vocab_census_tokenizer_and_df_boundaries(spark, tmp_path):
     # tail bigrams (df=1), ab/x (under 3 chars), 'the' (stopword —
     # and 'alpha beta' proves the bigram bridged it).
     assert row.vocab_size == 6
+
+
+def test_vocab_census_is_total_on_empty_vocabulary(spark, tmp_path):
+    """A corpus where every gram lands outside the DF window (all
+    shared grams exceed maxDF, the rest are df=1) fits an EMPTY
+    vocabulary; the census must emit vocab_size=0 and match the
+    oracle's 0 rather than crash in cv_model.transform (the census
+    stops at the CountVectorizer fit for exactly this reason)."""
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    texts = [
+        f"alpha beta gamma uniq{'x' * (i + 1)}" for i in range(10)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["doc_ml_vocab_census"],
+            all_oracles()["doc_ml_vocab_census"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+    row = all_queries()["doc_ml_vocab_census"](spark, sf).collect()[0]
+    assert row.vocab_size == 0
+
+
+def test_ml_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The fitted-surface memo keys on the corpus mtime (catalog
+    schema-cache discipline): rewriting the parquet at the SAME path
+    must re-fit, not serve the stale surface."""
+    import time
+
+    sf = _write_docs(
+        tmp_path,
+        [f"alpha beta gamma delta{i % 3} epsilon" for i in range(40)],
+    )
+    v1 = all_queries()["doc_ml_vocab_census"](spark, sf).collect()[0]
+    assert v1.n_docs == 40
+    time.sleep(0.05)
+    _write_docs(
+        tmp_path,
+        [f"omega psi chi{i % 5} epsilon zeta" for i in range(80)],
+    )
+    v2 = all_queries()["doc_ml_vocab_census"](spark, sf).collect()[0]
+    assert v2.n_docs == 80

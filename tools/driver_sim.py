@@ -23,7 +23,14 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 
 # stderr-noise allowlist: incidents whose headline-or-body matches one
-# of these are the DOCUMENTED benign teardown signatures.
+# of these are the DOCUMENTED benign teardown signatures. Scoping
+# decision (review r13): the job/task-abort shapes are allowlisted
+# GLOBALLY, not per-query — worker interleaving makes context lines
+# unreliable, and an abort that actually matters fails its query's
+# oracle compare, so rc goes nonzero regardless of this scan. The scan
+# adjudicates only runs whose 171 results ALL verified; on those, an
+# abort that Spark retried into a verified result is noise by
+# definition.
 ALLOWED_INCIDENTS = [
     # state-store unload / task-completion listener race after a
     # streaming query is stopped (streaming/neardup.py drain contract)
@@ -44,12 +51,29 @@ ALLOWED_INCIDENTS = [
     r"|FileFormatWriter: Job: job_\d+.*Task.*abort",
     # executor interrupted while the session shuts down
     r"InterruptedException",
+    # the stop's job-group cancel can interrupt an in-flight broadcast
+    # WRITE mid-batch: TorrentBroadcast logs the store failure on its
+    # own timestamped ERROR line (single-line block after the r13
+    # same-second split), with the InterruptedException stack in the
+    # NEXT block — observed in the r13 m3 sim, same cancel event as
+    # the allowed job abort one line below it.
+    r"TorrentBroadcast: Store broadcast \S+ fail",
 ]
 
 _INCIDENT_START = re.compile(
     r"^Traceback \(most recent call last\)"
     r"|^\d\d/\d\d/\d\d \d\d:\d\d:\d\d ERROR "
     r"|^(Caused by: )?[A-Za-z_$][\w.$]*(Exception|Error)(:|$)"
+)
+# A timestamped ERROR or a fresh Python traceback always OPENS A NEW
+# incident — it must never be absorbed into the previous block, or one
+# allowed teardown line would attribute an adjacent unrelated failure
+# logged in the same second (review finding r13). Bare exception-class
+# lines and Caused-by stay continuations: they are the body of the
+# headline above them.
+_INCIDENT_BREAK = re.compile(
+    r"^Traceback \(most recent call last\)"
+    r"|^\d\d/\d\d/\d\d \d\d:\d\d:\d\d ERROR "
 )
 _INCIDENT_CONT = re.compile(
     r"^\s+at |^Caused by: |^\s+\.\.\. \d+ more|^\s+File \"|^    "
@@ -59,7 +83,8 @@ _QUERY_LINE = re.compile(r"^\[\s*\d+/\d+\] ")
 
 def _scan_incidents(lines):
     """Group captured lines into exception incidents; return a list of
-    (headline, query_context, attributed_rule_or_None)."""
+    (headline, query_context, attributed_rule_or_None). Each block is
+    attributed INDEPENDENTLY against the allowlist."""
     incidents = []
     last_query = "(before first query)"
     i = 0
@@ -72,7 +97,9 @@ def _scan_incidents(lines):
         ):
             block = [line]
             j = i + 1
-            while j < len(lines) and (
+            while j < len(lines) and not _INCIDENT_BREAK.match(
+                lines[j]
+            ) and (
                 _INCIDENT_CONT.match(lines[j])
                 or _INCIDENT_START.match(lines[j])
             ):

@@ -52,9 +52,7 @@ def main() -> None:
     from economic_data_project_spark.session import get_spark
     from economic_data_project_spark.similarity import semdedup as sd
 
-    from economic_data_project_spark.similarity import semdedup as _sd
-
-    k_planned = min(_sd._IVF_K_CAP, n // _sd._TARGET_CLUSTER)
+    k_planned = min(sd._IVF_K_CAP, n // sd._TARGET_CLUSTER)
     hot_dir = rng.normal(size=dim)
     hot_dir /= np.linalg.norm(hot_dir)
     n_anchor = k_planned - 1  # seeds 1..K-1: spread directions
