@@ -606,7 +606,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the same bound is ~4.4e4/2^64 ~ 2.4e-15 (false pairs expected: ~0.001
 # at 1M docs, ~12 at 100B docs) and the 16-bit bands cut junk
 # candidates 256x to ~n^2 * 4 / 2^16 (measured at 1.2M synthetic docs:
-# tools/bench_snapshots/r12_simhash64_probe.log). Same pigeonhole
+# tools/bench_snapshots/r12_simhash64_probe.log; the quadratic model is
+# CONFIRMED at 2.4M — 207.9M candidates, exactly 4.00x the 1.2M point,
+# recall 1000/1000, r13_simhash64_2m4_probe.log). Same pigeonhole
 # recall guarantee: hamming <= 3 over 4 bands forces >= 1 identical
 # band. Registered as its own surface (like the forced-LSH precedent)
 # rather than silently rebanding dedup_simhash: the fingerprint IS the
