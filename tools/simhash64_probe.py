@@ -21,7 +21,7 @@ emb-LSH and IVF probes):
    at the signature level).
 
 Run:  python tools/simhash64_probe.py [n_docs]
-Log:  tools/bench_snapshots/r12_simhash64_probe.log
+Log:  tools/bench_snapshots/simhash64_probe_runs.log (self-appended)
 """
 
 from __future__ import annotations
@@ -47,10 +47,14 @@ N_DOCS = int(sys.argv[1]) if len(sys.argv) > 1 else 1_200_000
 N_PLANTED = 1000  # docs 0..1999 are 1000 exact-copy pairs (2k, 2k+1)
 TOKENS_PER_DOC = 60
 
+# Round-neutral self-log: appending to a PAST round's recorded
+# artifact retro-edits evidence (the r13 2.4M run landed in the r12
+# log before this fix); copy lines from here into a per-round
+# r{N}_... snapshot when recording a run.
 LOG = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "bench_snapshots",
-    "r12_simhash64_probe.log",
+    "simhash64_probe_runs.log",
 )
 
 
