@@ -31,10 +31,13 @@ from economic_data_project_spark.session import get_spark
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
 DIM = 64
+# Round-neutral self-log (the simhash64 probe precedent): appending
+# to a past round's recorded artifact retro-edits evidence; copy lines
+# into a per-round r{N}_... snapshot when recording a run.
 LOG = os.path.join(
     os.path.dirname(os.path.abspath(__file__)),
     "bench_snapshots",
-    "r12_ivf_scale.log",
+    "ivf_scale_probe_runs.log",
 )
 
 
