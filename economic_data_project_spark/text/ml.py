@@ -37,6 +37,8 @@ driver.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 from pyspark.ml.clustering import LDA, KMeans
 from pyspark.ml.evaluation import ClusteringEvaluator
@@ -114,15 +116,47 @@ def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
 # underlying ML query, and without memoization a sweep that runs both
 # pays the iterative fit (KMeans + silhouette, LDA maxIter=20, the
 # 60-step NMF loop, CountVectorizer/IDF) TWICE. Keyed by
-# (applicationId, resolved documents path, dir mtime) — the catalog
-# schema-cache invalidation discipline: a rewritten scratch corpus
-# re-fits, a dead session's entries are unreachable garbage, and a
-# same-key reinsert evicts, so the memo stays bounded by live
-# (session, corpus) pairs. Memoized values are lazy DataFrames (plus
-# the vocab list for the featurization entry): freeing the session
-# caches under them is safe — the plan recomputes with the SAME
-# already-fitted JVM model captured in it.
-_ML_MEMO: dict[tuple, tuple] = {}
+# (applicationId, resolved documents path, content fingerprint) — the
+# catalog schema-cache invalidation discipline: a rewritten scratch
+# corpus re-fits, a dead session's entries are unreachable garbage,
+# and a same-key reinsert evicts. The fingerprint is a per-part
+# (relpath, size, mtime_ns) tuple over the table's files (ADVICE r13:
+# a part file rewritten IN PLACE changes neither the table-dir nor the
+# parent-dir mtime, and the old two-stat XOR also admitted theoretical
+# cancellation of two simultaneous changes — the per-file walk catches
+# both). Memoized values are lazy DataFrames (plus the vocab list for
+# the featurization entry): freeing the session caches under them is
+# safe — the plan recomputes with the SAME already-fitted JVM model
+# captured in it. Capacity is a small LRU (ADVICE r13: scratch pytest
+# corpora are unbounded within one long-lived session, so "bounded by
+# live (session, corpus) pairs" was unbounded in practice) — eviction
+# only drops a cached plan + fitted-model reference; a re-hit re-fits.
+_ML_MEMO: "OrderedDict[tuple, tuple]" = OrderedDict()
+_ML_MEMO_CAP = 32
+
+
+def _table_fingerprint(real: str):
+    """Content fingerprint for a file- or directory-backed table:
+    sorted (relpath, size, mtime_ns) per data file, so an in-place
+    part rewrite (same name, same dir mtimes) still invalidates.
+    Returns None when the path can't be statted (caller skips memo)."""
+    import os
+
+    try:
+        if os.path.isdir(real):
+            parts = []
+            for dirpath, _dirnames, filenames in os.walk(real):
+                for fn in filenames:
+                    p = os.path.join(dirpath, fn)
+                    st = os.stat(p)
+                    parts.append(
+                        (os.path.relpath(p, real), st.st_size, st.st_mtime_ns)
+                    )
+            return tuple(sorted(parts))
+        st = os.stat(real)
+        return ((real, st.st_size, st.st_mtime_ns),)
+    except OSError:
+        return None
 
 
 def _memoized(spark: SparkSession, sf_dir: str, name: str, build):
@@ -131,17 +165,19 @@ def _memoized(spark: SparkSession, sf_dir: str, name: str, build):
     from ..catalog import table_path
 
     real = os.path.realpath(table_path(sf_dir, "documents"))
-    try:
-        mtime = os.stat(os.path.dirname(real) or ".").st_mtime_ns
-        mtime ^= os.stat(real).st_mtime_ns
-    except OSError:
+    fprint = _table_fingerprint(real)
+    if fprint is None:
         return build()
     key = (spark.sparkContext.applicationId, real, name)
     hit = _ML_MEMO.get(key)
-    if hit is not None and hit[0] == mtime:
+    if hit is not None and hit[0] == fprint:
+        _ML_MEMO.move_to_end(key)
         return hit[1]
     val = build()
-    _ML_MEMO[key] = (mtime, val)
+    _ML_MEMO[key] = (fprint, val)
+    _ML_MEMO.move_to_end(key)
+    while len(_ML_MEMO) > _ML_MEMO_CAP:
+        _ML_MEMO.popitem(last=False)
     return val
 
 
@@ -448,12 +484,15 @@ def _stopwords_sql() -> str:
 # caps at vocabSize — the census column is min(cap, eligible), exact in
 # both engines at any corpus size (at the cap the tie-broken CHOICE of
 # terms may differ; the SIZE cannot).
-_VOCAB_CENSUS_ORACLE = f"""
-WITH toked AS (
+# Shared CTE prefix (tokenize -> stop-filter -> 1-2grams -> per-term
+# document frequency -> corpus count): the vocab census certifies the
+# SELECTION arithmetic over it; the IDF census (r14) certifies the
+# WEIGHTING stage over the same chain.
+_GRAM_DF_CTES = """toked AS (
   SELECT doc_id,
          list_filter(
-           regexp_extract_all(lower(text), '[a-z]{{3,20}}'),
-           t -> NOT list_contains({{stops}}, t)
+           regexp_extract_all(lower(text), '[a-z]{3,20}'),
+           t -> NOT list_contains(STOPS_PLACEHOLDER, t)
          ) AS u
   FROM documents
 ),
@@ -470,7 +509,10 @@ grams AS (
 df AS (
   SELECT g, COUNT(DISTINCT doc_id) AS df FROM grams GROUP BY g
 ),
-n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)"""
+
+_VOCAB_CENSUS_ORACLE = f"""
+WITH {_GRAM_DF_CTES},
 elig AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_eligible
   FROM df, n
@@ -479,7 +521,7 @@ elig AS (
 SELECT n.n_docs AS n_docs,
        CAST(LEAST({VOCAB_SIZE}, elig.n_eligible) AS BIGINT) AS vocab_size
 FROM n, elig
-""".replace("{stops}", "STOPS_PLACEHOLDER")
+"""
 
 
 @query(
@@ -500,6 +542,83 @@ def doc_ml_vocab_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(n_docs), len(cv_model.vocabulary))],
         "n_docs long, vocab_size long",
+    )
+
+
+# IDF-weighting census (VERDICT r13 'What's wrong' #4): the vocab
+# census certifies SELECTION; this certifies the WEIGHTING stage.
+# Spark ML's IDF formula (mllib/feature/IDF.scala) is
+# ln((m + 1) / (df + 1)) with m = numDocs — NOT sklearn's smoothed
+# ln((n+1)/(df+1)) + 1 that the reference's dbt-ml pipeline uses
+# (sec_document_tfidf.yml:19-40); the census certifies THIS engine's
+# production stage, so the oracle restates Spark's formula. Each
+# per-term weight is rounded to 9 dp on both sides (ln is
+# libm-territory — the split-adjustment/EWM policy) and summed as
+# DECIMAL(28,9), which is associative and exact in both engines; the
+# final decimal->double cast is the IEEE nearest double. df_total is
+# an exact integer sum certifying the document-frequency extraction.
+# DATA-PINNED expectation (same discipline as the kmeans census): the
+# oracle sums over ALL eligible terms, the engine over the fitted
+# vocabulary — identical only while eligible <= vocabSize (measured
+# 820-842 vs 20000 at sf0.001/0.01/0.1, gated by
+# tests/test_ml_census.py). At the cap the tie-broken CHOICE of terms
+# may differ cross-engine; a corpus that binds the cap should update
+# the census, not the engine.
+_IDF_CENSUS_ORACLE = f"""
+WITH {_GRAM_DF_CTES},
+terms AS (
+  SELECT df.df AS df, n.n_docs AS n_docs
+  FROM df, n
+  WHERE df.df >= {MIN_DF} AND CAST(df.df AS DOUBLE) <= {MAX_DF} * n.n_docs
+)
+SELECT (SELECT n_docs FROM n) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS vocab_size,
+       CAST(SUM(df) AS BIGINT) AS df_total,
+       CAST(SUM(CAST(ROUND(LN(
+         (CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)
+       ), 9) AS DECIMAL(28,9))) AS DOUBLE) AS idf_sum_9dp
+FROM terms
+"""
+
+
+@query(
+    "doc_idf_census",
+    oracle=_IDF_CENSUS_ORACLE.replace(
+        "STOPS_PLACEHOLDER", _stopwords_sql()
+    ),
+)
+def doc_idf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighting census over the production IDF stage: the fitted
+    IDFModel's numDocs, vocabulary size, exact document-frequency
+    total, and the decimal-quantized sum of its per-term IDF weights —
+    recomputed exactly by the DuckDB oracle from the parquet corpus.
+    A single mis-weighted term (wrong df, wrong smoothing constant,
+    wrong log base) shifts idf_sum_9dp and breaks the hash match."""
+    from decimal import Decimal
+
+    def build():
+        tokens, cv_model = _cv_fit(spark, sf_dir)
+        tf = cv_model.transform(tokens)
+        return IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+
+    idf_model = _memoized(spark, sf_dir, "idf_census_model", build)
+    weights = [float(v) for v in idf_model.idf.toArray()]
+    doc_freq = [int(d) for d in idf_model.docFreq]
+    q9 = Decimal("0.000000001")
+    idf_sum = sum(
+        (Decimal(str(round(w, 9))).quantize(q9) for w in weights),
+        Decimal(0),
+    )
+    return spark.createDataFrame(
+        [
+            (
+                int(idf_model.numDocs),
+                len(weights),
+                int(sum(doc_freq)),
+                float(idf_sum),
+            )
+        ],
+        "n_docs long, vocab_size long, df_total long, idf_sum_9dp double",
     )
 
 

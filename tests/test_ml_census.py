@@ -135,3 +135,74 @@ def test_ml_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
     )
     v2 = all_queries()["doc_ml_vocab_census"](spark, sf).collect()[0]
     assert v2.n_docs == 80
+
+
+def test_idf_census_matches_oracle_and_formula(spark, tmp_path):
+    """The weighting census (VERDICT r13 #4) on the same boundary
+    corpus as the vocab census: oracle hash-match plus an independent
+    Python recomputation of Spark ML's idf formula
+    ln((m+1)/(df+1)) over the KNOWN per-term document frequencies —
+    a wrong smoothing constant, log base, or df would shift the sum."""
+    import math
+    from decimal import Decimal
+
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    common = "sharedword "
+    mostly = "mostlyword "
+    texts = []
+    for i in range(10):
+        t = common
+        if i < 8:
+            t += mostly
+        if i < 2:
+            t += "alpha the beta "
+        if i == 0:
+            t += "abcdefghijklmnopqrstuvwxyz ab x uniquegram "
+        texts.append(t.strip())
+    sf = _write_docs(tmp_path, texts)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["doc_idf_census"],
+            all_oracles()["doc_idf_census"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+    row = all_queries()["doc_idf_census"](spark, sf).collect()[0]
+    assert (row.n_docs, row.vocab_size) == (10, 6)
+    # known dfs (see the vocab-census test): mostlyword and the bigram
+    # 'sharedword mostlyword' at df=8; alpha, beta, 'alpha beta' and
+    # 'mostlyword alpha' at df=2
+    dfs = [8, 8, 2, 2, 2, 2]
+    assert row.df_total == sum(dfs)
+    q9 = Decimal("0.000000001")
+    expected = sum(
+        (
+            Decimal(str(round(math.log(11.0 / (d + 1.0)), 9))).quantize(q9)
+            for d in dfs
+        ),
+        Decimal(0),
+    )
+    assert row.idf_sum_9dp == float(expected)
+
+
+def test_idf_census_cap_has_headroom_at_test_scales(spark):
+    """DATA-PINNED guard: the census is content-exact only while the
+    eligible vocabulary stays under the 20000 cap (at the cap the
+    tie-broken term CHOICE may differ cross-engine). Measured 820-842
+    at every test SF — fail loudly if a regenerated corpus approaches
+    the cap instead of letting the census go flaky."""
+    from economic_data_project_spark.text.ml import VOCAB_SIZE
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        row = all_queries()["doc_idf_census"](spark, sf_dir).collect()[0]
+        assert row.vocab_size < 0.5 * VOCAB_SIZE, (
+            f"{sf_dir}: fitted vocab {row.vocab_size} within 2x of the"
+            f" {VOCAB_SIZE} cap — the IDF/vocab censuses lose"
+            " content-exactness at the cap; re-pin the expectation"
+        )

@@ -917,6 +917,7 @@ _BUILD_JOB_EXEMPT = {
     "doc_nmf_topics": "NMF/LDA fit at build",
     # censuses over the ML surfaces compose the fits above
     "doc_ml_vocab_census": "CountVectorizer/IDF fit at build",
+    "doc_idf_census": "IDF fit at build (composes the memoized CV stage)",
     "doc_kmeans_census": "composes doc_kmeans_clusters",
     "doc_topics_census": "composes doc_topics_lda",
     "doc_nmf_census": "composes doc_nmf_topics",
@@ -976,6 +977,7 @@ def test_registry_builders_run_no_jobs_at_construction(
         "doc_topics_lda",
         "doc_nmf_topics",
         "doc_ml_vocab_census",
+        "doc_idf_census",
         "doc_kmeans_census",
         "doc_topics_census",
         "doc_nmf_census",
