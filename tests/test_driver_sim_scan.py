@@ -94,19 +94,58 @@ def test_task_attempt_abort_notice_is_attributed():
     assert incidents[0][2] is not None
 
 
-def test_bare_task_abort_line_is_attributed():
+def test_bare_task_abort_line_is_attributed_inside_window():
     """Two-worker interleaving can detach a per-task abort headline
     from its (attributable) stack block; the bare line is a documented
-    shape of the streaming-stop abort event and must not fail a clean
-    run (r13 final-sim observation)."""
+    shape of the streaming-stop abort event (r13 final-sim
+    observation: the whole cluster lands in the SAME SECOND as the
+    stream-signed job abort). ADVICE r13 tightening: the bare line
+    attributes via the teardown WINDOW — a stream-signed neighbour
+    within ±3 s — not unconditionally."""
     sim = _load_sim()
     lines = [
         "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/16 09:40:21 ERROR FileFormatWriter: Aborting job"
+        " 20f1f608-c5e6-4bc4-9a72-2b2e8f04ed32.",
+        "26/08/16 09:40:21 ERROR Utils: Aborting task",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 2
+    assert incidents[0][2] is not None  # stream-signed job abort
+    assert incidents[1][2] is not None  # bare task abort: window
+    assert "teardown-window" in incidents[1][2]
+
+
+def test_bare_abort_outside_teardown_window_is_unattributed():
+    """ADVICE r13: a rows-only query's check is count() >= 0, so an
+    abort Spark transparently retried there stays green — a bare abort
+    with NO stream-signed neighbour inside the window must therefore
+    fail the scan rather than be rubber-stamped ALLOWED."""
+    sim = _load_sim()
+    lines = [
+        "[ 50/171] ROWS  signal_mst_network: rows-only (11 rows)",
         "26/08/16 09:40:21 ERROR Utils: Aborting task",
     ]
     incidents = sim._scan_incidents(lines)
     assert len(incidents) == 1
+    assert incidents[0][2] is None
+
+
+def test_bare_abort_with_distant_stream_neighbour_is_unattributed():
+    """A stream-signed incident ten seconds away does NOT vouch for a
+    bare abort — both lines are timestamped, so the ±3 s rule decides
+    and the line-distance fallback must not apply."""
+    sim = _load_sim()
+    lines = [
+        "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/16 09:40:10 ERROR FileFormatWriter: Aborting job"
+        " 20f1f608-c5e6-4bc4-9a72-2b2e8f04ed32.",
+        "26/08/16 09:40:21 ERROR Utils: Aborting task",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 2
     assert incidents[0][2] is not None
+    assert incidents[1][2] is None
 
 
 def test_outer_flags_unattributed_incident_in_clean_run(tmp_path):
@@ -149,15 +188,51 @@ def test_adjacent_distinct_incidents_do_not_share_attribution():
     sim = _load_sim()
     lines = [
         "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/16 09:40:21 ERROR FileFormatWriter: Aborting job"
+        " 20f1f608-c5e6-4bc4-9a72-2b2e8f04ed32.",
         "26/08/16 09:40:21 ERROR Utils: Aborting task",
         "26/08/16 09:40:21 ERROR Executor: Exception in task 1.0",
         "java.lang.NullPointerException: boom",
         "\tat com.example.RealBug.run(RealBug.java:5)",
     ]
     incidents = sim._scan_incidents(lines)
-    assert len(incidents) == 2
-    assert incidents[0][2] is not None  # the abort: allowed
-    assert incidents[1][2] is None  # the NPE: unattributed
+    assert len(incidents) == 3
+    assert incidents[0][2] is not None  # job abort: stream-signed
+    assert incidents[1][2] is not None  # bare abort: teardown window
+    # the NPE shares the second with an allowed teardown cluster but is
+    # NOT abort-shaped — the window never attributes it
+    assert incidents[2][2] is None
+
+
+def test_rotation_health_flags_over_age_rows():
+    """VERDICT r13 #5: the scheduler keeps max row age <= 4 rounds by
+    construction; the sim CHECKS it so an r8-style tail can't silently
+    re-accumulate."""
+    sim = _load_sim()
+    last = {"fresh_row": 13, "edge_row": 9, "stale_row": 8}
+    violations = sim.rotation_health(last, current_round=13)
+    assert violations == [("stale_row", 5)]
+    # age == max_age is the allowed edge (r9 rows at r13 were legal)
+    assert sim.rotation_health({"edge_row": 9}, 13) == []
+    assert sim.MAX_ROW_AGE_ROUNDS == 4
+
+
+def test_rotation_health_on_live_records():
+    """The invariant must HOLD on the repo's committed records right
+    now — this is the checked form of the r13 verdict's 'no row older
+    than r9' claim, and it will fail the suite if a future round lets
+    a tail re-accumulate."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entry
+
+    sim = _load_sim()
+    records = list(entry._iter_records())
+    assert records, "driver records missing"
+    current = max(rnd for rnd, _rows in records)
+    last = entry._last_checked_round(records)
+    assert sim.rotation_health(last, current) == []
 
 
 def test_interrupted_broadcast_store_is_attributed():
