@@ -6,6 +6,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is executed with a count()-style action that forces the full
 plan without collecting results to the driver (what a 100 TB run would do:
 write to a sink, never collect).
+
+Since r14 every per-query value is the MEDIAN over $SPARK_GRAFT_BENCH_RUNS
+(default 3) full-lane repetitions, each starting cache-cold; the artifact
+stamps `n_runs` + per-rep `run_totals` so a single-run artifact
+self-identifies as low-confidence and tools/bench_compare.py can refuse
+to adjudicate from it (VERDICT r13: 1.4x same-gate host variance).
 """
 
 from __future__ import annotations
@@ -303,12 +309,36 @@ def _system_busy_sec() -> tuple[float, float] | None:
         return None
 
 
+def _is_orphaned_ours(pid: int, ppid: int, pgrp: int) -> bool:
+    """A descendant whose in-between ancestor exited is reparented to
+    init (pid 1) and leaves the ppid-walked tree — its CPU would flip
+    from 'ours' to 'external' mid-run and falsely trip contended_end on
+    a genuinely clean box (ADVICE r13; conservative direction, but it
+    discards trusted runs). Reparenting changes ONLY ppid: the orphan
+    keeps its process group, so an init-child in OUR process group is
+    our orphan. pyspark.daemon is additionally matched by cmdline —
+    Spark's Python workers are the one descendant class known to
+    daemonize."""
+    if ppid != 1 or pid == os.getpid():
+        return False
+    if pgrp == os.getpgrp():
+        return True
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as fh:
+            return b"pyspark.daemon" in fh.read()
+    except OSError:
+        return False
+
+
 def _proc_tree_cpu_sec() -> float | None:
     """CPU seconds consumed by this process and every live descendant
-    (utime+stime), plus their already-reaped children (cutime+cstime)."""
+    (utime+stime), plus their already-reaped children (cutime+cstime),
+    plus orphans reparented to init that are attributably ours
+    (:func:`_is_orphaned_ours`) and their subtrees."""
     try:
         children: dict[int, list[int]] = {}
         stats: dict[int, float] = {}
+        roots = [os.getpid()]
         for pid_dir in os.listdir("/proc"):
             if not pid_dir.isdigit():
                 continue
@@ -319,16 +349,21 @@ def _proc_tree_cpu_sec() -> float | None:
                 continue
             # comm may contain spaces/parens: split after the LAST ')'
             rest = raw.rsplit(")", 1)[1].split()
-            ppid = int(rest[1])
+            ppid, pgrp = int(rest[1]), int(rest[2])
             utime, stime, cutime, cstime = (
                 int(rest[11]), int(rest[12]), int(rest[13]), int(rest[14])
             )
             pid = int(pid_dir)
             children.setdefault(ppid, []).append(pid)
             stats[pid] = utime + stime + cutime + cstime
-        total, stack = 0.0, [os.getpid()]
+            if _is_orphaned_ours(pid, ppid, pgrp):
+                roots.append(pid)
+        total, stack, seen = 0.0, roots, set()
         while stack:
             pid = stack.pop()
+            if pid in seen:
+                continue
+            seen.add(pid)
             total += stats.get(pid, 0)
             stack.extend(children.get(pid, ()))
         return total / os.sysconf("SC_CLK_TCK")
@@ -424,60 +459,99 @@ def main() -> None:
     # Warm the JVM/catalog once (excluded from timings).
     qs[names[0]](spark, sf_dir).limit(1).collect()
 
-    timings: dict[str, float] = {}
-    for name in names:
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
-
-    # Skew-stress pair (broadcast disabled so the shuffle join is real;
-    # not part of the headline total — these measure a technique, not an
-    # operator).
-    _isolate_lane(spark)
-    skew: dict[str, float] = {}
-    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        for label, salted in (
-            ("skew_join_plain", False),
-            ("skew_join_salted", True),
-        ):
-            t0 = time.perf_counter()
-            _skew_join(spark, sf_dir, salted).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            skew[label] = round(time.perf_counter() - t0, 3)
-    finally:
-        spark.conf.set(
-            "spark.sql.autoBroadcastJoinThreshold", old_thresh
-        )
-    timings.update(skew)
-
-    # Long-document stress lane (generation excluded from timings; ops
-    # keyed longdoc_<name> and excluded from the headline total). Starts
-    # cold: the lane is the quadratic-regression tripwire, and its
-    # per-token costs must not depend on headline-lane cache residency.
-    _isolate_lane(spark)
-    longdoc: dict[str, float] = {}
+    # Median-of-N protocol (VERDICT r13 'What's wrong' #2): three
+    # same-gate trusted single runs measured 89.5s / 127.0s / 82.3s on
+    # engine-identical code — up to ~1.4x host variance per ROW — so a
+    # single-run artifact can fake a drift and burn a round adjudicating
+    # it. Each repetition is a full pass of all three lanes (headline,
+    # skew, longdoc) starting cache-cold (_isolate_lane) — exactly a
+    # pre-r14 artifact's protocol — and the artifact reports the
+    # PER-QUERY MEDIAN across repetitions plus `n_runs` + per-rep
+    # `run_totals` so a budget-truncated (or env-forced) single-run
+    # artifact self-identifies as low-confidence —
+    # tools/bench_compare.py refuses to adjudicate from those.
+    n_target = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500")
+    )
+    rep_runs: list[dict[str, float]] = []
     longdoc_dir = _gen_longdoc_dir(spark)
     try:
         fixture_rev = _fixture_rev(spark, longdoc_dir)
-        for name in LONGDOC:
-            if name not in qs:
-                continue
-            t0 = time.perf_counter()
-            qs[name](spark, longdoc_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-            longdoc[f"longdoc_{name}"] = round(
-                time.perf_counter() - t0, 3
+        for rep in range(n_target):
+            if rep and time.monotonic() - probe_t0 > budget:
+                print(
+                    f"bench: {budget:.0f}s budget reached — stopping"
+                    f" after {rep} repetition(s); medians degrade"
+                    " gracefully and n_runs records the truth.",
+                    file=sys.stderr,
+                )
+                break
+            timings: dict[str, float] = {}
+            _isolate_lane(spark)  # every rep starts cache-cold
+            for name in names:
+                t0 = time.perf_counter()
+                df = qs[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                timings[name] = round(time.perf_counter() - t0, 3)
+
+            # Skew-stress pair (broadcast disabled so the shuffle join
+            # is real; not part of the headline total — these measure a
+            # technique, not an operator).
+            _isolate_lane(spark)
+            old_thresh = spark.conf.get(
+                "spark.sql.autoBroadcastJoinThreshold"
             )
+            try:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", "-1"
+                )
+                for label, salted in (
+                    ("skew_join_plain", False),
+                    ("skew_join_salted", True),
+                ):
+                    t0 = time.perf_counter()
+                    _skew_join(spark, sf_dir, salted).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    timings[label] = round(time.perf_counter() - t0, 3)
+            finally:
+                spark.conf.set(
+                    "spark.sql.autoBroadcastJoinThreshold", old_thresh
+                )
+
+            # Long-document stress lane (generation excluded from
+            # timings; ops keyed longdoc_<name> and excluded from the
+            # headline total). Starts cold: the lane is the quadratic-
+            # regression tripwire, and its per-token costs must not
+            # depend on headline-lane cache residency.
+            _isolate_lane(spark)
+            for name in LONGDOC:
+                if name not in qs:
+                    continue
+                t0 = time.perf_counter()
+                qs[name](spark, longdoc_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                timings[f"longdoc_{name}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            rep_runs.append(timings)
     finally:
         import shutil
 
         shutil.rmtree(longdoc_dir, ignore_errors=True)
-    timings.update(longdoc)
+
+    import statistics
+
+    timings = {
+        n: round(statistics.median([r[n] for r in rep_runs]), 3)
+        for n in rep_runs[0]
+    }
+    skew = {n: t for n, t in timings.items() if n.startswith("skew_")}
+    longdoc = {
+        n: t for n, t in timings.items() if n.startswith("longdoc_")
+    }
 
     shares = _external_cpu_share(
         busy0,
@@ -514,6 +588,10 @@ def main() -> None:
     total = round(
         sum(t for n, t in timings.items() if n not in excluded), 3
     )
+    run_totals = [
+        round(sum(t for n, t in r.items() if n not in excluded), 3)
+        for r in rep_runs
+    ]
     # The driver records only the LAST ~2000 chars of this process's
     # output and json-parses the JSON line found there: r11's 50-query
     # line fit and BENCH_r11.json carries machine-readable `parsed`
@@ -526,6 +604,13 @@ def main() -> None:
     # a prefixed line just above it (same stdout, snapshot tooling
     # captures both; longdoc rows remain excluded from the total and
     # comparable only within one longdoc_fixture).
+    print(
+        "runs_detail: "
+        + json.dumps(
+            {n: [r[n] for r in rep_runs] for n in sorted(rep_runs[0])},
+            separators=(",", ":"),
+        )
+    )
     print(
         "longdoc_detail: "
         + json.dumps(longdoc, separators=(",", ":"), sort_keys=True)
@@ -554,6 +639,14 @@ def main() -> None:
                     else round(steal_share, 4)
                 ),
                 "contended_end": contended_end,
+                # median-of-n protocol: every row above is the per-query
+                # MEDIAN across n_runs full-lane repetitions; run_totals
+                # carries each rep's headline total so the artifact
+                # exposes its own spread. n_runs == 1 = low-confidence
+                # (budget-truncated or env-forced single pass) — refuse
+                # cross-artifact adjudication from it.
+                "n_runs": len(rep_runs),
+                "run_totals": run_totals,
                 "longdoc_total": round(sum(longdoc.values()), 3),
                 # content hash of the longdoc corpus: longdoc_* rows are
                 # comparable ONLY between artifacts with the same value

@@ -190,6 +190,76 @@ def test_cpu_probes_measure_this_box():
     assert ours <= busy
 
 
+def test_orphan_attribution_rules():
+    """ADVICE r13: a descendant reparented to init keeps its process
+    group — an init-child in OUR pgrp (or running pyspark.daemon) is
+    our orphan, not external contention."""
+    import os
+
+    bench = _load_bench()
+    me = os.getpid()
+    # not an init child -> never claimed by the orphan rule
+    assert not bench._is_orphaned_ours(12345, me, os.getpgrp())
+    # init child in our process group -> ours
+    assert bench._is_orphaned_ours(999999, 1, os.getpgrp())
+    # init child in a foreign pgrp with no readable cmdline -> external
+    assert not bench._is_orphaned_ours(999999, 1, os.getpgrp() + 7)
+    # our own pid must not self-claim via the orphan rule (it is the
+    # tree root already; double-claiming is harmless but dishonest)
+    assert not bench._is_orphaned_ours(me, 1, os.getpgrp())
+
+
+def test_orphaned_descendant_cpu_stays_ours():
+    """Live end-to-end: a busy-looping grandchild whose parent exited
+    (reparented to init/subreaper, same pgrp) must stay attributed to
+    this tree — before the fix its CPU counted as external share and
+    could falsely trip contended_end on a clean run."""
+    import os
+    import subprocess
+    import sys as _sys
+    import tempfile
+    import time as _time
+
+    bench = _load_bench()
+    with tempfile.NamedTemporaryFile(suffix=".pid", delete=False) as fh:
+        pid_file = fh.name
+    # parent spawns a busy grandchild and exits immediately
+    code = (
+        "import os,sys\n"
+        "pid = os.fork()\n"
+        "if pid == 0:\n"
+        "    open(sys.argv[1], 'w').write(str(os.getpid()))\n"
+        "    t = 0\n"
+        "    import time\n"
+        "    end = time.time() + 10\n"
+        "    while time.time() < end:\n"
+        "        t += 1\n"
+        "else:\n"
+        "    os._exit(0)\n"
+    )
+    subprocess.run([_sys.executable, "-c", code, pid_file], check=True)
+    _time.sleep(0.3)  # let the parent exit (orphaning the child)
+    with open(pid_file) as fh:
+        orphan_pid = int(fh.read())
+    try:
+        with open(f"/proc/{orphan_pid}/stat") as fh:
+            rest = fh.read().rsplit(")", 1)[1].split()
+        assert int(rest[1]) != os.getpid()  # genuinely reparented away
+        t0 = bench._proc_tree_cpu_sec()
+        _time.sleep(1.0)  # we idle; only the orphan burns CPU
+        t1 = bench._proc_tree_cpu_sec()
+        assert t1 - t0 > 0.5, (
+            "orphaned descendant CPU not attributed to our tree:"
+            f" delta {t1 - t0:.2f}s over a 1s busy window"
+        )
+    finally:
+        try:
+            os.kill(orphan_pid, 9)
+        except OSError:
+            pass
+        os.unlink(pid_file)
+
+
 def test_contract_line_fits_the_driver_tail_window():
     """The driver records only the last ~2000 chars of bench output and
     json-parses the JSON line found there: r11's 50-query line fit
@@ -215,6 +285,8 @@ def test_contract_line_fits_the_driver_tail_window():
             "external_cpu_share": 0.1234,
             "steal_share": 0.1234,
             "contended_end": False,
+            "n_runs": 3,
+            "run_totals": [123.456, 123.456, 123.456],
             "longdoc_total": 123.456,
             "longdoc_fixture": "82477c87dd01",
             "load_start": [10.12, 10.12, 10.12],
