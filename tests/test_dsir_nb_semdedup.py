@@ -698,3 +698,48 @@ def test_semdedup_k_cap_regime(spark, tmp_path, monkeypatch):
         assert got[i].cos_centroid == pytest.approx(
             float(cc2[i]), abs=1e-4
         )
+
+
+def test_semdedup_cap_split_equals_unsplit(spark, tmp_path, monkeypatch):
+    """The hot-cluster 2-D salt decomposition (VERDICT r13 #3: bounds
+    per-task TIME, not just memory) must emit exactly the unsplit
+    kernel's verdicts: every ordered pair (i, j) lands in exactly one
+    (salt_i, salt_j) group, the dot products are computed by the same
+    GEMM expression, and the dominated-row predicate OR-decomposes
+    over groups. Forced by dropping _SPLIT_CAP below the cluster size
+    (splits >= 3 so diagonal AND off-diagonal salt groups both carry
+    real pairs), compared against the same fixture with the split
+    disabled."""
+    from economic_data_project_spark.similarity import semdedup as sd
+
+    rng = np.random.RandomState(53)
+    base = rng.normal(size=(48, 16))
+    # plant copies + a near-copy so cross-salt dominations exist
+    vecs = list(base) + [base[1].copy(), base[2].copy(),
+                         base[9].copy(), base[9].copy(),
+                         base[20] + 1e-3 * rng.normal(size=16)]
+    sf = _write_vecs(tmp_path, vecs)
+    monkeypatch.setattr(sd, "_SCALE_MIN", 1)  # force the GEMM tier
+    monkeypatch.setattr(sd, "_TARGET_CLUSTER", 27)  # K=2 -> big clusters
+    unsplit = {
+        r.vec_id: (r.is_dup, r.cluster)
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, sf
+        ).collect()
+    }
+    monkeypatch.setattr(sd, "_SPLIT_CAP", 9)  # ~27-row clusters -> 3+ salts
+    split = {
+        r.vec_id: (r.is_dup, r.cluster)
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, sf
+        ).collect()
+    }
+    assert split == unsplit
+    # the planted exact copies are dropped under both paths
+    for copy_id in (48, 49, 50, 51):
+        assert split[copy_id][0], copy_id
+    # sanity: the split path genuinely engaged (clusters exceed the cap)
+    sizes = {}
+    for _vid, (_d, cl) in split.items():
+        sizes[cl] = sizes.get(cl, 0) + 1
+    assert max(sizes.values()) > 9

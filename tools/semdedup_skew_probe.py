@@ -83,10 +83,16 @@ def main() -> None:
     oneshot_gb = hot_c * hot_c * 10 / 1e9
     tile = max(1, sd._GEMM_TILE_ELEMS // hot_c)
     tiled_gb = tile * hot_c * 10 / 1e9
+    splits = -(-hot_c // sd._SPLIT_CAP)
     print(
         f"n={n} hot_cluster~{hot_c:,} K={k} (mean target "
         f"{sd._TARGET_CLUSTER}) -> one-shot kernel temporaries "
         f"~{oneshot_gb:.1f} GB; tiled (tile={tile}) ~{tiled_gb:.2f} GB"
+    )
+    print(
+        f"cap-split (r14): _SPLIT_CAP={sd._SPLIT_CAP} -> splits="
+        f"{splits}, {splits * splits} pair-groups replace the single"
+        f" {hot_c:,}^2 task (r13 baseline: 593.1 s serialized)"
     )
 
     spark = get_spark(app_name="semdedup-skew-probe")
