@@ -108,10 +108,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from ..caches import register_session_cache
-from ..functions.ta import emit, sql_emit
+from ..functions.ta import emit, series_window, sql_emit
 from ..functions.vectors import DOT_DUCK, DOT_SPARK
 from ..registry import query
 from .ann import (
@@ -303,15 +302,17 @@ def _member_two_level(corpus: DataFrame, k: int) -> DataFrame:
 
     k1 = max(2, math.isqrt(k))
     cents, coarse = kmeans_once(corpus, k1)
-    # dense remap: rank the (K1-bounded) centroid ids; series_window
-    # would be overkill — the frame is k1 rows, one partition is fine
-    # and explicit.
+    # dense remap: rank the (K1-bounded) centroid ids. series_window,
+    # not partitionBy(lit(1)): Catalyst FOLDS a literal partition key
+    # out of the spec, so the 'explicit' constant still executed as an
+    # empty partitionSpec and WindowExec cried 'No Partition Defined'
+    # 30x per 600k run (r14 probe observation) — the repo keeps that
+    # warning meaningful for fact-scale frames that actually lost
+    # their key. The frame is k1 rows (<= 256), single-partition by
+    # design.
     dense = cents.select("cluster").withColumn(
         "coarse",
-        F.row_number().over(
-            Window.partitionBy(F.lit(1)).orderBy("cluster")
-        )
-        - 1,
+        F.row_number().over(series_window("cluster")) - 1,
     )
     cells = (
         coarse.join(F.broadcast(dense), "cluster")
