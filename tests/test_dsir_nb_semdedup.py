@@ -743,3 +743,42 @@ def test_semdedup_cap_split_equals_unsplit(spark, tmp_path, monkeypatch):
     for _vid, (_d, cl) in split.items():
         sizes[cl] = sizes.get(cl, 0) + 1
     assert max(sizes.values()) > 9
+
+
+def test_two_level_remap_window_is_partitioned(spark, tmp_path, monkeypatch):
+    """The dense coarse-id remap's ranking window must keep a partition
+    key THROUGH optimization: partitionBy(lit(1)) gets constant-folded
+    to an empty spec (WindowExec then logs 'No Partition Defined' —
+    observed 30x per 600k probe run before the r14 fix), so the key
+    must be non-foldable (series_window's spark_partition_id()*0).
+    Same detection as test_signal_series_windows_are_partitioned: a
+    sort order as windowspecdefinition's first argument means the
+    partition keys vanished."""
+    import re
+
+    from economic_data_project_spark.similarity import semdedup as sd
+    from economic_data_project_spark.similarity.ann import ivf_corpus
+
+    rng = np.random.RandomState(5)
+    _write_vecs(tmp_path, list(rng.normal(size=(40, 8))))
+    member = sd._member_two_level(ivf_corpus(spark, str(tmp_path)), 9)
+    jvm = member.sparkSession._jvm
+    phys = (
+        member._jdf.queryExecution()
+        .explainString(
+            jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "extended"
+            )
+        )
+        .split("== Physical Plan ==", 1)[1]
+    )
+    saw_window = False
+    for line in phys.splitlines():
+        if " Window [" not in f" {line}":
+            continue
+        saw_window = True
+        m = re.search(r"windowspecdefinition\(([^,]+),", line)
+        if m:
+            first = m.group(1)
+            assert "ASC" not in first and "DESC" not in first, line.strip()[:160]
+    assert saw_window, "remap window missing from the two-level plan"
