@@ -309,7 +309,7 @@ def _system_busy_sec() -> tuple[float, float] | None:
         return None
 
 
-def _is_orphaned_ours(pid: int, ppid: int, pgrp: int) -> bool:
+def _is_orphaned_ours(pid: int, ppid: int, pgrp: int, sid: int) -> bool:
     """A descendant whose in-between ancestor exited is reparented to
     init (pid 1) and leaves the ppid-walked tree — its CPU would flip
     from 'ours' to 'external' mid-run and falsely trip contended_end on
@@ -318,11 +318,15 @@ def _is_orphaned_ours(pid: int, ppid: int, pgrp: int) -> bool:
     keeps its process group, so an init-child in OUR process group is
     our orphan. pyspark.daemon is additionally matched by cmdline —
     Spark's Python workers are the one descendant class known to
-    daemonize."""
+    daemonize — but only within OUR login session (sid): a daemon
+    leaked by a PREVIOUS crashed session keeps its dead parent's sid,
+    and claiming its CPU would hide genuine contention."""
     if ppid != 1 or pid == os.getpid():
         return False
     if pgrp == os.getpgrp():
         return True
+    if sid != os.getsid(0):
+        return False
     try:
         with open(f"/proc/{pid}/cmdline", "rb") as fh:
             return b"pyspark.daemon" in fh.read()
@@ -349,14 +353,14 @@ def _proc_tree_cpu_sec() -> float | None:
                 continue
             # comm may contain spaces/parens: split after the LAST ')'
             rest = raw.rsplit(")", 1)[1].split()
-            ppid, pgrp = int(rest[1]), int(rest[2])
+            ppid, pgrp, sid = int(rest[1]), int(rest[2]), int(rest[3])
             utime, stime, cutime, cstime = (
                 int(rest[11]), int(rest[12]), int(rest[13]), int(rest[14])
             )
             pid = int(pid_dir)
             children.setdefault(ppid, []).append(pid)
             stats[pid] = utime + stime + cutime + cstime
-            if _is_orphaned_ours(pid, ppid, pgrp):
+            if _is_orphaned_ours(pid, ppid, pgrp, sid):
                 roots.append(pid)
         total, stack, seen = 0.0, roots, set()
         while stack:

@@ -198,15 +198,20 @@ def test_orphan_attribution_rules():
 
     bench = _load_bench()
     me = os.getpid()
+    sid = os.getsid(0)
     # not an init child -> never claimed by the orphan rule
-    assert not bench._is_orphaned_ours(12345, me, os.getpgrp())
+    assert not bench._is_orphaned_ours(12345, me, os.getpgrp(), sid)
     # init child in our process group -> ours
-    assert bench._is_orphaned_ours(999999, 1, os.getpgrp())
+    assert bench._is_orphaned_ours(999999, 1, os.getpgrp(), sid)
     # init child in a foreign pgrp with no readable cmdline -> external
-    assert not bench._is_orphaned_ours(999999, 1, os.getpgrp() + 7)
+    assert not bench._is_orphaned_ours(999999, 1, os.getpgrp() + 7, sid)
+    # a foreign-pgrp orphan in ANOTHER login session is never probed by
+    # cmdline: a pyspark.daemon leaked by a previous crashed session
+    # must stay external or it hides genuine contention
+    assert not bench._is_orphaned_ours(1, 1, os.getpgrp() + 7, sid + 9)
     # our own pid must not self-claim via the orphan rule (it is the
     # tree root already; double-claiming is harmless but dishonest)
-    assert not bench._is_orphaned_ours(me, 1, os.getpgrp())
+    assert not bench._is_orphaned_ours(me, 1, os.getpgrp(), sid)
 
 
 def test_orphaned_descendant_cpu_stays_ours():
