@@ -573,10 +573,10 @@ terms AS (
 )
 SELECT (SELECT n_docs FROM n) AS n_docs,
        CAST(COUNT(*) AS BIGINT) AS vocab_size,
-       CAST(SUM(df) AS BIGINT) AS df_total,
-       CAST(SUM(CAST(ROUND(LN(
+       CAST(COALESCE(SUM(df), 0) AS BIGINT) AS df_total,
+       CAST(COALESCE(SUM(CAST(ROUND(LN(
          (CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df AS DOUBLE) + 1.0)
-       ), 9) AS DECIMAL(28,9))) AS DOUBLE) AS idf_sum_9dp
+       ), 9) AS DECIMAL(28,9))), 0) AS DOUBLE) AS idf_sum_9dp
 FROM terms
 """
 
@@ -598,10 +598,23 @@ def doc_idf_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build():
         tokens, cv_model = _cv_fit(spark, sf_dir)
+        if not cv_model.vocabulary:
+            # an all-excluded corpus fits an EMPTY vocabulary and
+            # cv_model.transform would refuse — the census is total:
+            # zero terms, zero df, zero weight sum (oracle COALESCEs
+            # its SUMs to match), same discipline as the vocab census.
+            return None
         tf = cv_model.transform(tokens)
         return IDF(inputCol="tf", outputCol="tfidf").fit(tf)
 
     idf_model = _memoized(spark, sf_dir, "idf_census_model", build)
+    if idf_model is None:
+        n_docs = load_table(spark, sf_dir, "documents").count()
+        return spark.createDataFrame(
+            [(int(n_docs), 0, 0, 0.0)],
+            "n_docs long, vocab_size long, df_total long,"
+            " idf_sum_9dp double",
+        )
     weights = [float(v) for v in idf_model.idf.toArray()]
     doc_freq = [int(d) for d in idf_model.docFreq]
     q9 = Decimal("0.000000001")

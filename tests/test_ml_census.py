@@ -206,3 +206,31 @@ def test_idf_census_cap_has_headroom_at_test_scales(spark):
             f" {VOCAB_SIZE} cap — the IDF/vocab censuses lose"
             " content-exactness at the cap; re-pin the expectation"
         )
+
+
+def test_idf_census_is_total_on_empty_vocabulary(spark, tmp_path):
+    """Same totality discipline as the vocab census: an all-excluded
+    corpus (shared grams over maxDF, the rest df=1) must census as
+    zero terms / zero df / zero weight sum rather than crash in
+    cv_model.transform, and the oracle's COALESCEd SUMs must match."""
+    from tests.conftest import compare_with_oracle, duckdb_connect
+
+    texts = [
+        f"alpha beta gamma uniq{'x' * (i + 1)}" for i in range(10)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["doc_idf_census"],
+            all_oracles()["doc_idf_census"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+    row = all_queries()["doc_idf_census"](spark, sf).collect()[0]
+    assert (row.n_docs, row.vocab_size, row.df_total) == (10, 0, 0)
+    assert row.idf_sum_9dp == 0.0
