@@ -446,8 +446,12 @@ def _dups_gemm(member: DataFrame) -> DataFrame:
     dups_small = small.groupBy("cluster").applyInPandas(
         kernel, schema="dup_id long"
     )
+    # salt on a HASH of the id, not the raw id: the repo supports
+    # sparse/offset id spaces (ann.py contract), and a strided layout
+    # (every vec_id ≡ c mod splits) would land the whole hot cluster
+    # back in one salt — defeating the time bound the split exists for.
     big = tagged.filter(F.col("splits") > 1).withColumn(
-        "salt", F.pmod("vec_id", "splits").cast("int")
+        "salt", F.pmod(F.xxhash64("vec_id"), F.col("splits")).cast("int")
     )
     other = F.explode(F.sequence(F.lit(0), F.col("splits") - 1))
     q_rows = big.select(

@@ -782,3 +782,42 @@ def test_two_level_remap_window_is_partitioned(spark, tmp_path, monkeypatch):
             first = m.group(1)
             assert "ASC" not in first and "DESC" not in first, line.strip()[:160]
     assert saw_window, "remap window missing from the two-level plan"
+
+
+def test_cap_split_salt_survives_strided_ids(spark, tmp_path, monkeypatch):
+    """The split salts on xxhash64(vec_id), not the raw id: with ids
+    all congruent mod splits (stride 8, the ann.py sparse-id contract
+    makes such layouts legal) a raw modulo would land the whole hot
+    cluster back in ONE salt group and defeat the time bound. Planted
+    copies must still be flagged and the verdicts must equal the
+    unsplit kernel's."""
+    from economic_data_project_spark.similarity import semdedup as sd
+
+    rng = np.random.RandomState(59)
+    base = rng.normal(size=(40, 16))
+    vecs = list(base) + [base[2].copy(), base[2].copy()]
+    # stride-8 ids: every vec_id % 4 == 0 for splits in {2,4}
+    pd.DataFrame(
+        {
+            "vec_id": [8 * i for i in range(len(vecs))],
+            "embedding": [list(map(float, v)) for v in vecs],
+            "label": [i % 3 for i in range(len(vecs))],
+        }
+    ).to_parquet(str(tmp_path / "embeddings.parquet"), index=False)
+    monkeypatch.setattr(sd, "_SCALE_MIN", 1)
+    monkeypatch.setattr(sd, "_TARGET_CLUSTER", 23)  # K=1 -> one cluster
+    unsplit = {
+        r.vec_id: r.is_dup
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    monkeypatch.setattr(sd, "_SPLIT_CAP", 11)  # 42-row cluster -> 4 salts
+    split = {
+        r.vec_id: r.is_dup
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert split == unsplit
+    assert split[8 * 40] and split[8 * 41]
