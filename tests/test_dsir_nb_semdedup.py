@@ -721,12 +721,25 @@ def test_semdedup_cap_split_equals_unsplit(spark, tmp_path, monkeypatch):
     sf = _write_vecs(tmp_path, vecs)
     monkeypatch.setattr(sd, "_SCALE_MIN", 1)  # force the GEMM tier
     monkeypatch.setattr(sd, "_TARGET_CLUSTER", 27)  # K=2 -> big clusters
+    # arm 1: n (53) <= _SPLIT_CAP -> the job-free SHORT-CIRCUIT path
+    # (r15: no size agg, no salt machinery)
     unsplit = {
         r.vec_id: (r.is_dup, r.cluster)
         for r in all_queries()["dedup_semantic_semdedup"](
             spark, sf
         ).collect()
     }
+    # arm 2: cap between max cluster size (~27) and n -> the GENERAL
+    # declarative path with every cluster degenerating to splits=1
+    monkeypatch.setattr(sd, "_SPLIT_CAP", 40)
+    general = {
+        r.vec_id: (r.is_dup, r.cluster)
+        for r in all_queries()["dedup_semantic_semdedup"](
+            spark, sf
+        ).collect()
+    }
+    assert general == unsplit
+    # arm 3: cap below cluster size -> the 2-D salt split engages
     monkeypatch.setattr(sd, "_SPLIT_CAP", 9)  # ~27-row clusters -> 3+ salts
     split = {
         r.vec_id: (r.is_dup, r.cluster)
@@ -821,3 +834,44 @@ def test_cap_split_salt_survives_strided_ids(spark, tmp_path, monkeypatch):
     }
     assert split == unsplit
     assert split[8 * 40] and split[8 * 41]
+
+
+def test_cap_split_mixed_dim_cluster_matches_unsplit(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r14: on a CONTRACT-VIOLATING mixed-dim cluster the salt
+    groups' per-group max dim can differ from the cluster's, so the
+    split path must share the unsplit kernel's per-CLUSTER max-dim
+    exclusion (now a pre-filter in _dups_gemm). Fixture: one cluster
+    holding 3 sixteen-dim rows and 20 eight-dim rows (including exact
+    copies) — with a small cap most salt groups contain ONLY
+    eight-dim rows, exactly the layout where a per-group exclusion
+    diverges. All three paths (short-circuit / general / split) must
+    agree, and every below-max-dim row must be excluded from the pair
+    compare (never flagged dup) on each of them."""
+    from economic_data_project_spark.similarity import semdedup as sd
+
+    rng = np.random.RandomState(61)
+    low = list(rng.normal(size=(14, 8)))
+    low += [low[0].copy()] * 4 + [low[3].copy()] * 2  # planted low copies
+    high = list(rng.normal(size=(3, 16)))
+    vecs = low + high  # 20 low + 3 high = 23 rows
+    sf = _write_vecs(tmp_path, vecs)
+    monkeypatch.setattr(sd, "_SCALE_MIN", 1)  # force the GEMM tier
+    monkeypatch.setattr(sd, "_TARGET_CLUSTER", 23)  # K=1 -> one cluster
+    q = all_queries()["dedup_semantic_semdedup"]
+    arms = {}
+    arms["short"] = {r.vec_id: r.is_dup for r in q(spark, sf).collect()}
+    # the single cluster IS the corpus (csize == n), so every non-
+    # short-circuit arm necessarily splits; two granularities cover
+    # both coarse and fine salt layouts
+    monkeypatch.setattr(sd, "_SPLIT_CAP", 12)  # 23-row cluster -> 2 salts
+    arms["split2"] = {r.vec_id: r.is_dup for r in q(spark, sf).collect()}
+    monkeypatch.setattr(sd, "_SPLIT_CAP", 6)  # 23-row cluster -> 4 salts
+    arms["split4"] = {r.vec_id: r.is_dup for r in q(spark, sf).collect()}
+    assert arms["split2"] == arms["short"]
+    assert arms["split4"] == arms["short"]
+    # the cluster-wide exclusion: low-dim rows never enter the pair
+    # compare, so the planted low-dim copies must NOT be flagged
+    for vid in range(20):
+        assert not arms["split4"][vid], vid
