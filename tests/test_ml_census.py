@@ -234,3 +234,122 @@ def test_idf_census_is_total_on_empty_vocabulary(spark, tmp_path):
     row = all_queries()["doc_idf_census"](spark, sf).collect()[0]
     assert (row.n_docs, row.vocab_size, row.df_total) == (10, 0, 0)
     assert row.idf_sum_9dp == 0.0
+
+
+def test_kmeans_assign_census_matches_oracle_and_numpy(spark, tmp_path):
+    """The assignment census (VERDICT r14 #3) on a crafted corpus with
+    clear cluster structure: oracle hash-match (DuckDB recomputes
+    tf-idf, distances, and argmin from the emitted centroids) PLUS an
+    independent NumPy recomputation of the engine side — per-doc
+    argmin over the model's own centers from the collected feature
+    vectors must equal every prediction, and the quantized distance
+    sums must rebuild exactly."""
+    from decimal import Decimal
+
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from tests.conftest import compare_with_oracle, duckdb_connect
+    from economic_data_project_spark.text.ml import (
+        _features,
+        _kmeans_model,
+    )
+
+    # three lexical families so k-means has real structure; enough
+    # docs that every family passes min_df
+    fam = [
+        "apples oranges market fruit vendor prices",
+        "engine piston torque gearbox chassis motor",
+        "sonata violin orchestra tempo concerto melody",
+    ]
+    texts = [
+        f"{fam[i % 3]} filler{'x' * (i % 4)} common shared corpus"
+        for i in range(18)
+    ]
+    sf = _write_docs(tmp_path, texts)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["doc_kmeans_assign_census"],
+            all_oracles()["doc_kmeans_assign_census"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+
+    # engine-side golden: numpy argmin over the model's centers
+    feats, _vocab = _features(spark, sf)
+    model = _kmeans_model(spark, sf)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    got = (
+        model.transform(feats)
+        .select(
+            "doc_id",
+            "prediction",
+            vector_to_array(F.col("features")).alias("x"),
+        )
+        .collect()
+    )
+    q6 = Decimal("0.000001")
+    sums: dict[int, Decimal] = {}
+    for r in got:
+        x = np.asarray(r.x)
+        d2 = ((centers - x) ** 2).sum(axis=1)
+        assert int(d2.argmin()) == r.prediction, r.doc_id
+        sums[r.prediction] = sums.get(r.prediction, Decimal(0)) + Decimal(
+            str(round(float(d2[r.prediction]), 6))
+        ).quantize(q6)
+    census = {
+        r.cluster: r
+        for r in all_queries()["doc_kmeans_assign_census"](
+            spark, sf
+        ).collect()
+    }
+    assert set(census) == set(sums)
+    for c, s in sums.items():
+        assert census[c].dist_sum_6dp == float(s), c
+
+
+def test_kmeans_assign_census_stale_scratch_fails_loudly(spark, tmp_path):
+    """A stale centroid scratch (written for a DIFFERENT corpus) must
+    yield ZERO oracle rows — a loud row-count mismatch, never a silent
+    pass: every scratch row carries a content-sharp corpus_key the
+    oracle recomputes and filters on."""
+    from tests.conftest import duckdb_connect
+    from economic_data_project_spark.registry import all_oracles
+
+    (tmp_path / "a").mkdir(exist_ok=True)
+    (tmp_path / "b").mkdir(exist_ok=True)
+    # 8 doc groups (df=2 each) so the corpus has >= K distinct
+    # feature vectors for the k=8 fit; group tokens are LETTER runs
+    # (the tokenizer pattern [a-zA-Z]{3,20} drops digits, so 'doc0'
+    # would collapse to 'doc' at df=n and vanish under maxDF)
+    sf_a = _write_docs(
+        tmp_path / "a",
+        [
+            f"apples oranges market fruit grp{'q' * (i % 8 + 1)}"
+            for i in range(16)
+        ],
+    )
+    sf_b = _write_docs(
+        tmp_path / "b",
+        [
+            f"engine piston torque gearbox grp{'z' * (i % 8 + 1)}"
+            for i in range(16)
+        ],
+    )
+    # run the census on corpus A -> scratch now holds A's centroids
+    all_queries()["doc_kmeans_assign_census"](spark, sf_a).collect()
+    # oracle evaluated against corpus B sees a non-matching corpus_key
+    con = duckdb_connect(sf_b)
+    try:
+        rows = con.execute(
+            all_oracles()["doc_kmeans_assign_census"]
+        ).fetchall()
+    finally:
+        con.close()
+    assert rows == []

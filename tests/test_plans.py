@@ -919,6 +919,8 @@ _BUILD_JOB_EXEMPT = {
     "doc_ml_vocab_census": "CountVectorizer/IDF fit at build",
     "doc_idf_census": "IDF fit at build (composes the memoized CV stage)",
     "doc_kmeans_census": "composes doc_kmeans_clusters",
+    "doc_kmeans_assign_census": "composes the memoized KMeans fit; "
+    "corpus-key agg + centroid scratch write for the DuckDB oracle",
     "doc_topics_census": "composes doc_topics_lda",
     "doc_nmf_census": "composes doc_nmf_topics",
     "signal_turbulence": "driver-side covariance fit (bounded panel)",
@@ -979,6 +981,7 @@ def test_registry_builders_run_no_jobs_at_construction(
         "doc_ml_vocab_census",
         "doc_idf_census",
         "doc_kmeans_census",
+        "doc_kmeans_assign_census",
         "doc_topics_census",
         "doc_nmf_census",
     }
