@@ -116,3 +116,19 @@ def test_load_artifact_accepts_snapshot_txt(tmp_path):
     bad = tmp_path / "bad.txt"
     bad.write_text("no json here\n")
     assert bc.load_artifact(str(bad)) is None
+
+
+def test_load_artifact_ignores_trailing_nonartifact_json(tmp_path):
+    """ADVICE r14: the .txt fallback took the LAST line starting with
+    '{' — a capture that appends any trailing JSON-ish diagnostic line
+    after the artifact line would silently adjudicate from the wrong
+    payload. The loop must take the last line that parses AND carries
+    the 'queries' contract."""
+    bc = _load()
+    snap = tmp_path / "snap.txt"
+    snap.write_text(
+        json.dumps(_art()) + "\n"
+        + '{"note": "post-run diagnostic", "steal_share": 0.01}\n'
+    )
+    art = bc.load_artifact(str(snap))
+    assert art is not None and "queries" in art and art["n_runs"] == 3

@@ -256,3 +256,31 @@ def test_interrupted_broadcast_store_is_attributed():
     incidents = sim._scan_incidents(lines)
     assert len(incidents) == 2
     assert all(rule is not None for _h, _c, rule in incidents)
+
+
+def test_teardown_window_spans_month_boundary():
+    """ADVICE r14: the epoch ordinal folded only day/hour/min/sec, so
+    a sim run crossing a month boundary compared epochs ~days apart
+    and missed the ±3 s co-match. With a real calendar conversion the
+    stream-signed job abort at 23:59:59 on the month's last day must
+    vouch for the bare task abort 2 s later at 00:00:01 on the 1st."""
+    sim = _load_sim()
+    lines = [
+        "[165/171] MATCH stream_neardup_census: ok (22 rows)",
+        "26/08/31 23:59:59 ERROR FileFormatWriter: Aborting job"
+        " 20f1f608-c5e6-4bc4-9a72-2b2e8f04ed32.",
+        "26/09/01 00:00:01 ERROR Utils: Aborting task",
+    ]
+    incidents = sim._scan_incidents(lines)
+    assert len(incidents) == 2
+    assert incidents[0][2] is not None
+    assert incidents[1][2] is not None, "month-boundary co-match missed"
+    assert "teardown-window" in incidents[1][2]
+    # and a genuinely distant pair still does NOT co-match
+    far = [
+        lines[0],
+        "26/08/31 23:59:59 ERROR FileFormatWriter: Aborting job x.",
+        "26/09/01 00:10:00 ERROR Utils: Aborting task",
+    ]
+    incidents = sim._scan_incidents(far)
+    assert incidents[1][2] is None

@@ -41,21 +41,32 @@ def load_artifact(path: str) -> dict | None:
     the contract). Returns None when there is no parseable payload."""
     with open(path) as fh:
         text = fh.read()
+    def _unwrap(d):
+        return d["parsed"] if isinstance(d, dict) and "parsed" in d else d
+
+    def _is_artifact(d):
+        return isinstance(d, dict) and "queries" in d
+
     try:
-        doc = json.loads(text)
+        doc = _unwrap(json.loads(text))
     except ValueError:
+        # the artifact-line contract lives in the LOOP (ADVICE r14: a
+        # snapshot whose capture appends any trailing JSON-ish
+        # diagnostic line would otherwise silently adjudicate from the
+        # wrong payload) — take the last line that both parses AND is
+        # an artifact, not merely the last that parses.
         doc = None
         for line in reversed(text.splitlines()):
             line = line.strip()
             if line.startswith("{"):
                 try:
-                    doc = json.loads(line)
-                    break
+                    cand = _unwrap(json.loads(line))
                 except ValueError:
                     continue
-    if isinstance(doc, dict) and "parsed" in doc:
-        doc = doc["parsed"]
-    if not isinstance(doc, dict) or "queries" not in doc:
+                if _is_artifact(cand):
+                    doc = cand
+                    break
+    if not _is_artifact(doc):
         return None
     return doc
 

@@ -94,14 +94,22 @@ _TS = re.compile(r"^(\d\d)/(\d\d)/(\d\d) (\d\d):(\d\d):(\d\d) ")
 
 
 def _block_epoch(line):
-    """Seconds-since-midnight-ish ordinal for a timestamped Spark log
-    line (None for untimestamped Python tracebacks). Same-day
-    assumption is fine: the window is ±3 s inside one sim run."""
+    """True epoch seconds for a timestamped Spark log line (None for
+    untimestamped Python tracebacks). A real calendar conversion, not
+    a hand-folded ordinal (ADVICE r14: folding only day/hour/min/sec
+    made a sim run that crossed a month boundary compare epochs ~days
+    apart, missing the ±3 s co-match and false-failing a benign abort
+    cluster); datetime handles month/year boundaries exactly."""
+    import datetime
+
     m = _TS.match(line)
     if not m:
         return None
-    _y, _mo, d, h, mi, s = (int(g) for g in m.groups())
-    return ((d * 24 + h) * 60 + mi) * 60 + s
+    y, mo, d, h, mi, s = (int(g) for g in m.groups())
+    try:
+        return datetime.datetime(2000 + y, mo, d, h, mi, s).timestamp()
+    except ValueError:  # malformed-but-matching timestamp
+        return None
 
 _INCIDENT_START = re.compile(
     r"^Traceback \(most recent call last\)"

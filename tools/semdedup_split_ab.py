@@ -87,9 +87,15 @@ def main() -> None:
     for label, cap in (("unsplit", 1 << 60), ("split", 16384)):
         sd._SPLIT_CAP = cap
         t0 = time.time()
-        results[label] = sd._dups_gemm(member).count()
+        # collect the dup_id SET, not a count (ADVICE r14: count
+        # equality would pass compensating divergences — one id
+        # dropped, another gained — while the log claims 'identical
+        # dup sets'); the set is n_dup-sized, a bounded collect.
+        results[label] = {
+            r.dup_id for r in sd._dups_gemm(member).collect()
+        }
         print(
-            f"{label}: dups={results[label]}"
+            f"{label}: dups={len(results[label])}"
             f" elapsed={time.time() - t0:.1f}s",
             flush=True,
         )
