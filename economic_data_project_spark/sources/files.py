@@ -255,7 +255,9 @@ def orc_corpus_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # CSV interchange: the lowest-common-denominator corpus format. The
 # census carries a TEXT CHECKSUM (order-free bigint sum of an md5
-# prefix per document) on top of the count/char/id battery, because
+# prefix per document; the SAME cross-engine idiom keys the KMeans
+# assignment census's corpus fingerprint, text/ml.py — change both
+# sites together) on top of the count/char/id battery, because
 # the CSV-specific failure mode is silent content corruption through
 # quoting/escaping — a census that only counts rows would pass a file
 # whose commas and quotes scrambled the payloads. RFC-4180 discipline:

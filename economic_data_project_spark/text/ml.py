@@ -37,6 +37,9 @@ driver.
 
 from __future__ import annotations
 
+import hashlib
+import os
+import tempfile
 import threading
 from collections import OrderedDict
 
@@ -704,7 +707,8 @@ def doc_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -> per-doc argmin (ties on cluster id) -> per-cluster membership
 # (count + doc_id sum) and a decimal-quantized assigned-distance sum.
 # A wrong assignment, a mis-weighted term, a vocabulary mismatch, or
-# a corrupted centroid row all break the hash.
+# a corrupted centroid row all break the hash. (The "fixed path" is a
+# fixed ROOT with one md5(sf_dir) subdir per corpus — see _KM_SCRATCH.)
 #
 # Ordering contract: the driver/compare harness runs the Spark
 # builder (which writes the scratch) to completion BEFORE executing
@@ -725,19 +729,16 @@ def doc_kmeans_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 9 dp). DATA-PINNED like the idf census: oracle vocabulary =
 # all eligible terms, engine = fitted vocabulary; identical while
 # eligible <= vocabSize (gated by tests/test_ml_census.py).
-_KM_SCRATCH = None  # resolved lazily so tempdir is read once
-
-
-def _km_scratch_dir() -> str:
-    global _KM_SCRATCH
-    if _KM_SCRATCH is None:
-        import os
-        import tempfile
-
-        _KM_SCRATCH = os.path.join(
-            tempfile.gettempdir(), "spark_graft_kmctr"
-        )
-    return _KM_SCRATCH
+# Scratch layout: one SUBDIR per sf_dir (md5-keyed, the
+# csv_corpus_roundtrip salting discipline) so concurrent sessions at
+# different corpora never clobber each other's files; the oracle glob
+# unions every subdir and filters rows to the CURRENT corpus by
+# corpus_key (content-sharp: count + doc_id sum + md5 text checksum),
+# with SELECT DISTINCT collapsing the one legal duplicate source — two
+# path-distinct copies of an identical corpus, whose seeded fits emit
+# identical centroids. A module constant, not a lazy global: the
+# @query decorator evaluates the oracle string at import anyway.
+_KM_SCRATCH = os.path.join(tempfile.gettempdir(), "spark_graft_kmctr")
 
 
 _CORPUS_KEY_SQL = (
@@ -759,14 +760,14 @@ vocab AS (
   WHERE df.df >= {MIN_DF} AND CAST(df.df AS DOUBLE) <= {MAX_DF} * n.n_docs
 ),
 cent AS (
-  SELECT CAST(cluster AS INTEGER) AS cluster, term,
+  SELECT DISTINCT CAST(cluster AS INTEGER) AS cluster, term,
          CAST(weight AS DOUBLE) AS weight
-  FROM read_parquet('{_km_scratch_dir()}/*.parquet')
+  FROM read_parquet('{_KM_SCRATCH}/*/*.parquet')
   WHERE corpus_key = {_CORPUS_KEY_SQL}
 ),
 cnorm AS (
   SELECT cluster, SUM(weight * weight) AS cn2,
-         CAST(COUNT(*) AS BIGINT) AS n_terms
+         CAST(COUNT(*) FILTER (WHERE weight != 0.0) AS BIGINT) AS n_terms
   FROM cent GROUP BY cluster
 ),
 tf AS (
@@ -825,78 +826,123 @@ def doc_kmeans_assign_census(
     centroid's nonzero-term count, and the 6-dp-quantized sum of
     squared distances from each member's feature vector to its OWN
     predicted centroid — every number the DuckDB oracle independently
-    recomputes from the raw corpus plus the emitted centroids."""
-    feats, vocab = _features(spark, sf_dir)
-    model = _kmeans_model(spark, sf_dir)
-    centers = model.clusterCenters()
+    recomputes from the raw corpus plus the emitted centroids.
 
-    docs = load_table(spark, sf_dir, "documents")
-    krow = docs.agg(
-        F.count("*").alias("n"),
-        F.sum("doc_id").alias("s"),
-        F.sum(
-            F.expr(
-                "cast(conv(substr(md5(text), 1, 8), 16, 10) as bigint)"
-            )
-        ).alias("c"),
-    ).first()
-    corpus_key = f"{krow['n']}_{krow['s']}_{krow['c']}"
+    Each cluster emits a zero-weight SENTINEL row alongside its
+    nonzero terms, so a legitimately all-zero centroid (a cluster of
+    docs that tokenize to nothing) still exists on the oracle side —
+    without it the w != 0 filter would drop the cluster from cent/
+    cnorm entirely and the oracle would reassign its members.
 
-    rows = [
-        (corpus_key, int(ci), vocab[j], float(w))
-        for ci, center in enumerate(centers)
-        for j, w in enumerate(center)
-        if w != 0.0
-    ]
-    spark.createDataFrame(
-        rows, "corpus_key string, cluster int, term string, weight double"
-    ).coalesce(1).write.mode("overwrite").parquet(_km_scratch_dir())
+    DATA-PINNED tolerance note: the engine's prediction comes from
+    Spark's findClosest (norm-expanded fastSquaredDistance, ~1e-6
+    relative precision) while both the oracle and this query's own
+    distance column compute exactly — a doc whose best-vs-second
+    margin sat inside ~1e-6 relative could flip cross-engine. The
+    measured margins at every test SF are orders above that
+    (gated by tests/test_ml_census.py::
+    test_kmeans_assign_margin_has_tolerance_headroom); a corpus that
+    approaches the bound should re-pin the census, not the engine.
 
-    n_terms = {
-        ci: sum(1 for w in center if w != 0.0)
-        for ci, center in enumerate(centers)
-    }
-    cdf = spark.createDataFrame(
-        [
-            (ci, [float(x) for x in center], n_terms[ci])
-            for ci, center in enumerate(centers)
-        ],
-        "prediction int, center array<double>, n_terms long",
+    Memoized like the sibling ML surfaces; on a memo hit only a
+    scratch-existence stat remains, and the scratch is rebuilt from
+    the memoized rows if an external /tmp sweep removed it (the
+    returned frame itself never reads the scratch)."""
+    sub = os.path.join(
+        _KM_SCRATCH, hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     )
-    dist2 = F.aggregate(
-        F.zip_with(
-            vector_to_array(F.col("features")),
-            F.col("center"),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    scratch_schema = (
+        "corpus_key string, cluster int, term string, weight double"
     )
-    return (
-        model.transform(feats)
-        .select("doc_id", "prediction", "features")
-        .join(F.broadcast(cdf), "prediction")
-        .withColumn("d2", dist2)
-        .groupBy("prediction")
-        .agg(
-            F.count("*").cast("long").alias("n_docs"),
-            F.sum("doc_id").cast("long").alias("sum_doc_id"),
-            F.max("n_terms").cast("long").alias("n_terms"),
+
+    def write_scratch(rows):
+        spark.createDataFrame(rows, scratch_schema).coalesce(
+            1
+        ).write.mode("overwrite").parquet(sub)
+
+    def build():
+        feats, vocab = _features(spark, sf_dir)
+        model = _kmeans_model(spark, sf_dir)
+        centers = model.clusterCenters()
+
+        docs = load_table(spark, sf_dir, "documents")
+        # the same cross-engine md5-prefix text checksum as
+        # csv_corpus_roundtrip (sources/files.py:300,334) — keep the
+        # two sites in sync if either idiom ever changes
+        krow = docs.agg(
+            F.count("*").alias("n"),
+            F.sum("doc_id").alias("s"),
             F.sum(
-                F.round(F.col("d2"), 6).cast("decimal(38,6)")
+                F.expr(
+                    "cast(conv(substr(md5(text), 1, 8), 16, 10)"
+                    " as bigint)"
+                )
+            ).alias("c"),
+        ).first()
+        corpus_key = f"{krow['n']}_{krow['s']}_{krow['c']}"
+
+        rows = [
+            (corpus_key, int(ci), "", 0.0)  # per-cluster sentinel
+            for ci in range(len(centers))
+        ] + [
+            (corpus_key, int(ci), vocab[j], float(w))
+            for ci, center in enumerate(centers)
+            for j, w in enumerate(center)
+            if w != 0.0
+        ]
+        write_scratch(rows)
+
+        n_terms = {
+            ci: sum(1 for w in center if w != 0.0)
+            for ci, center in enumerate(centers)
+        }
+        cdf = spark.createDataFrame(
+            [
+                (ci, [float(x) for x in center], n_terms[ci])
+                for ci, center in enumerate(centers)
+            ],
+            "prediction int, center array<double>, n_terms long",
+        )
+        dist2 = F.aggregate(
+            F.zip_with(
+                vector_to_array(F.col("features")),
+                F.col("center"),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        out = (
+            model.transform(feats)
+            .select("doc_id", "prediction", "features")
+            .join(F.broadcast(cdf), "prediction")
+            .withColumn("d2", dist2)
+            .groupBy("prediction")
+            .agg(
+                F.count("*").cast("long").alias("n_docs"),
+                F.sum("doc_id").cast("long").alias("sum_doc_id"),
+                F.max("n_terms").cast("long").alias("n_terms"),
+                F.sum(
+                    F.round(F.col("d2"), 6).cast("decimal(38,6)")
+                )
+                .cast("double")
+                .alias("dist_sum_6dp"),
             )
-            .cast("double")
-            .alias("dist_sum_6dp"),
+            .select(
+                F.col("prediction").cast("int").alias("cluster"),
+                "n_docs",
+                "sum_doc_id",
+                "n_terms",
+                "dist_sum_6dp",
+            )
+            .orderBy("cluster")
         )
-        .select(
-            F.col("prediction").cast("int").alias("cluster"),
-            "n_docs",
-            "sum_doc_id",
-            "n_terms",
-            "dist_sum_6dp",
-        )
-        .orderBy("cluster")
-    )
+        return out, rows
+
+    out, rows = _memoized(spark, sf_dir, "kmeans_assign", build)
+    if not os.path.isdir(sub):  # /tmp swept under a live memo
+        write_scratch(rows)
+    return out
 
 
 def _topics_census(out: DataFrame) -> DataFrame:

@@ -353,3 +353,90 @@ def test_kmeans_assign_census_stale_scratch_fails_loudly(spark, tmp_path):
     finally:
         con.close()
     assert rows == []
+
+
+def test_kmeans_assign_margin_has_tolerance_headroom(spark):
+    """DATA-PINNED guard for the assignment census: the engine's
+    prediction comes from Spark's findClosest (norm-expanded
+    fastSquaredDistance, ~1e-6 relative precision) while the oracle
+    and the census's own distance column compute exactly — a doc whose
+    best-vs-second-best margin sits inside the tolerance could flip
+    argmin cross-engine. Measure the minimum relative margin at the
+    test SFs and fail loudly if a regenerated corpus approaches the
+    bound (re-pin the census, don't let it go flaky)."""
+    import numpy as np
+    from pyspark.ml.functions import vector_to_array
+    from pyspark.sql import functions as F
+
+    from economic_data_project_spark.text.ml import (
+        _features,
+        _kmeans_model,
+    )
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        feats, _vocab = _features(spark, sf_dir)
+        model = _kmeans_model(spark, sf_dir)
+        centers = np.stack(
+            [np.asarray(c) for c in model.clusterCenters()]
+        )
+        xs = (
+            feats.select(vector_to_array(F.col("features")).alias("x"))
+            .collect()
+        )
+        min_margin = float("inf")
+        for r in xs:
+            x = np.asarray(r.x)
+            d2 = np.sort(((centers - x) ** 2).sum(axis=1))
+            rel = (d2[1] - d2[0]) / max(float(d2[1]), 1e-30)
+            min_margin = min(min_margin, rel)
+        assert min_margin > 1e-3, (
+            f"{sf_dir}: min relative argmin margin {min_margin:.2e}"
+            " within 1000x of Spark's 1e-6 fast-distance tolerance —"
+            " the assignment census loses cross-engine exactness"
+        )
+
+
+def test_kmeans_assign_census_total_on_zero_vector_docs(spark, tmp_path):
+    """Docs that tokenize to NOTHING (digits/short fragments) carry
+    zero feature vectors; a cluster made of them has an all-zero
+    centroid, which emits no nonzero scratch rows — the per-cluster
+    SENTINEL row is what keeps that cluster visible to the oracle
+    (without it the oracle reassigns those docs and the census
+    false-fails on a correct engine)."""
+    import numpy as np
+
+    from tests.conftest import compare_with_oracle, duckdb_connect
+    from economic_data_project_spark.text.ml import _kmeans_model
+
+    # exactly K distinct feature points: 7 lexical groups plus the
+    # zero point — the seeded fit then dedicates one centroid to the
+    # zero-vector docs
+    texts = [
+        f"apples oranges market fruit grp{'w' * (i % 7 + 1)}"
+        for i in range(14)
+    ] + ["12 34 56 !!"] * 6  # tokenize to zero vectors
+    sf = _write_docs(tmp_path, texts)
+    con = duckdb_connect(sf)
+    try:
+        ok, msg = compare_with_oracle(
+            spark,
+            all_queries()["doc_kmeans_assign_census"],
+            all_oracles()["doc_kmeans_assign_census"],
+            sf,
+            con=con,
+        )
+    finally:
+        con.close()
+    assert ok, msg
+    # pin that the fixture genuinely exercises the all-zero-centroid
+    # path (seeded fit -> deterministic); if a pipeline change stops
+    # producing one, this assert flags the fixture, not the engine
+    centers = _kmeans_model(spark, sf).clusterCenters()
+    assert any(
+        not np.any(np.asarray(c)) for c in centers
+    ), "fixture no longer yields an all-zero centroid"
+    rows = all_queries()["doc_kmeans_assign_census"](spark, sf).collect()
+    assert sum(r.n_docs for r in rows) == 20
+    zero = [r for r in rows if r.n_terms == 0]
+    assert zero and all(r.dist_sum_6dp == 0.0 for r in zero)
+    assert sum(r.n_docs for r in zero) == 6

@@ -94,20 +94,25 @@ _TS = re.compile(r"^(\d\d)/(\d\d)/(\d\d) (\d\d):(\d\d):(\d\d) ")
 
 
 def _block_epoch(line):
-    """True epoch seconds for a timestamped Spark log line (None for
-    untimestamped Python tracebacks). A real calendar conversion, not
-    a hand-folded ordinal (ADVICE r14: folding only day/hour/min/sec
-    made a sim run that crossed a month boundary compare epochs ~days
-    apart, missing the ±3 s co-match and false-failing a benign abort
-    cluster); datetime handles month/year boundaries exactly."""
-    import datetime
+    """Calendar-exact ordinal (seconds) for a timestamped Spark log
+    line (None for untimestamped Python tracebacks). A real calendar
+    conversion, not a hand-folded ordinal (ADVICE r14: folding only
+    day/hour/min/sec made a sim run that crossed a month boundary
+    compare epochs ~days apart, missing the ±3 s co-match and
+    false-failing a benign abort cluster). timegm treats the wall
+    clock as UTC — a TZ-FREE monotone mapping, so the verdict cannot
+    depend on the scanning box's timezone and a naive timestamp()'s
+    DST fold cannot reopen the same hole one hour per year. The
+    residual DST ambiguity lives in the LOG's wall clock itself
+    (a fall-back repeats an hour) and is undecidable from the text."""
+    import calendar
 
     m = _TS.match(line)
     if not m:
         return None
     y, mo, d, h, mi, s = (int(g) for g in m.groups())
     try:
-        return datetime.datetime(2000 + y, mo, d, h, mi, s).timestamp()
+        return calendar.timegm((2000 + y, mo, d, h, mi, s, 0, 0, 0))
     except ValueError:  # malformed-but-matching timestamp
         return None
 
