@@ -30,6 +30,15 @@ from economic_data_project_spark.registry import all_queries
 from economic_data_project_spark.session import get_spark
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 250_000
+# Optional surface filter (2nd arg): run one surface in a FRESH
+# session to separate its cost from same-session residue of the
+# other — the default both-in-one-session run leaves the first
+# surface's cached frames resident while the second executes.
+SURFACES = tuple(
+    s
+    for s in ("ann_ivf_topk", "ann_ivf_topk_int8")
+    if len(sys.argv) <= 2 or s == sys.argv[2]
+)
 DIM = 64
 # Round-neutral self-log (the simhash64 probe precedent): appending
 # to a past round's recorded artifact retro-edits evidence; copy lines
@@ -66,7 +75,7 @@ def main() -> None:
     with open(LOG, "a") as fh:
         # the float IVF (Lloyd-refined) and the int8 IVF-SQ composition
         # both carry the sqrt-K sizing above the cutover — probe both
-        for qname in ("ann_ivf_topk", "ann_ivf_topk_int8"):
+        for qname in SURFACES:
             t0 = time.time()
             rows = (
                 all_queries()[qname](spark, out)
