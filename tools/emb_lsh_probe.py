@@ -139,10 +139,20 @@ def full_pipeline(spark, n) -> dict:
 
 
 def main() -> None:
+    # Optional argv: explicit end-to-end n values (e.g. `1000000` to
+    # extend the scale curve one doubling in a fresh session without
+    # re-running the committed smaller points).
+    e2e_ns = (
+        tuple(int(a) for a in sys.argv[1:])
+        if len(sys.argv) > 1
+        else (250_000, 500_000)
+    )
     spark = get_spark(app_name="emb-lsh-probe")
     tune_session(spark)
     # candidate volume: legacy 6-bit windows vs log2(n) hyperplanes
-    for n in (30_000,):
+    # (skipped when explicit e2e ns are given — it is an n-independent
+    # scheme comparison already recorded at 30k)
+    for n in (30_000,) if len(sys.argv) <= 1 else ():
         for label, params in (
             ("legacy_windows_16x6", ("windows", 16, 6)),
             ("planes_32xlog2n", D._emb_lsh_params(n + D._EMB_LSH_MIN)),
@@ -161,7 +171,7 @@ def main() -> None:
                 flush=True,
             )
     # end-to-end scale tier (auto params kick in above _EMB_LSH_MIN)
-    for n in (250_000, 500_000):
+    for n in e2e_ns:
         print(json.dumps(full_pipeline(spark, n)), flush=True)
     spark.stop()
 
