@@ -87,6 +87,41 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _read_parquet_cached(spark, table_path(sf_dir, name))
 
 
+def spread_scan(df: DataFrame, *keys: str) -> DataFrame:
+    """Spread a narrow-split scan across the cluster BEFORE CPU-heavy
+    per-row expressions (optimization guide §2.5/§6: Spark sizes scan
+    partitions by BYTES, but per-char/per-token expression work — md5
+    window hashing, shingle folds, gram explodes — is compute-bound,
+    so a byte-small single-row-group parquet file arrives as ONE scan
+    task and serializes the whole operator on one core while the rest
+    of the cluster idles; AQE cannot help because it only coalesces,
+    never splits, and a one-row-group file cannot be split at scan
+    time).
+
+    Scale-adaptive, not a local[32] constant: a NO-OP whenever the scan
+    already carries >= defaultParallelism input partitions — the 100 TB
+    case, where file count provides scan parallelism and an extra
+    exchange would be pure cost. When it does fire, the explicit
+    partition count pins the exchange against AQE coalescing
+    (REPARTITION_BY_NUM shuffle origin), which would otherwise fold the
+    byte-tiny-but-compute-heavy frame straight back to one partition.
+    Hash-partitioning on ``keys`` (vs round-robin) keeps the row-to-
+    partition map deterministic under task retry (SPARK-38388 hazard)
+    and skips round-robin's sort-before-repartition.
+
+    The ``df.rdd.getNumPartitions()`` probe is driver-side physical
+    planning only — no job runs (the builders-run-no-jobs gate in
+    tests/test_plans.py stays satisfied)."""
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= n:
+            return df
+    except Exception:
+        return df  # unplannable frame (e.g. streaming): leave as-is
+    return df.repartition(n, *keys) if keys else df.repartition(n)
+
+
 def normalize_ts(df: DataFrame, col: str = "ts") -> DataFrame:
     """Normalize an events timestamp column to tz-aware TIMESTAMP —
     shared by the batch catalog and the streaming reader so the two

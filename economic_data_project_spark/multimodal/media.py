@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 MEDIA_SCHEMA = StructType(
@@ -261,7 +261,12 @@ def multimodal_decode_features(
     Reference capability: the binary document pipeline
     (document_extraction/sources/sec_filings.yml:1-22 — opaque GCS
     payloads with typed metadata, decoded downstream)."""
-    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
+    # the decode kernel is per-row CPU work inside mapInPandas and the
+    # scan arrives as one narrow split — spread it so decode
+    # parallelizes (guide §2.5/§8; no-op at scale, catalog.spread_scan)
+    media = attach_fake_media(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
     return extract_features(decode_media(media)).orderBy("media_id")
 
 

@@ -90,33 +90,47 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
 
     Returns (event_id, root_id, depth). ``parent_id`` NULL marks roots.
     """
-    ptr = linked.select(
-        F.col("event_id").alias("id"),
-        F.coalesce("parent_id", "event_id").alias("anc"),
-        F.when(F.col("parent_id").isNull(), 0).otherwise(1).alias("d"),
-    ).localCheckpoint(eager=True)
+    root_flag = F.when(F.col("parent_id").isNull(), 1).otherwise(0)
+    depth_seed = F.when(F.col("parent_id").isNull(), 0).otherwise(1)
     # Bound on chain length -> iteration count (metadata scalar). When
     # the frame carries the session order (ts), the exact longest run
     # via gaps-and-islands over the root flag — each extra doubling
     # round is a full self-join, so a tight bound matters. For generic
     # forests (no ts) fall back to the loose max-events-per-user bound.
+    #
+    # r15 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the gaps-and-islands `grp` rides the SAME
+    # (user_id, ts) window pass that the initial pointer checkpoint
+    # already materializes, so the bound job becomes a cheap aggregate
+    # over the CHECKPOINTED rows instead of a second full scan + sort
+    # of the edge frame (the previous shape computed the session
+    # window twice per invocation — measured ~2s of thread_structure's
+    # bench cost, and at 100 TB a whole extra pass over the edges).
     if "ts" in linked.columns:
         wq = Window.partitionBy("user_id").orderBy("ts", "event_id")
         wcum = wq.rowsBetween(Window.unboundedPreceding, 0)
+        base = linked.select(
+            F.col("event_id").alias("id"),
+            F.coalesce("parent_id", "event_id").alias("anc"),
+            depth_seed.alias("d"),
+            "user_id",
+            F.sum(root_flag).over(wcum).alias("grp"),
+        ).localCheckpoint(eager=True)
         max_chain = (
-            linked.withColumn(
-                "grp",
-                F.sum(
-                    F.when(F.col("parent_id").isNull(), 1).otherwise(0)
-                ).over(wcum),
-            )
-            .groupBy("user_id", "grp")
+            base.groupBy("user_id", "grp")
             .agg(F.count("*").alias("n"))
             .agg(F.max("n"))
             .first()[0]
             or 1
         )
+        ptr = base.select("id", "anc", "d")
     else:
+        ptr = linked.select(
+            F.col("event_id").alias("id"),
+            F.coalesce("parent_id", "event_id").alias("anc"),
+            depth_seed.alias("d"),
+        ).localCheckpoint(eager=True)
+        base = ptr
         max_chain = (
             linked.groupBy("user_id")
             .agg(F.count("*").alias("n"))
@@ -124,6 +138,12 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
             .first()[0]
             or 1
         )
+    # NOTE on the hop join strategy: an r15 experiment size-routed the
+    # hop side through F.broadcast() below (the checkpointed frame has
+    # no stats, so Catalyst plans SortMergeJoin) — measured NO faster
+    # at bench scale (2.9s vs 2.5s for 4 rounds: the per-round driver
+    # collect + broadcast build offsets the saved shuffle on a 100k-row
+    # table), so the plain shuffle join stays.
     for _ in range(max(1, math.ceil(math.log2(max(2, max_chain))))):
         hop = ptr.select(
             F.col("id").alias("h_id"),
@@ -151,7 +171,12 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
             # executor-loss tolerance.
             .localCheckpoint(eager=True)
         )
-        free_local_checkpoint(ptr)
+        # round 1 consumes the INITIAL checkpoint through the `ptr`
+        # projection — free the underlying `base` frame (on the ts path
+        # ptr is a projection, not the storage owner); later rounds own
+        # their checkpoint directly
+        free_local_checkpoint(base if base is not None else ptr)
+        base = None
         ptr = nxt
     # the FINAL generation escapes into the returned plan, so it cannot
     # be freed here (consumers read it lazily) and DataFrame.unpersist

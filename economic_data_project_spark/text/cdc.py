@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 
 _K_WIN = 8  # rolling-window width in chars
@@ -83,7 +83,11 @@ def cdc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform-over-positions substring is O(len^2) per document (the
     longdoc lane measured 16s before the array form — slice/
     array_join are O(k) — brought it back to linear)."""
-    d = load_table(spark, sf_dir, "documents")
+    # O(len * K) md5 window hashing is the dominant cost and runs
+    # entirely before the first exchange — spread the scan so it
+    # parallelizes instead of serializing in one scan task (guide §2.5;
+    # no-op at scale, see catalog.spread_scan).
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     staged = (
         d.select(
             "doc_id",

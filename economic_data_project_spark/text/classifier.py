@@ -57,7 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caches import register_session_cache
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.parity import DEC
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -143,8 +143,12 @@ def nb_quality_classifier(
     positive class, with the keep/drop label."""
     d = load_table(spark, sf_dir, "documents")
     pos = F.col("source").isin(*_CURATED)
+    # tokenize + gram explode run before the first exchange — spread
+    # the single-split scan (guide §2.5; no-op at scale, see
+    # catalog.spread_scan). The `d` used for priors/output columns
+    # stays unspread: those are cheap column reads.
     inst = (
-        d.select(
+        spread_scan(d, "doc_id").select(
             "doc_id", pos.alias("pos"), F.expr(_TOKENS).alias("toks")
         )
         .select("doc_id", "pos", F.explode(F.expr(_GRAMS)).alias("g"))

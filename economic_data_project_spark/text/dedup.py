@@ -54,7 +54,7 @@ from ..caches import (
     register_session_checkpoint,
     warm,
 )
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.ta import emit, sql_emit
 from ..registry import query
 
@@ -525,7 +525,9 @@ def _simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     through three hash aggregations; on a 2000-token corpus that was
     64M shuffled rows for zero semantic gain). Docs with no tokens are
     filtered exactly as the unnest-based oracle drops them."""
-    d = load_table(spark, sf_dir, "documents")
+    # the fold is per-token CPU work before any exchange — spread the
+    # single-split scan (guide §2.5; no-op at scale, catalog.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     fold = (
         "aggregate("
         " transform(toks, t ->"
@@ -715,7 +717,10 @@ SIMHASH64_BANDS = (
 def _simhash64_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 64-bit simhash, same map-only fold shape as
     ``_simhash_df`` (see SIMHASH64_FOLD)."""
-    d = load_table(spark, sf_dir, "documents")
+    # 64 interpreted lambda evals per token, all before the first
+    # exchange — spread the single-split scan (guide §2.5; no-op at
+    # scale, catalog.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         d.select("doc_id", F.expr(_TOKENS).alias("toks"))
         .where(F.size("toks") > 0)
@@ -907,6 +912,19 @@ def _emb_plane_signatures(n: DataFrame, bands: int, bits: int, dim: int):
         packed = bitmat.reshape(len(V), bands, bits) @ weights
         return pd.Series(list(packed.astype(np.int32)))
 
+    # r15 (guide §4.4): the posexplode's generator-pruning filter
+    # (size(bv) > 0 AND bv IS NOT NULL) gets pushed below the
+    # projection, and Catalyst then evaluates the UDF once under the
+    # filter and AGAIN in the projection — two ArrowEvalPython nodes
+    # per plan subtree, i.e. the GEMM and the Arrow transfer of every
+    # embedding ran twice (and 4x across a self-join's two subtrees;
+    # measured in plans/r15/dedup_embedding_cosine_lsh_planes_before
+    # .txt, operators (7)+(10)/(17)+(20)). Marking the UDF
+    # non-deterministic forbids the duplication; the filter simply
+    # stays above the single evaluation. The function is in fact
+    # deterministic — the flag only blocks the optimizer's copying.
+    band_vals = band_vals.asNondeterministic()
+
     # null / ragged guard (ADVICE r11 #1): np.stack raises on a null or
     # shorter-than-dim embedding (dim is the probed MAX size), killing
     # the whole stage — where the legacy windows scheme just emitted a
@@ -993,7 +1011,19 @@ def _emb_lsh_pairs(
         )
     )
     if scheme == "planes":
-        sig = _emb_plane_signatures(n, n_bands, r, dim)
+        # cached + eager-filled (r15): the band self-join reads `sig`
+        # as TWO subtrees, so uncached the signature kernel (an
+        # ArrowEvalPython GEMM over every embedding) executed once per
+        # side; the frame is (vec_id, band, band_val) — n*bands narrow
+        # rows, the materialized signature table a 100 TB deployment
+        # would write anyway (module docstring). warm() because two
+        # concurrent readers of an unfilled entry would each run the
+        # fill (the `n` cache precedent above).
+        sig = warm(
+            register_session_cache(
+                _emb_plane_signatures(n, n_bands, r, dim).cache()
+            )
+        )
     else:
         sig = n.select(
             "vec_id",
@@ -1555,7 +1585,9 @@ ORDER BY per.doc_id
 def dedup_substring_spans(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # span hashing is per-token CPU work before the first exchange —
+    # spread the single-split scan (guide §2.5; no-op at scale)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     # toks bound BEFORE the span transform (never inline the regexp in
     # the lambda — Catalyst re-runs it per span index, O(tokens^2))
     inst = (

@@ -54,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caches import register_session_cache
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.parity import DEC
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -154,7 +154,10 @@ def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio — the Spark twin of ``_DSIR_SCORED_CTE``, shared by the
     weight query and the Gumbel resampling query (the inst cache makes
     the corpus text scan happen once per session either way)."""
-    d = load_table(spark, sf_dir, "documents")
+    # tokenize + gram explode + per-gram md5 bucketing all run before
+    # the first exchange — spread the single-split scan (guide §2.5;
+    # no-op at scale, see catalog.spread_scan).
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     inst = (
         d.select(
             "doc_id",

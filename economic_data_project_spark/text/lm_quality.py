@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caches import register_session_cache
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.parity import DEC
 from ..functions.ta import emit, sql_emit
 from ..registry import query
@@ -102,7 +102,9 @@ ORDER BY d.doc_id
 def char_trigram_quality(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # per-char trigram fold before the first exchange — spread the
+    # single-split scan (guide §2.5; no-op at scale)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     inst = (
         d.select(
             "doc_id",

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..registry import query
 from .analysis import _QUALITY_ORACLE, LANG_PROFILES, quality_exprs
 
@@ -94,7 +94,11 @@ def pii_scan(docs: DataFrame) -> DataFrame:
 
 @query("text_pii_scan", oracle=_pii_oracle())
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pii_scan(load_table(spark, sf_dir, "documents"))
+    # per-row regex battery before the first exchange — spread the
+    # single-split scan (guide §2.5; no-op at scale)
+    return pii_scan(
+        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    )
 
 
 # ----------------------------------------------------------- token packing
@@ -258,7 +262,7 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled benchmark corpus joined via broadcast (it is small) —
     here an array-intersect against a literal array, the same map-only
     shape."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     canary_arr = F.array(*[F.lit(c) for c in CANARY_SHINGLES])
     # materialize `toks` before shingling: inlining the token regexp into
     # the transform lambda re-runs it per shingle index (quadratic in
@@ -342,7 +346,7 @@ def text_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode + two hash-aggs that re-scanned the text column a second
     time (a true 2x IO pass at 100 TB; the oracle keeps the
     explode/groupBy formulation, pinning the identity)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = "regexp_extract_all(lower(text), '[a-z]+', 0)"
     # materialize `toks`, then the shingle array, each once per row: the
     # regexp+transform chain is the expensive part; Catalyst neither CSEs
@@ -451,7 +455,13 @@ def verdict_frame(
     ``aggregate`` fold), which is exactly max(count) per document.
     Plan-gated in tests/test_plans.py: exactly one parquet scan, no
     hash-partition exchange."""
-    d = load_table(spark, sf_dir, "documents")
+    # the fused screen battery (tokens + shingles + PII regexes +
+    # top-run fold) is the heaviest per-row chain in the repo and runs
+    # before any exchange — spread the single-split scan (guide §2.5;
+    # no-op at scale). The spread exchange carries the raw text ONCE
+    # (584 KB at sf0.1); at 100 TB the guard makes it a no-op, so the
+    # one-pass-over-text property the docstring argues is unchanged.
+    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
     stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     canaries = ", ".join(f"'{c}'" for c in CANARY_SHINGLES)
     extra = (

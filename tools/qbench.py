@@ -1,0 +1,76 @@
+"""Per-query optimization harness (r15): time individual registry
+queries with the bench's exact methodology (noop sink, cache-cold lane
+isolation) and optionally dump .explain("formatted") plans.
+
+Usage:
+  python tools/qbench.py [-n REPS] [--plans DIR] [--sf DIR] name [name...]
+  python tools/qbench.py --all            # every HEADLINE query
+  python tools/qbench.py --longdoc name   # time against the longdoc corpus
+
+Prints one line per query per rep plus a median summary. This is a
+measurement tool only — the driver contract lives in bench.py.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench as bench_mod  # noqa: E402
+from economic_data_project_spark import registry  # noqa: E402
+from economic_data_project_spark.caches import free_session_caches  # noqa: E402
+from economic_data_project_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("names", nargs="*")
+    ap.add_argument("-n", type=int, default=3)
+    ap.add_argument("--plans", default=None, help="dir for <name>_<tag>.txt plan dumps")
+    ap.add_argument("--tag", default="before")
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--longdoc", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="qbench-r15")
+    qs = registry.all_queries()
+    names = list(bench_mod.HEADLINE) if args.all else args.names
+    sf_dir = args.sf
+    if args.longdoc:
+        sf_dir = bench_mod._gen_longdoc_dir(spark)
+
+    # warm the JVM once, as bench does (excluded from timings)
+    qs[names[0]](spark, sf_dir).limit(1).collect()
+
+    for name in names:
+        if args.plans:
+            os.makedirs(args.plans, exist_ok=True)
+            free_session_caches()
+            spark.catalog.clearCache()
+            df = qs[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(os.path.join(args.plans, f"{name}_{args.tag}.txt"), "w") as fh:
+                fh.write(plan)
+        ts = []
+        for _ in range(args.n):
+            free_session_caches()
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"qbench:{name}")
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            ts.append(round(time.perf_counter() - t0, 3))
+        print(f"{name}: median={statistics.median(ts):.3f} runs={ts}", flush=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
