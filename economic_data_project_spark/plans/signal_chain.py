@@ -240,6 +240,22 @@ def signal_events(spark: SparkSession) -> DataFrame:
         "rel_vol",
         F.explode(fanout).alias("s"),
     ).select("flag", "d", "bars_available", "close", "rel_vol", "s.*")
+    # r15 (guide §2.2): without this, the state-machine windows below
+    # reuse the indicator battery's hashpartitioning(flag) — valid
+    # (flag is a prefix of the clustering keys) but only |flags| ~ 3
+    # groups, so the whole n_bars x n_signals cum-max/lag battery runs
+    # in <= 3 tasks (and AQE's 64 MB byte advisory coalesces it to 1).
+    # Re-keying the stage on the FULL (flag, signal_name) grain at
+    # defaultParallelism (cluster parallelism, not a local constant)
+    # costs one extra small exchange but lets the compute-bound window
+    # stage use n_flags x n_signals-way parallelism — measured
+    # 4.67s -> 4.23s median (interleaved A/B; the tail reps drop from
+    # ~4.6 to ~3.8). At scale the same trade holds: the exchanged rows
+    # are the post-aggregate signal grid, orders of magnitude smaller
+    # than the fact scan feeding it.
+    flagged = flagged.repartition(
+        spark.sparkContext.defaultParallelism, "flag", "signal_name"
+    )
 
     wsig = Window.partitionBy("flag", "signal_name").orderBy("d")
     wcum = wsig.rowsBetween(Window.unboundedPreceding, 0)

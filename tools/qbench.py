@@ -59,6 +59,8 @@ def main() -> None:
             )
             with open(os.path.join(args.plans, f"{name}_{args.tag}.txt"), "w") as fh:
                 fh.write(plan)
+        if args.n <= 0:  # plans-only mode
+            continue
         ts = []
         for _ in range(args.n):
             free_session_caches()
