@@ -100,10 +100,40 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python-side call-site capture for error context costs ~3 extra
+        # py4j round trips per DataFrame API call — measured 2.1s of the
+        # 3.4s construction time of the sensitivity model chain alone
+        # (r15). Static conf, so it must be set at builder time; driver
+        # -provided sessions get the same effect via tune_session.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
+    _disable_pyspark_callsite_capture()
     _ship_package(spark)
     return spark
+
+
+def _disable_pyspark_callsite_capture() -> None:
+    """Turn off pyspark's per-call call-site capture in THIS process.
+
+    ``spark.python.sql.dataFrameDebugging.enabled`` gates a wrapper
+    around every DataFrame/Column API call that issues a conf.get, a
+    JVM class lookup and an origin set/clear — 3+ py4j round trips per
+    call, pure driver-side overhead (the feature only enriches error
+    messages with user call sites). The conf is STATIC, so an
+    externally provided session (the correctness driver's) cannot flip
+    it; pyspark reads it once into a module-level cache, which is the
+    supported-process-wide gate we set here. Best-effort: if the
+    private name moves in a future pyspark, we silently keep the
+    (correct, slower) default.
+    """
+    try:
+        import pyspark.errors.utils as _eu
+
+        if hasattr(_eu, "_enable_debugging_cache"):
+            _eu._enable_debugging_cache = False
+    except Exception:
+        pass
 
 
 def tune_session(spark: SparkSession) -> SparkSession:
@@ -119,5 +149,6 @@ def tune_session(spark: SparkSession) -> SparkSession:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:
         pass  # non-mutable in some deployments; defaults are acceptable
+    _disable_pyspark_callsite_capture()
     _ship_package(spark)
     return spark
