@@ -35,7 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..catalog import load_table, spread_scan
+from ..catalog import load_table
 from ..registry import query
 
 MEDIA_SCHEMA = StructType(
@@ -261,12 +261,14 @@ def multimodal_decode_features(
     Reference capability: the binary document pipeline
     (document_extraction/sources/sec_filings.yml:1-22 — opaque GCS
     payloads with typed metadata, decoded downstream)."""
-    # the decode kernel is per-row CPU work inside mapInPandas and the
-    # scan arrives as one narrow split — spread it so decode
-    # parallelizes (guide §2.5/§8; no-op at scale, catalog.spread_scan)
-    media = attach_fake_media(
-        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    )
+    # NOTE (r15): a spread_scan("doc_id") ahead of the decode was tried
+    # and measured a REGRESSION in an alternating-order in-process A/B
+    # (spread median 2.47s vs plain 1.59s, 6 reps/arm): the per-row
+    # decode here is microseconds, so 32 Arrow streams just multiply
+    # task/stream overhead — the ANN-family flip side of the
+    # documents-text win. At corpus scale file count provides the
+    # decode parallelism the spread was meant to add.
+    media = attach_fake_media(load_table(spark, sf_dir, "documents"))
     return extract_features(decode_media(media)).orderBy("media_id")
 
 
