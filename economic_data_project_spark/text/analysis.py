@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table, spread_scan
+from ..catalog import load_table
 from ..registry import query
 
 # Minimal per-language stopword profiles (public-knowledge function words).
@@ -66,9 +66,11 @@ ORDER BY doc_id
 
 @query("text_token_stats", oracle=_TOKEN_STATS_ORACLE)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row token/regex work before the first exchange — spread
-    # the single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.72-0.92x of spread
+    # across all four analysis queries — counting/length expressions
+    # are too light to beat the exchange + 32-task overhead). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         "n_chars",
@@ -162,9 +164,11 @@ def quality_exprs(n_tok, n_uniq, n_stop):
 
 @query("text_quality_scores", oracle=_QUALITY_ORACLE)
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row token/regex work before the first exchange — spread
-    # the single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.72-0.92x of spread
+    # across all four analysis queries — counting/length expressions
+    # are too light to beat the exchange + 32-task overhead). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     stops = ", ".join(f"'{w}'" for w in LANG_PROFILES["en"])
     feats = d.select(
         "doc_id",
@@ -230,9 +234,11 @@ ORDER BY doc_id
 
 @query("lang_id_heuristic", oracle=_LANG_ID_ORACLE)
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row token/regex work before the first exchange — spread
-    # the single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.72-0.92x of spread
+    # across all four analysis queries — counting/length expressions
+    # are too light to beat the exchange + 32-task overhead). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
         F.col("lang").alias("actual_lang"),
@@ -313,9 +319,11 @@ ORDER BY doc_id
 
 @query("doc_fingerprint", oracle=_FINGERPRINT_ORACLE)
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row token/regex work before the first exchange — spread
-    # the single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.72-0.92x of spread
+    # across all four analysis queries — counting/length expressions
+    # are too light to beat the exchange + 32-task overhead). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     return (
         d.select(
             "doc_id",

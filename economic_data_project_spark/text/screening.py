@@ -94,11 +94,12 @@ def pii_scan(docs: DataFrame) -> DataFrame:
 
 @query("text_pii_scan", oracle=_pii_oracle())
 def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-row regex battery before the first exchange — spread the
-    # single-split scan (guide §2.5; no-op at scale)
-    return pii_scan(
-        spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
-    )
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (spread 1.26s vs plain 0.74s —
+    # this scan's regex battery is too light to beat the exchange +
+    # 32-task overhead, unlike the fused verdict battery below, which
+    # keeps its spread at 1.82x). Reverted.
+    return pii_scan(load_table(spark, sf_dir, "documents"))
 
 
 # ----------------------------------------------------------- token packing

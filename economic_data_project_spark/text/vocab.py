@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caches import register_session_cache, warm
-from ..catalog import load_table, spread_scan
+from ..catalog import load_table
 from ..functions.ta import emit, sql_emit
 from ..registry import query
 
@@ -76,9 +76,12 @@ LIMIT {_TOP_TERMS}
 
 @query("vocab_top_terms", oracle=_VOCAB_ORACLE)
 def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tokenize/explode before the first exchange — spread the
-    # single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.71-0.84x of spread
+    # across the three vocab queries — the explode multiplies rows
+    # into the agg exchange regardless, so pre-spreading raw text
+    # only adds an exchange). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     per_doc_term = (
         d.select("doc_id", F.explode(F.expr(_TOKENS)).alias("term"))
         .groupBy("doc_id", "term")
@@ -144,9 +147,12 @@ LIMIT {_TOP_BIGRAMS}
 def bigram_pmi_collocations(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # tokenize/explode before the first exchange — spread the
-    # single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.71-0.84x of spread
+    # across the three vocab queries — the explode multiplies rows
+    # into the agg exchange regardless, so pre-spreading raw text
+    # only adds an exchange). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.expr(_TOKENS).alias("toks")).where(
         F.size("toks") >= 2
     )
@@ -273,9 +279,12 @@ ORDER BY source_a, source_b
 def source_js_divergence(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    # tokenize/explode before the first exchange — spread the
-    # single-split scan (guide §2.5; no-op at scale)
-    d = spread_scan(load_table(spark, sf_dir, "documents"), "doc_id")
+    # NOTE (r15): a spread_scan here measured a REGRESSION in the
+    # 9-rep alternating in-process A/B (plain 0.71-0.84x of spread
+    # across the three vocab queries — the explode multiplies rows
+    # into the agg exchange regardless, so pre-spreading raw text
+    # only adds an exchange). Reverted.
+    d = load_table(spark, sf_dir, "documents")
     # cached (r9): the (source, term) count table is vocab-bounded
     # (sources x distinct terms, corpus-size-independent) but feeds
     # FOUR subtrees — the per-source totals and both sides of the
