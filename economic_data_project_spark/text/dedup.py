@@ -1011,19 +1011,26 @@ def _emb_lsh_pairs(
         )
     )
     if scheme == "planes":
-        # cached + eager-filled (r15): the band self-join reads `sig`
-        # as TWO subtrees, so uncached the signature kernel (an
-        # ArrowEvalPython GEMM over every embedding) executed once per
-        # side; the frame is (vec_id, band, band_val) — n*bands narrow
-        # rows, the materialized signature table a 100 TB deployment
-        # would write anyway (module docstring). warm() because two
-        # concurrent readers of an unfilled entry would each run the
-        # fill (the `n` cache precedent above).
-        sig = warm(
-            register_session_cache(
-                _emb_plane_signatures(n, n_bands, r, dim).cache()
-            )
-        )
+        # SIZE-GATED cache (r16, VERDICT r15 #1): the band self-join
+        # reads `sig` as TWO subtrees, so uncached the signature kernel
+        # (an ArrowEvalPython GEMM over every embedding) executes once
+        # per side. Above the LSH cutover (the only place the auto
+        # route runs this scheme) the frame — (vec_id, band, band_val),
+        # n*bands narrow rows, the materialized signature table a
+        # 100 TB deployment would write anyway — is cached + eager-
+        # filled so the GEMM runs ONCE (warm() because two concurrent
+        # readers of an unfilled entry would each run the fill; the
+        # `n` cache precedent above). BELOW the cutover (every driver/
+        # bench scale, ~2000 vectors) the r15 unconditional cache+warm
+        # was the round's one driver-measured regression (2.79s ->
+        # 5.22s): the count job + cache materialization + extra stage
+        # boundary cost ~2.4s to save a microsecond-scale duplicated
+        # GEMM. asNondeterministic() (in _emb_plane_signatures) already
+        # kills the 4x optimizer duplication for free, so small corpora
+        # just evaluate the kernel once per join side.
+        sig = _emb_plane_signatures(n, n_bands, r, dim)
+        if n_vectors is not None and n_vectors > _EMB_LSH_MIN:
+            sig = warm(register_session_cache(sig.cache()))
     else:
         sig = n.select(
             "vec_id",
@@ -1244,7 +1251,15 @@ def dedup_embedding_cosine_lsh_planes(
     if dim < 1:
         raise ValueError("empty embeddings; nothing to hash")
     return _emb_lsh_pairs(
-        emb, dim, params=_plane_policy(int(probe["n"]))
+        emb,
+        dim,
+        # n_vectors feeds ONLY the signature-cache size gate here (the
+        # band scheme is forced via params): the forced surface runs
+        # the exact kernel+join the scale tier runs, sized like the
+        # scale tier would be at this n — i.e. uncached below the
+        # cutover.
+        n_vectors=int(probe["n"]),
+        params=_plane_policy(int(probe["n"])),
     )
 
 

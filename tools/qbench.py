@@ -23,7 +23,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import bench as bench_mod  # noqa: E402
 from economic_data_project_spark import registry  # noqa: E402
-from economic_data_project_spark.caches import free_session_caches  # noqa: E402
+from economic_data_project_spark.caches import (  # noqa: E402
+    free_session_caches,
+    lazy_builds,
+)
 from economic_data_project_spark.session import get_spark  # noqa: E402
 
 
@@ -38,9 +41,16 @@ def main() -> None:
     ap.add_argument("--longdoc", action="store_true")
     args = ap.parse_args()
 
-    spark = get_spark(app_name="qbench-r15")
     qs = registry.all_queries()
     names = list(bench_mod.HEADLINE) if args.all else args.names
+    # ADVICE r15: empty names crashed at the warm-up indexing; unknown
+    # names raised a bare KeyError mid-run. Validate before the JVM.
+    if not names:
+        ap.error("pass query names or --all")
+    unknown = [n for n in names if n not in qs]
+    if unknown:
+        ap.error(f"unknown queries: {unknown}")
+    spark = get_spark(app_name="qbench-r15")
     sf_dir = args.sf
     if args.longdoc:
         sf_dir = bench_mod._gen_longdoc_dir(spark)
@@ -53,7 +63,11 @@ def main() -> None:
             os.makedirs(args.plans, exist_ok=True)
             free_session_caches()
             spark.catalog.clearCache()
-            df = qs[name](spark, sf_dir)
+            # ADVICE r15: suppress builders' warm() fills during plan
+            # capture so the dumped plan is the cold shape being
+            # compared, not a cache-warm InMemoryTableScan variant.
+            with lazy_builds():
+                df = qs[name](spark, sf_dir)
             plan = df._sc._jvm.PythonSQLUtils.explainString(
                 df._jdf.queryExecution(), "formatted"
             )
