@@ -193,26 +193,59 @@ def resolve_hierarchy(linked: DataFrame) -> DataFrame:
 
 @query("thread_structure", oracle=_ORACLE)
 def thread_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r16 (guide §8 — use what the optimizer cannot know): THIS query's
+    # parent edges are session-threading links — an event's parent is
+    # always the SAME user's immediately preceding event (gap <= 6h) —
+    # so every tree is a contiguous run ("island") of the (user_id,
+    # ts, event_id)-ordered event sequence. Root and depth are
+    # therefore single-window-pass derivable: root_id = the last
+    # root-flagged event_id at-or-before the row, depth = row_number
+    # minus the root's row_number (both running aggregates over the
+    # SAME partition/ordering the root flag itself needs, sharing one
+    # exchange+sort, guide §2.4). The generic pointer-doubling
+    # resolver (resolve_hierarchy above, kept for arbitrary forests)
+    # needed O(log depth) blocking self-join + localCheckpoint rounds
+    # — ~9 sequential jobs at bench scale and 7 extra shuffles of the
+    # edge table at any scale — to compute exactly the same columns.
+    # Result equality vs the recursive-CTE oracle is pinned by the
+    # DuckDB hash oracle; per-island equivalence: parent_id IS NULL
+    # starts an island, every non-root's parent is the previous row,
+    # so depth(row) = position within island = rn - rn(island root).
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     gap_us = SESSION_GAP_HOURS * 3600 * 1_000_000
-    linked = ev.select(
+    is_root = ~(
+        F.lag("ts").over(w).isNotNull()
+        & (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            <= gap_us
+        )
+    )
+    flagged = ev.select(
         "event_id",
         "user_id",
         "event_type",
         "value",
         "ts",
-        F.when(
-            F.lag("ts").over(w).isNotNull()
-            & (
-                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
-                <= gap_us
-            ),
-            F.lag("event_id").over(w),
-        ).alias("parent_id"),
+        is_root.alias("is_root"),
+        F.row_number().over(w).alias("__rn"),
     )
-    resolved = linked.join(
-        resolve_hierarchy(linked), on="event_id"
+    resolved = flagged.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.last(
+            F.when(F.col("is_root"), F.col("event_id")),
+            ignorenulls=True,
+        )
+        .over(wcum)
+        .alias("root_id"),
+        (
+            F.col("__rn")
+            - F.max(F.when(F.col("is_root"), F.col("__rn"))).over(wcum)
+        ).alias("depth"),
     )
     return (
         resolved.groupBy(F.col("root_id").alias("thread_id"))

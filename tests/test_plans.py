@@ -859,19 +859,20 @@ def test_dq_schema_tests_scans_are_column_pruned(spark):
 
 
 def test_thread_structure_plan_is_truncated(spark):
-    """Pointer doubling references its predecessor twice per round, so
-    a persist-only loop doubles the LOGICAL plan each iteration —
-    2^rounds rendered subtrees (513 events scans at 9 rounds) and
-    exponential plan-string/analysis cost at depth. r9 switched each
-    round to localCheckpoint(eager): the final plan must contain a
-    bounded number of scans (the session-edge derivation) plus the
-    checkpointed LogicalRDD leaf, at ANY hierarchy depth."""
+    """r16: thread_structure's session-threading edges make every tree
+    a contiguous per-user run, so root/depth ride ONE window pass over
+    the single events scan (guide §8/§2.4) — no pointer-doubling
+    rounds, no localCheckpoint, no self-join. The gate pins the new
+    (strictly stronger) shape: exactly one parquet scan, no
+    checkpointed LogicalRDD leaf, and at most three exchanges (window
+    partition, group-by, output sort). The generic pointer-doubling
+    resolver keeps its own coverage (tests/test_hierarchy.py and
+    test_hierarchy_rounds_release_superseded_caches above)."""
     df = all_queries()["thread_structure"](spark, SF_DIR)
     phys = _plan(df).split("== Physical Plan ==", 1)[1]
-    assert phys.count("Scan parquet") <= 4, phys.count("Scan parquet")
-    assert "ExistingRDD" in phys or "LogicalRDD" in phys or (
-        "Scan ExistingRDD" in phys
-    )
+    assert phys.count("Scan parquet") == 1, phys.count("Scan parquet")
+    assert "ExistingRDD" not in phys and "LogicalRDD" not in phys
+    assert phys.count("Exchange") <= 3, phys.count("Exchange")
 
 
 @pytest.fixture(scope="module")
@@ -952,7 +953,8 @@ def test_registry_wide_column_rescans(registry_plan_audit):
 _BUILD_JOB_EXEMPT = {
     # iterative localCheckpoint loops: per-round truncation IS the
     # algorithm (plan doubles without it), so rounds execute at build
-    "thread_structure": "pointer-doubling hierarchy rounds",
+    # (r16: thread_structure left this list — the session-threading
+    # rewrite builds with zero jobs like any other single-pass query)
     "dedup_components": "label-propagation rounds to fixpoint",
     "leakage_safe_split": "composes dedup_components",
     "corpus_training_manifest": "composes leakage_safe_split",
