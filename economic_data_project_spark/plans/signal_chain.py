@@ -173,6 +173,10 @@ GRAPH = ModelGraph()
 
 @GRAPH.model("tech_daily_ohlcv", materialization="cached_view")
 def tech_daily_ohlcv(spark: SparkSession) -> DataFrame:
+    # NOTE (r16): spread_scan here measured 0.89-0.98x across the four
+    # chain consumers in a 7-rep alternating A/B (two casts per row,
+    # downstream re-exchanges by flag anyway) — see
+    # indicators._daily_ohlcv. Left unspread.
     li = spark.table("__src_lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy(
