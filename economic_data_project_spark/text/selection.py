@@ -533,13 +533,25 @@ def corpus_training_manifest(
         "split",
         shuffle_key.alias("shuffle_key"),
     ).withColumn("shard", F.substring("shuffle_key", 1, 2))
+    # r16 (guide §2.4, VERDICT r15 #5): the pack window and the output
+    # ORDER BY used to each pay their own exchange+sort — Exchange
+    # hashpartitioning(split, shard) + window sort, then Exchange
+    # rangepartitioning(split, shard, pos_in_shard) + global sort. One
+    # RANGE exchange serves both: RangePartitioning(split, shard)
+    # satisfies the window's ClusteredDistribution (equal keys land in
+    # one partition), the window's local sort (split, shard,
+    # shuffle_key, doc_id) IS the output order — pos_in_shard is by
+    # construction the rank under exactly those keys — so the sorted
+    # range partitions need no further exchange. Row order is
+    # bit-identical to the previous orderBy.
+    arranged = kept.repartitionByRange("split", "shard")
     w = Window.partitionBy("split", "shard").orderBy(
         "shuffle_key", "doc_id"
     )
     wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     start = F.sum("n_tokens").over(wsum) - F.col("n_tokens")
     return (
-        kept.select(
+        arranged.select(
             "doc_id",
             "split",
             "shard",
@@ -550,5 +562,4 @@ def corpus_training_manifest(
         # shared integer-`div` bin helper (see screening.bin_id_expr
         # for the 2^53 float hazard it guards against)
         .withColumn("bin_id", bin_id_expr("start_offset"))
-        .orderBy("split", "shard", "pos_in_shard")
     )
