@@ -40,7 +40,6 @@ from pyspark.sql.window import Window
 
 from ..catalog import load_table
 from ..functions.parity import (
-    centered_corr,
     davg,
     sql_centered_corr,
     sql_davg,
@@ -168,12 +167,22 @@ def sens_panel(spark: SparkSession) -> DataFrame:
 # ------------------------------------------------------------- layer 1
 
 def _pair_means(panel: DataFrame) -> DataFrame:
+    # r16 (guide §5, VERDICT r15 #3): the 18 conditional means are
+    # built as SQL strings through the SAME generator the oracle uses
+    # (sql_davg) and parsed with one F.expr py4j round trip each —
+    # the Column-operator form cost ~25 py4j calls per mean. The
+    # analyzed expression tree is identical (CASE WHEN both THEN x
+    # END, decimal-exact sum / count), so results are unchanged.
     aggs = []
     for x, y, a in CORR_PAIRS:
-        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        cond = f"{x} IS NOT NULL AND {y} IS NOT NULL"
         aggs += [
-            davg(F.when(both, F.col(x))).alias(f"mean_x_{a}"),
-            davg(F.when(both, F.col(y))).alias(f"mean_y_{a}"),
+            F.expr(sql_davg(f"CASE WHEN {cond} THEN {x} END")).alias(
+                f"mean_x_{a}"
+            ),
+            F.expr(sql_davg(f"CASE WHEN {cond} THEN {y} END")).alias(
+                f"mean_y_{a}"
+            ),
         ]
     return panel.groupBy("symbol", "series_code").agg(*aggs)
 
@@ -191,47 +200,51 @@ def sector_indicator_sensitivity_model(spark: SparkSession) -> DataFrame:
     ev = panel.join(
         F.broadcast(_pair_means(panel)), on=["symbol", "series_code"]
     )
+    # r16 (guide §5, VERDICT r15 #3): the 9-corr battery + the stats
+    # aggregates are generated as SQL strings through the SAME
+    # generators the oracle renders (sql_centered_corr / sql_davg) and
+    # parsed with one F.expr round trip each, replacing ~1500 py4j
+    # Column-construction calls. `0.0D` is an explicit double literal
+    # (the Column form added F.lit(0.0)); expression trees and results
+    # are unchanged — the three chain oracles adjudicate.
     corr_aggs = []
     for x, y, a in CORR_PAIRS:
-        both = F.col(x).isNotNull() & F.col(y).isNotNull()
-        corr_aggs.append(
-            (
-                F.round(
-                    centered_corr(
-                        F.when(both, F.col(x) - F.col(f"mean_x_{a}")),
-                        F.when(both, F.col(y) - F.col(f"mean_y_{a}")),
-                    ),
-                    4,
-                )
-                + F.lit(0.0)  # signed-zero collapse (ta.emit rule)
-            ).alias(a)
+        cond = f"{x} IS NOT NULL AND {y} IS NOT NULL"
+        corr = sql_centered_corr(
+            f"CASE WHEN {cond} THEN {x} - mean_x_{a} END",
+            f"CASE WHEN {cond} THEN {y} - mean_y_{a} END",
         )
-    mom = F.col("indicator_mom_pct")
-    r1 = F.col("return_1mo")
+        # signed-zero collapse (ta.emit rule)
+        corr_aggs.append(F.expr(f"ROUND({corr}, 4) + 0.0D").alias(a))
 
-    def _std(c: Column) -> Column:
-        n = F.count(c)
-        s = F.sum(c.cast("decimal(28,6)")).cast("double")
-        ss = F.sum((c * c).cast("decimal(28,6)")).cast("double")
-        return F.when(
-            n > 1,
-            F.sqrt(
-                F.greatest((ss - s * s / n) / (n - F.lit(1.0)), F.lit(0.0))
-            ),
+    def _std_sql(e: str) -> str:
+        n = f"COUNT({e})"
+        s = f"CAST(SUM(CAST(({e}) AS DECIMAL(28,6))) AS DOUBLE)"
+        ss = (
+            f"CAST(SUM(CAST((({e}) * ({e})) AS DECIMAL(28,6)))"
+            " AS DOUBLE)"
+        )
+        return (
+            f"CASE WHEN {n} > 1 THEN SQRT(GREATEST(({ss} - {s} * {s}"
+            f" / {n}) / ({n} - 1.0), 0.0)) END"
         )
 
-    up = davg(F.when(mom > 0, r1))
-    down = davg(F.when(mom < 0, r1))
+    up = sql_davg("CASE WHEN indicator_mom_pct > 0 THEN return_1mo END")
+    down = sql_davg("CASE WHEN indicator_mom_pct < 0 THEN return_1mo END")
     stats = (
         ev.groupBy("symbol", "series_code")
         .agg(
             F.count("*").cast("long").alias("observation_count"),
             *corr_aggs,
-            up.alias("avg_return_indicator_up"),
-            down.alias("avg_return_indicator_down"),
-            (up - down).alias("return_spread"),
-            F.round(_std(mom), 2).alias("indicator_volatility"),
-            F.round(_std(r1), 2).alias("sector_return_volatility"),
+            F.expr(up).alias("avg_return_indicator_up"),
+            F.expr(down).alias("avg_return_indicator_down"),
+            F.expr(f"({up}) - ({down})").alias("return_spread"),
+            F.expr(
+                f"ROUND({_std_sql('indicator_mom_pct')}, 2)"
+            ).alias("indicator_volatility"),
+            F.expr(f"ROUND({_std_sql('return_1mo')}, 2)").alias(
+                "sector_return_volatility"
+            ),
         )
         .where(F.col("observation_count") >= MIN_OBS)
     )
