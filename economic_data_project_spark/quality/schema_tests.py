@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -81,58 +81,57 @@ def _sql_quote(v: str) -> str:
 
 
 def _row_level_tests(spec: dict):
-    """Yield (column, test_name, spark_violation_thunk, sql_violation).
+    """Yield (column, test_name, sql_violation).
 
-    The Spark predicate is a thunk — Column construction needs a live
-    SparkContext, and the oracle renderer runs at import time.
+    One SQL predicate per test, shared verbatim by the Spark side (via
+    ``F.expr``, r16) and the DuckDB oracle renderer: the vocabulary
+    (IS NULL / NOT IN / NOT BETWEEN / <= 0 over quoted string and float
+    literals) parses identically in both dialects, so one rendering
+    serves both engines — the old per-test Column thunks cost ~20 py4j
+    round trips each at every construction.
     """
-
-    def _nn(c):
-        return lambda: F.col(c).isNull()
-
-    def _av(c, vals):
-        return lambda: F.col(c).isNotNull() & ~F.col(c).isin(vals)
-
-    def _rng(c, lo, hi):
-        return lambda: F.col(c).isNotNull() & ~F.col(c).between(lo, hi)
-
-    def _pos(c):
-        return lambda: F.col(c).isNotNull() & (F.col(c) <= 0)
-
     for c in spec.get("not_null", ()):
-        yield c, "not_null", _nn(c), f"{c} IS NULL"
+        yield c, "not_null", f"{c} IS NULL"
     for c, vals in spec.get("accepted_values", {}).items():
         lst = ", ".join(_sql_quote(v) for v in vals)
         yield (
             c,
             "accepted_values",
-            _av(c, vals),
             f"{c} IS NOT NULL AND {c} NOT IN ({lst})",
         )
     for c, (lo, hi) in spec.get("value_in_range", {}).items():
         yield (
             c,
             "value_in_range",
-            _rng(c, lo, hi),
             f"{c} IS NOT NULL AND {c} NOT BETWEEN {lo!r} AND {hi!r}",
         )
     for c in spec.get("positive", ()):
-        yield c, "positive", _pos(c), f"{c} IS NOT NULL AND {c} <= 0"
+        yield c, "positive", f"{c} IS NOT NULL AND {c} <= 0"
 
 
-def _result(model: str, column: str, test: str, n: Column) -> Column:
-    return F.struct(
-        F.lit(model).alias("model"),
-        F.lit(column).alias("column"),
-        F.lit(test).alias("test_name"),
-        n.cast("long").alias("n_violations"),
+def _result_sql(model: str, column: str, test: str, n_sql: str) -> str:
+    """named_struct literal for one test-result row (r16: one F.expr
+    round trip replaces the four-lit F.struct Column build)."""
+    return (
+        f"named_struct('model', {_sql_quote(model)},"
+        f" 'column', {_sql_quote(column)},"
+        f" 'test_name', {_sql_quote(test)},"
+        f" 'n_violations', CAST({n_sql} AS BIGINT))"
     )
 
 
 def run_schema_tests(
     spark: SparkSession, tables: dict[str, DataFrame]
 ) -> DataFrame:
-    """Compile the spec against loaded tables into the results relation."""
+    """Compile the spec against loaded tables into the results relation.
+
+    r16 (guide §5, VERDICT r15 #3): every expression is built as a SQL
+    string in Python and parsed with a single ``F.expr`` round trip —
+    the Column-operator form cost ~2100 py4j round trips (~0.9s per
+    construction, measured by cProfile). The compiled plan is
+    unchanged: one aggregate scan per table for all row-level tests,
+    one group-by per uniqueness grain, one anti-join per relationship.
+    """
     parts: list[DataFrame] = []
     for model, spec in SCHEMA_TESTS.items():
         df = tables[model]
@@ -140,17 +139,19 @@ def run_schema_tests(
         if rows:
             agg = df.agg(
                 *[
-                    F.sum(F.when(pred(), 1).otherwise(0)).alias(f"v{i}")
-                    for i, (_, _, pred, _) in enumerate(rows)
+                    F.expr(
+                        f"SUM(CASE WHEN {sql} THEN 1 ELSE 0 END)"
+                    ).alias(f"v{i}")
+                    for i, (_, _, sql) in enumerate(rows)
                 ]
             )
-            structs = [
-                _result(model, c, t, F.coalesce(F.col(f"v{i}"), F.lit(0)))
-                for i, (c, t, _, _) in enumerate(rows)
-            ]
+            structs = ", ".join(
+                _result_sql(model, c, t, f"COALESCE(v{i}, 0)")
+                for i, (c, t, _) in enumerate(rows)
+            )
             parts.append(
                 agg.select(
-                    F.explode(F.array(*structs)).alias("r")
+                    F.expr(f"explode(array({structs}))").alias("r")
                 ).select("r.*")
             )
         for keys in spec.get("unique", ()):
@@ -162,14 +163,14 @@ def run_schema_tests(
             )
             parts.append(
                 dup.select(
-                    _result(
-                        model, ", ".join(keys), "unique", F.col("v")
+                    F.expr(
+                        _result_sql(model, ", ".join(keys), "unique", "v")
                     ).alias("r")
                 ).select("r.*")
             )
         for fk, parent, pk in spec.get("relationships", ()):
             orphans = (
-                df.where(F.col(fk).isNotNull())
+                df.where(F.expr(f"{fk} IS NOT NULL"))
                 .join(
                     tables[parent].select(F.col(pk).alias(fk)).distinct(),
                     on=fk,
@@ -179,8 +180,8 @@ def run_schema_tests(
             )
             parts.append(
                 orphans.select(
-                    _result(
-                        model, fk, "relationships", F.col("v")
+                    F.expr(
+                        _result_sql(model, fk, "relationships", "v")
                     ).alias("r")
                 ).select("r.*")
             )
@@ -190,16 +191,16 @@ def run_schema_tests(
         "column",
         "test_name",
         "n_violations",
-        F.when(F.col("n_violations") == 0, "pass")
-        .otherwise("fail")
-        .alias("status"),
+        F.expr(
+            "CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END"
+        ).alias("status"),
     ).orderBy("model", "column", "test_name")
 
 
 def _oracle() -> str:
     selects: list[str] = []
     for model, spec in SCHEMA_TESTS.items():
-        for c, t, _, sql_pred in _row_level_tests(spec):
+        for c, t, sql_pred in _row_level_tests(spec):
             selects.append(
                 f"SELECT '{model}' AS model, '{c}' AS \"column\","
                 f" '{t}' AS test_name,"
