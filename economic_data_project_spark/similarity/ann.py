@@ -641,24 +641,96 @@ def ivf_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scored_cents_expr(
+    cent_cols: list, cos_expr: str, cluster_col: str
+) -> str:
+    """SQL for the per-vector (cosine, cluster) candidate array over a
+    packed ``__cents`` array-of-structs column: centroid column
+    references inside ``cos_expr`` are qualified to the lambda struct
+    (token replace on the known centroid column names — none of the
+    current cosine expressions shares a token with a corpus column)."""
+    import re
+
+    qualified = cos_expr
+    for c in cent_cols:
+        qualified = re.sub(rf"\b{re.escape(c)}\b", f"__s.{c}", qualified)
+    return (
+        f"transform(__cents, __s -> struct(({qualified}) AS c,"
+        f" CAST(__s.{cluster_col} AS BIGINT) AS cluster))"
+    )
+
+
+def _pack_cents(cents: DataFrame) -> DataFrame:
+    """One-row frame holding the whole (K-bounded) centroid set as an
+    array-of-structs — the broadcastable payload of the fold/sort
+    assignment expressions below."""
+    return cents.agg(
+        F.collect_list(F.struct(*cents.columns)).alias("__cents")
+    )
+
+
+# ordering used by every assignment surface: cosine DESC, cluster ASC.
+# Spark's binary comparisons on doubles are nan-safe (NaN compares
+# largest, NaN = NaN), matching the window orderBy semantics the fold
+# replaced.
+_CENT_CMP = (
+    "(l, r) -> CASE WHEN l.c > r.c THEN -1 WHEN r.c > l.c THEN 1"
+    " WHEN l.cluster < r.cluster THEN -1"
+    " WHEN r.cluster < l.cluster THEN 1 ELSE 0 END"
+)
+
+
 def argmin_assign(
     vectors: DataFrame, cents: DataFrame, cos_expr: str, cluster_col: str
 ) -> DataFrame:
     """Nearest-centroid assignment: broadcast the (K-bounded) centroid
-    set, score per vector, keep the argmax cosine (ties on cluster id).
-    Map-side at scale — the corpus never shuffles for assignment."""
-    scored = vectors.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        F.col(cluster_col).alias("cluster"),
-        F.expr(cos_expr).alias("c"),
+    set packed as ONE array row, fold per vector to the argmax cosine
+    (ties on smaller cluster id).
+
+    r16 (guide §2.4, VERDICT r15 #6): the previous crossJoin + window
+    row_number shape shuffled n x K scored rows into a
+    hashpartitioning(vec_id) exchange plus sort PER assignment pass —
+    so "map-side at scale" was only half true. The aggregate fold
+    keeps assignment genuinely map-side: zero exchange, zero sort, the
+    corpus never moves. Tie-break and NaN ordering are identical to
+    the window (argmax c, then min cluster); collect_list's packing
+    order cannot change the result because the fold's preference is a
+    strict total order over (c, cluster)."""
+    arr = _scored_cents_expr(cents.columns, cos_expr, cluster_col)
+    best = (
+        f"aggregate({arr}, CAST(NULL AS STRUCT<c: DOUBLE,"
+        " cluster: BIGINT>),"
+        " (__a, __p) -> CASE WHEN __a IS NULL THEN __p"
+        " WHEN __p.c > __a.c OR (__p.c = __a.c"
+        " AND __p.cluster < __a.cluster) THEN __p"
+        " ELSE __a END)"
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c").desc(), F.col("cluster")
+    return vectors.crossJoin(F.broadcast(_pack_cents(cents))).select(
+        "vec_id", F.expr(f"({best}).cluster").alias("cluster")
     )
+
+
+def topn_probes(
+    queries: DataFrame,
+    cents: DataFrame,
+    cos_expr: str,
+    cluster_col: str,
+    n: int,
+) -> DataFrame:
+    """Top-n nearest centroids per query vector (probe lists), as
+    (query_id, cluster) — same map-side pack/sort/slice shape as
+    :func:`argmin_assign` (r16), replacing the crossJoin + window
+    probe_rank filter and its exchange+sort. Order: cosine DESC then
+    cluster ASC, exactly the window's; slice tolerates n > K."""
+    arr = _scored_cents_expr(cents.columns, cos_expr, cluster_col)
+    sliced = f"slice(array_sort({arr}, {_CENT_CMP}), 1, {int(n)})"
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cluster")
+        queries.crossJoin(F.broadcast(_pack_cents(cents)))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(F.expr(sliced)).alias("__p"),
+        )
+        .select("query_id", F.col("__p.cluster").alias("cluster"))
     )
 
 
@@ -750,18 +822,8 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids, final_assign = kmeans_once(corpus, ivf_k)
 
     queries = corpus.where(F.col("vec_id") < _N_QUERIES)
-    probe_scored = queries.crossJoin(F.broadcast(centroids)).select(
-        F.col("vec_id").alias("query_id"),
-        "cluster",
-        F.expr(_COS_CENTROID).alias("c"),
-    )
-    wq = Window.partitionBy("query_id").orderBy(
-        F.col("c").desc(), F.col("cluster")
-    )
-    probes = (
-        probe_scored.withColumn("probe_rank", F.row_number().over(wq))
-        .where(F.col("probe_rank") <= ivf_nprobe)
-        .select("query_id", "cluster")
+    probes = topn_probes(
+        queries, centroids, _COS_CENTROID, "cluster", ivf_nprobe
     )
     cand = (
         probes.join(final_assign, on="cluster")

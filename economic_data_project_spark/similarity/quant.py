@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from ..caches import register_session_cache, warm
 from ..catalog import load_table
 from ..registry import query
+from .ann import argmin_assign, topn_probes
 
 _Q_MAX = 127  # symmetric int8 range [-127, 127]; -128 never emitted
 
@@ -437,31 +438,12 @@ def ann_ivf_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_vc = (
         _IDOT_SPARK.format(a="qv", b="c_qv") + " / (qnorm * c_qnorm)"
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("c").desc(), F.col("cluster")
-    )
-    assign = (
-        codes.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cluster", F.expr(cos_vc).alias("c"))
-        .withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "cluster")
-    )
+    # r16: map-side fold/sort assignment + probe lists (see
+    # ann.argmin_assign / ann.topn_probes) — the crossJoin + window
+    # shapes here paid an exchange+sort each for identical results.
+    assign = argmin_assign(codes, cents, cos_vc, "cluster")
     queries = codes.where(F.col("vec_id") < _N_QUERIES)
-    w_probe = Window.partitionBy("query_id").orderBy(
-        F.col("c").desc(), F.col("cluster")
-    )
-    probes = (
-        queries.crossJoin(F.broadcast(cents))
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "cluster",
-            F.expr(cos_vc).alias("c"),
-        )
-        .withColumn("pr", F.row_number().over(w_probe))
-        .where(F.col("pr") <= ivf_nprobe)
-        .select("query_id", "cluster")
-    )
+    probes = topn_probes(queries, cents, cos_vc, "cluster", ivf_nprobe)
     cand = (
         probes.join(assign, on="cluster")
         .select("query_id", "vec_id")
