@@ -209,7 +209,17 @@ def dsir_importance_weights(
     """Per-document DSIR importance log-weight against the ``lang='en'``
     target distribution, with the noise-free selection flag."""
     d = load_table(spark, sf_dir, "documents")
-    scored = _scored(spark, sf_dir)
+    # r16: cached AT THIS CALL SITE — the weight query reads the scored
+    # frame twice per invocation (the mean_lw stats broadcast and the
+    # output join), and without the barrier the whole join+ln+agg
+    # pipeline re-executed for the stats pass (measured 2.44s -> 2.06s
+    # median with the cache). One narrow row per scored document — at
+    # 100 TB this IS the materialized DSIR weight table the selection
+    # step reads (the keep-list cache precedent). NOT cached inside
+    # _scored itself: dsir_gumbel_topk's two reads are both
+    # narrow/pruned and the barrier measured a 3.17s -> 4.17s
+    # REGRESSION there (9-rep A/B) — the fill cost exceeds its reuse.
+    scored = register_session_cache(_scored(spark, sf_dir).cache())
     stats = F.broadcast(
         scored.agg(
             (
