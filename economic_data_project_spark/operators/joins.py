@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..caches import register_session_cache, warm
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.parity import (
     centered_corr,
     davg,
@@ -59,7 +59,16 @@ ORDER BY region_name, nation_name
 
 @query("nation_revenue", oracle=_NATION_REVENUE_ORACLE)
 def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    # r16 (guide §2.5): all four dims broadcast, so the single scan
+    # task of a one-row-group lineitem file did every hash probe, the
+    # rev product, and the decimal(28,6) cast+partial-sum alone;
+    # spread first (no-op at scale; keys already in the pruned
+    # ReadSchema). Alternating A/B, 7 reps: 1.41s -> 1.02s.
+    li = spread_scan(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_extendedprice",
+        "l_orderkey",
+    )
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
