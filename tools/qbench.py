@@ -30,6 +30,47 @@ from economic_data_project_spark.caches import (  # noqa: E402
 from economic_data_project_spark.session import get_spark  # noqa: E402
 
 
+def alternating_ab(spark, arms, n: int = 9, sink=None):
+    """Reusable alternating-arm A/B protocol (VERDICT r15 #7): the
+    same-process, cache-cold, arm-order-flipped-per-rep measurement
+    every r15/r16 adjudication used, as one entry point.
+
+    ``arms`` maps arm name -> thunk returning a DataFrame (the thunk
+    may monkeypatch module bindings before building). Each rep runs
+    every arm once, flipping arm order on odd reps so slow-box drift
+    hits both arms symmetrically; every timing starts cache-cold
+    (session caches + SQL cache freed) and executes through the noop
+    sink. Returns {arm: [seconds...]} and prints medians.
+
+    This box fabricates 1.5-2.5x swings on identical code between
+    COLD runs (BENCH r13-r15 run_totals) — never adjudicate a code
+    change from two separate cold processes when this protocol fits.
+    """
+    import itertools
+
+    names = list(arms)
+    res = {a: [] for a in names}
+    for rep in range(n):
+        order = names if rep % 2 == 0 else list(reversed(names))
+        for arm in order:
+            free_session_caches()
+            spark.catalog.clearCache()
+            spark.sparkContext.setJobDescription(f"ab:{arm}#{rep}")
+            df = arms[arm]()
+            t0 = time.perf_counter()
+            if sink is None:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                sink(df)
+            res[arm].append(round(time.perf_counter() - t0, 3))
+    for a in names:
+        print(
+            f"{a}: median={statistics.median(res[a]):.3f} runs={res[a]}",
+            flush=True,
+        )
+    return res
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("names", nargs="*")
