@@ -695,7 +695,15 @@ def argmin_assign(
     corpus never moves. Tie-break and NaN ordering are identical to
     the window (argmax c, then min cluster); collect_list's packing
     order cannot change the result because the fold's preference is a
-    strict total order over (c, cluster)."""
+    strict total order over (c, cluster).
+
+    Returns (vec_id, cluster, c) — ``c`` is the winning cosine, which
+    the fold computes anyway; SemDeDup's member frame reads it as the
+    centroid cosine instead of re-joining the centroid table (a
+    consumer whose broadcast no longer dedups against the packed one —
+    the whole Lloyd pipeline executed twice until it was dropped,
+    measured 4.1s -> below on dedup_semantic_semdedup). Callers that
+    only need the label prune the column for free."""
     arr = _scored_cents_expr(cents.columns, cos_expr, cluster_col)
     best = (
         f"aggregate({arr}, CAST(NULL AS STRUCT<c: DOUBLE,"
@@ -705,8 +713,18 @@ def argmin_assign(
         " AND __p.cluster < __a.cluster) THEN __p"
         " ELSE __a END)"
     )
-    return vectors.crossJoin(F.broadcast(_pack_cents(cents))).select(
-        "vec_id", F.expr(f"({best}).cluster").alias("cluster")
+    # two-step select: the fold lands in ONE projected struct and the
+    # fields are split in a second projection — CollapseProject keeps
+    # non-cheap expressions referenced twice un-inlined, so the fold
+    # evaluates once per row, not once per output field.
+    return (
+        vectors.crossJoin(F.broadcast(_pack_cents(cents)))
+        .select("vec_id", F.expr(best).alias("__best"))
+        .select(
+            "vec_id",
+            F.col("__best.cluster").alias("cluster"),
+            F.col("__best.c").alias("c"),
+        )
     )
 
 

@@ -114,7 +114,6 @@ from ..functions.ta import emit, series_window, sql_emit
 from ..functions.vectors import DOT_DUCK, DOT_SPARK
 from ..registry import query
 from .ann import (
-    _COS_CENTROID,
     _IVF_K_CAP,
     ivf_corpus,
     kmeans_cte_duck,
@@ -531,17 +530,21 @@ def dedup_semantic_semdedup(
     else:
         k = min(_IVF_K_CAP, n_corpus // _TARGET_CLUSTER)
     if n_corpus <= _TWO_LEVEL_MIN:
+        # r16: the centroid cosine IS the winning cosine the argmin
+        # fold already computes (ann.argmin_assign returns it as `c`),
+        # so the old broadcast(centroids) re-join is gone — that
+        # consumer's broadcast no longer deduplicated against the
+        # packed-centroids broadcast inside the fold, so the whole
+        # Lloyd pipeline (explode + two group-bys + assignment)
+        # executed TWICE per build (in-lane A/B vs the pre-fold
+        # worktree: 2.73s -> 4.12s before this fix).
         centroids, assign = kmeans_once(corpus, k)
-        member = (
-            assign.join(corpus, "vec_id")
-            .join(F.broadcast(centroids), "cluster")
-            .select(
-                "vec_id",
-                "cluster",
-                "embedding",
-                "vnorm",
-                F.expr(_COS_CENTROID).alias("cc"),
-            )
+        member = assign.join(corpus, "vec_id").select(
+            "vec_id",
+            "cluster",
+            "embedding",
+            "vnorm",
+            F.col("c").alias("cc"),
         )
     else:
         member = _member_two_level(corpus, k)
@@ -549,8 +552,18 @@ def dedup_semantic_semdedup(
     # plus the final verdict left-join (3 reads); cluster-keyed, one
     # row per vector. At scale this is the materialized (vector,
     # cluster, centroid-cosine) assignment table a SemDeDup pass
-    # writes once.
-    member = register_session_cache(member.cache())
+    # writes once. r16: explicitly hash-partitioned by CLUSTER before
+    # the cache — the map-side argmin fold leaves member on the scan's
+    # (single-split) partitioning, which starved the downstream pair
+    # compare, and cluster IS the pair join's key, so both self-join
+    # sides read the cache pre-partitioned and the join plans with NO
+    # exchange (guide §2.4). defaultParallelism like spread_scan —
+    # scale-parameterised, not a local constant.
+    member = register_session_cache(
+        member.repartition(
+            spark.sparkContext.defaultParallelism, "cluster"
+        ).cache()
+    )
     dups = (
         _dups_hof(member)
         if n_corpus <= _SCALE_MIN
