@@ -454,8 +454,10 @@ def verdict_frame(
     repetition screen's only non-per-row piece, top-token frequency,
     becomes the longest equal-run in the sorted token array (an
     ``aggregate`` fold), which is exactly max(count) per document.
-    Plan-gated in tests/test_plans.py: exactly one parquet scan, no
-    hash-partition exchange."""
+    Plan-gated in tests/test_plans.py: exactly one parquet scan, and
+    no hash-partition exchange beyond the spread_scan repartition
+    (ADVICE r15: the r15 spread added one REPARTITION_BY_NUM exchange
+    and test_corpus_verdict_single_scan was relaxed accordingly)."""
     # the fused screen battery (tokens + shingles + PII regexes +
     # top-run fold) is the heaviest per-row chain in the repo and runs
     # before any exchange — spread the single-split scan (guide §2.5;

@@ -40,14 +40,14 @@ def alternating_ab(spark, arms, n: int = 9, sink=None):
     every arm once, flipping arm order on odd reps so slow-box drift
     hits both arms symmetrically; every timing starts cache-cold
     (session caches + SQL cache freed) and executes through the noop
-    sink. Returns {arm: [seconds...]} and prints medians.
+    sink. The BUILD is inside the timed region, exactly like bench.py
+    (construction-reduction changes must show up here too). Returns
+    {arm: [seconds...]} and prints medians.
 
     This box fabricates 1.5-2.5x swings on identical code between
     COLD runs (BENCH r13-r15 run_totals) — never adjudicate a code
     change from two separate cold processes when this protocol fits.
     """
-    import itertools
-
     names = list(arms)
     res = {a: [] for a in names}
     for rep in range(n):
@@ -56,8 +56,8 @@ def alternating_ab(spark, arms, n: int = 9, sink=None):
             free_session_caches()
             spark.catalog.clearCache()
             spark.sparkContext.setJobDescription(f"ab:{arm}#{rep}")
-            df = arms[arm]()
             t0 = time.perf_counter()
+            df = arms[arm]()
             if sink is None:
                 df.write.format("noop").mode("overwrite").save()
             else:
