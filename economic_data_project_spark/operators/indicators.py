@@ -36,11 +36,13 @@ _EMA26_A = 2.0 / 27.0
 
 def _daily_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NOTE (r16): a spread_scan here (the pricing_summary fix for the
-    # decimal-cast floor) measured 0.86x in a 7-rep alternating A/B —
-    # this agg has only TWO decimal casts per row and the downstream
-    # indicator battery re-exchanges by flag regardless, so the spread
-    # exchange is not paid back. Reverted; pricing_summary (5 casts,
-    # terminal agg) keeps it.
+    # decimal-cast floor) measured 0.86x in a 7-rep alternating A/B
+    # with (l_orderkey, l_linenumber) keys, and a DEAD WASH (2.595 vs
+    # 2.604 median, 9 reps) re-measured with non-widening
+    # (l_extendedprice, l_shipdate) keys — this agg has only TWO
+    # decimal casts per row, so the spread exchange is never paid
+    # back. Left unspread; pricing_summary (5 casts, terminal agg)
+    # and nation_revenue (cast + 4 broadcast probes) keep theirs.
     li = load_table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return li.groupBy(

@@ -159,13 +159,26 @@ def nb_quality_classifier(
         .cache()
         .transform(register_session_cache)
     )
-    model = inst.groupBy("g").agg(
-        F.sum(
-            F.when(F.col("pos"), F.col("cnt")).otherwise(F.lit(0))
-        ).alias("c_p"),
-        F.sum(
-            F.when(F.col("pos"), F.lit(0)).otherwise(F.col("cnt"))
-        ).alias("c_n"),
+    # r16 (the r9 fan-out-cache precedent): the model feeds BOTH the
+    # vocabulary-total stats aggregate and the scoring join — uncached,
+    # the whole inst->model aggregation pipeline executed twice per
+    # invocation (two hashpartitioning(g) exchanges in the before-plan).
+    # Bench-neutral at sf0.1 (A/B/A wash — 962 grams make the duplicate
+    # pass cheap) and adopted for the scale shape: at a real vocabulary
+    # the second pass is a full read of the gram-instance table. Kept on
+    # its natural shuffle partitioning (NOT repartition(1)): the model
+    # is vocabulary-sized by construction, not dimension-sized.
+    model = register_session_cache(
+        inst.groupBy("g")
+        .agg(
+            F.sum(
+                F.when(F.col("pos"), F.col("cnt")).otherwise(F.lit(0))
+            ).alias("c_p"),
+            F.sum(
+                F.when(F.col("pos"), F.lit(0)).otherwise(F.col("cnt"))
+            ).alias("c_n"),
+        )
+        .cache()
     )
     stats = F.broadcast(
         model.agg(
